@@ -1,0 +1,26 @@
+"""eigen_value_tpu — TPU-native maximum-eigenvalue framework.
+
+A brand-new JAX/XLA/Pallas implementation of the similarity-transform method
+for the maximum eigenvalue and eigenvector of positive square matrices, with
+the full capability surface of the reference SYCL library
+(itzmeanjan/eigen_value): kernel pipeline, convergence semantics,
+verification fixtures, benchmark harness, Python API — re-designed TPU-first
+(fused Pallas kernels, on-device `lax.while_loop`, mesh sharding for
+multi-chip, vmapped batched solves).
+"""
+
+from .api import EigenValue, max_eigenvalue
+from .config import DEFAULT_CONFIG, EPS, MAX_ITR, SolverConfig
+from .ops.solver import SolveResult
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EigenValue",
+    "max_eigenvalue",
+    "SolverConfig",
+    "SolveResult",
+    "DEFAULT_CONFIG",
+    "EPS",
+    "MAX_ITR",
+]

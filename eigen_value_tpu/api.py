@@ -1,0 +1,142 @@
+"""Public Python API.
+
+Mirrors the shape of the reference's Python wrapper
+(``wrapper/python/similarity_transform.py:18-78``): an ``EigenValue`` class
+whose ``similarity_transform(mat)`` returns ``(λ, v, ts_ms, rounds)``.  The
+reference's constructor loads a shared object and builds a SYCL queue; the
+TPU-native equivalent of that one-time setup is JIT compilation, which this
+class caches per (shape, dtype, backend) so timed calls measure execution
+only — the same thing the reference times (its clock starts after buffer
+setup, ``similarity_transform.cpp:36``).
+
+Also exposes the functional entry :func:`max_eigenvalue` returning the
+:class:`SolveResult` pytree, which is the idiomatic JAX surface (composable
+with jit/vmap/shard_map).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, SolverConfig
+from .ops.solver import SolveResult, solve_xla
+
+
+def _on_tpu() -> bool:
+    """True when computations default to a TPU device.
+
+    Honors an explicit ``jax_default_device`` override (the test harness
+    pins CPU this way because JAX_PLATFORMS is ignored under the tunnel).
+    """
+    d = jax.config.jax_default_device
+    if d is not None:
+        return getattr(d, "platform", str(d)) == "tpu"
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def pick_block(n: int, preferred: int) -> Optional[int]:
+    """Largest hardware-aligned tile size dividing n, or None if n is not
+    128-aligned (f32 lane width — see pallas_guide tiling constraints)."""
+    for b in (preferred, 1024, 512, 256, 128):
+        if b <= preferred and n % b == 0:
+            return b
+    return None
+
+
+def resolve_backend(config: SolverConfig, n: int) -> str:
+    """Resolve "auto" to a concrete backend for a dim-n solve."""
+    if config.backend != "auto":
+        return config.backend
+    if pick_block(n, config.block_rows) is None:
+        return "xla"  # unaligned dims (e.g. the 3×3 anchor) take the jnp path
+    if _on_tpu() or config.interpret:
+        return "pallas"
+    return "xla"
+
+
+def _solve_fn(config: SolverConfig, backend: str):
+    if backend == "pallas":
+        try:
+            from .ops.solver_pallas import solve_pallas
+        except ImportError:
+            return partial(solve_xla, eps=config.eps, max_itr=config.max_itr)
+
+        return partial(
+            solve_pallas,
+            eps=config.eps,
+            max_itr=config.max_itr,
+            block_rows=config.block_rows,
+            block_cols=config.block_cols,
+            interpret=config.interpret,
+        )
+    return partial(solve_xla, eps=config.eps, max_itr=config.max_itr)
+
+
+def max_eigenvalue(mat: jax.Array, config: SolverConfig = DEFAULT_CONFIG) -> SolveResult:
+    """Maximum eigenvalue + eigenvector of a positive square matrix.
+
+    Functional entry point; jittable.  ``mat`` must be square with all
+    entries > 0 (the method's correctness precondition — SURVEY.md §0).
+    """
+    mat = jnp.asarray(mat, config.dtype)
+    if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
+        raise ValueError(f"must be a square matrix, got shape {mat.shape}")
+    backend = resolve_backend(config, mat.shape[0])
+    return _solve_fn(config, backend)(mat)
+
+
+class EigenValue:
+    """Class-shaped API with the reference wrapper's return convention.
+
+    ``similarity_transform(mat) -> (eigenvalue, eigenvector, ts_ms, rounds)``
+    exactly as ``wrapper/python/similarity_transform.py:42-78`` — except
+    ``ts_ms`` is a float (the reference truncates to whole ms) and inputs of
+    any float dtype are accepted (cast to ``config.dtype``; the reference
+    hard-asserts float32).
+    """
+
+    def __init__(self, config: SolverConfig = DEFAULT_CONFIG) -> None:
+        self.config = config
+        self._compiled = {}
+
+    def _get_compiled(self, n: int, dtype):
+        backend = resolve_backend(self.config, n)
+        key = (n, jnp.dtype(dtype).name, backend)
+        fn = self._compiled.get(key)
+        if fn is None:
+            solve = _solve_fn(self.config, backend)
+            fn = (
+                jax.jit(solve)
+                .lower(jax.ShapeDtypeStruct((n, n), dtype))
+                .compile()
+            )
+            self._compiled[key] = fn
+        return fn
+
+    def similarity_transform(
+        self, mat
+    ) -> Tuple[np.float32, np.ndarray, float, int]:
+        mat = jnp.asarray(mat, self.config.dtype)
+        m, n = mat.shape
+        assert m == n, "must be square matrix of floating points !"
+        fn = self._get_compiled(n, mat.dtype)
+
+        start = time.perf_counter()
+        res = jax.block_until_ready(fn(mat))
+        ts_ms = (time.perf_counter() - start) * 1e3
+
+        return (
+            np.asarray(res.eigenvalue)[()],
+            np.asarray(res.eigenvector),
+            ts_ms,
+            int(res.rounds),
+        )

@@ -1,0 +1,138 @@
+"""Single-chip similarity-transform solver: `jit` + `lax.while_loop`.
+
+This is the TPU-native re-expression of the reference's host-side
+convergence loop (``similarity_transform.cpp:5-75``).  The reference submits
+6 kernels per round and blocks on a device→host read of the stop flag every
+round (``similarity_transform.cpp:45-50``); here the whole iteration is one
+XLA while loop carrying ``(A, v, ev, λ, i, done)`` — zero host round-trips.
+
+Round structure (must match the reference ordering exactly for round-count
+parity, SURVEY.md §0):
+
+  round i: [v given]  →  m = max(v)          (find_max, cpp:154-227)
+                      →  ev *= v / m          (compute_eigen_vector, cpp:229-265)
+                      →  done = stop(v)       (wraparound check, cpp:332-460)
+                      →  if done: λ = v[0]; exit with rounds = i
+                      →  else A *= outer(1/v, v); v = rowsum(A)
+                         (compute_next_matrix cpp:286-330 fused with the NEXT
+                          round's sum_across_rows cpp:77-152 — both touch all
+                          of A, so fusing halves HBM traffic per round)
+
+The initial ``v = rowsum(A)`` runs once before the loop.  The O(n) ops
+(max/ev/stop) are plain jnp — XLA fuses them into negligible work; the two
+O(n²) passes are pluggable so the XLA and Pallas backends share this
+orchestrator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class SolveResult(NamedTuple):
+    """Result pytree of one dense solve.
+
+    ``eigenvalue`` is v[0] at the round where convergence was detected
+    (reference reads the first element of the sum vector,
+    similarity_transform.cpp:60-65).  ``rounds`` uses the reference's
+    parallel convention: 0-based index of the converging round
+    (similarity_transform.cpp:39-54); ``rounds == max_itr`` with
+    ``converged == False`` means the cap was hit.
+    """
+
+    eigenvalue: jax.Array
+    eigenvector: jax.Array
+    rounds: jax.Array
+    converged: jax.Array
+
+
+RowsumFn = Callable[[jax.Array], jax.Array]
+ScaleRowsumFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+def rowsum_xla(A: jax.Array) -> jax.Array:
+    """Row sums of A — jnp expression of sum_across_rows (cpp:77-152)."""
+    return jnp.sum(A, axis=1)
+
+
+def scale_rowsum_xla(A: jax.Array, v: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Fused similarity update + next row sums, pure-jnp form.
+
+    ``A'[r][c] = A[r][c] * (1/v[r]) * v[c]`` — same reciprocal-then-multiply
+    arithmetic as the reference kernel (similarity_transform.cpp:324-325) —
+    followed by the next round's row sums.  XLA output-fuses the reduction
+    with the producer, so this is ~1 read + 1 write of A.
+    """
+    one = jnp.asarray(1.0, A.dtype)
+    A = A * ((one / v)[:, None] * v[None, :])
+    return A, jnp.sum(A, axis=1)
+
+
+def stop_check(v: jax.Array, eps: float) -> jax.Array:
+    """Wraparound stop criterion: all |v[i] - v[(i+1) % n]| < eps.
+
+    Matches the reference's parallel `stop` kernel exactly — including the
+    wraparound pair, which its subgroup-shuffle + boundary-read implements
+    (similarity_transform.cpp:385-417).
+    """
+    return jnp.all(jnp.abs(v - jnp.roll(v, -1)) < jnp.asarray(eps, v.dtype))
+
+
+class _Carry(NamedTuple):
+    A: jax.Array
+    v: jax.Array
+    ev: jax.Array
+    lam: jax.Array
+    i: jax.Array
+    done: jax.Array
+
+
+def solve_loop(
+    A: jax.Array,
+    *,
+    rowsum: RowsumFn,
+    scale_rowsum: ScaleRowsumFn,
+    eps: float,
+    max_itr: int,
+) -> SolveResult:
+    """Run the convergence loop with pluggable O(n²) passes (traced; jit me)."""
+    n = A.shape[0]
+    dtype = A.dtype
+    v0 = rowsum(A)
+    ev0 = jnp.ones((n,), dtype)  # initialise_eigen_vector, cpp:267-284
+
+    def cond(c: _Carry) -> jax.Array:
+        return jnp.logical_not(c.done) & (c.i < max_itr)
+
+    def body(c: _Carry) -> _Carry:
+        v = c.v
+        m = jnp.max(v)
+        ev = c.ev * (v / m)
+        done = stop_check(v, eps)
+        # λ snapshot at check time: on cap-exhaustion the reference reports
+        # the v[0] of the last *checked* round, not of the post-update matrix.
+        lam = v[0]
+        # Skip the O(n²) update on the converging round, exactly like the
+        # reference's break-before-update (similarity_transform.cpp:45-52).
+        A, v = lax.cond(done, lambda ops: ops, lambda ops: scale_rowsum(*ops), (c.A, v))
+        i = jnp.where(done, c.i, c.i + 1)
+        return _Carry(A, v, ev, lam, i, done)
+
+    init = _Carry(
+        A, v0, ev0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)
+    )
+    out = lax.while_loop(cond, body, init)
+    return SolveResult(out.lam, out.ev, out.i, out.done)
+
+
+@partial(jax.jit, static_argnames=("eps", "max_itr"))
+def solve_xla(A: jax.Array, eps: float, max_itr: int) -> SolveResult:
+    """Pure-XLA solver (no Pallas): the minimum end-to-end slice."""
+    return solve_loop(
+        A, rowsum=rowsum_xla, scale_rowsum=scale_rowsum_xla, eps=eps, max_itr=max_itr
+    )

@@ -1,0 +1,11 @@
+"""Multi-device parallelism: row-sharded and batched solvers."""
+
+from .batched import solve_batched, solve_batched_sharded
+from .sharded import make_row_mesh, solve_sharded
+
+__all__ = [
+    "solve_batched",
+    "solve_batched_sharded",
+    "solve_sharded",
+    "make_row_mesh",
+]

@@ -1,0 +1,69 @@
+"""Batched solves: `vmap` of the solver, optionally sharded over a mesh.
+
+The reference's Python test loops over independent random matrices
+(wrapper/python/test.py:13); the TPU build generalizes that to a first-class
+batched mode (BASELINE.json config 4: 256 independent 512² matrices across
+an 8-chip mesh).
+
+Per-matrix convergence differs, so the loop must run until ALL matrices in
+the (local) batch converge while freezing finished ones — JAX's while_loop
+batching rule does exactly this: the predicate becomes "any still running"
+and each instance's carry is select-frozen once its own predicate is false,
+preserving per-matrix round counts (SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, SolverConfig
+from ..ops.solver import SolveResult, solve_xla
+
+
+@partial(jax.jit, static_argnames=("eps", "max_itr"))
+def solve_batched(As: jax.Array, eps: float, max_itr: int) -> SolveResult:
+    """Solve a batch of positive matrices ``As`` of shape (B, n, n).
+
+    Returns a SolveResult whose leaves carry a leading batch axis; ``rounds``
+    is per-matrix (frozen at each matrix's own convergence round).
+    """
+    if As.ndim != 3 or As.shape[1] != As.shape[2]:
+        raise ValueError(f"expected (B, n, n), got {As.shape}")
+    return jax.vmap(lambda A: solve_xla(A, eps, max_itr))(As)
+
+
+def solve_batched_sharded(
+    As: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "batch",
+    config: SolverConfig = DEFAULT_CONFIG,
+) -> SolveResult:
+    """Batched solve with the batch axis sharded across ``mesh`` (DP-like).
+
+    Each device runs the masked vmapped loop on its local slice; there is no
+    cross-device communication at all (solves are independent), so scaling
+    is embarrassingly parallel — but convergence stragglers only gate their
+    own device's slice, not the whole mesh, because the while-loop predicate
+    is per-shard under shard_map-of-vmap semantics (GSPMD partitions the
+    batched loop by batch).
+    """
+    B = As.shape[0]
+    n_shards = mesh.shape[axis_name]
+    if B % n_shards != 0:
+        raise ValueError(f"batch {B} not divisible by {n_shards} shards")
+    As = jax.device_put(As, NamedSharding(mesh, P(axis_name, None, None)))
+    out_sharding = SolveResult(
+        NamedSharding(mesh, P(axis_name)),
+        NamedSharding(mesh, P(axis_name, None)),
+        NamedSharding(mesh, P(axis_name)),
+        NamedSharding(mesh, P(axis_name)),
+    )
+    fn = jax.jit(
+        partial(solve_batched, eps=config.eps, max_itr=config.max_itr),
+        out_shardings=out_sharding,
+    )
+    return fn(As)

@@ -1,0 +1,137 @@
+"""Row-partitioned multi-chip solver via `shard_map` over a device mesh.
+
+The reference is single-device (SURVEY.md §2: no MPI/NCCL, one sycl::queue);
+scaling beyond one chip is the capability the TPU build adds per the north
+star (BASELINE.json).  Design (SURVEY.md §7):
+
+  * A is sharded along rows: shard p holds rows ``[p·n/P, (p+1)·n/P)`` —
+    every row is complete locally, so per-shard row sums need no collective.
+  * The scaling vector v is the one exchanged object: each round does a
+    single ``all_gather`` of the per-shard row-sum slices (O(n) over ICI,
+    negligible next to the O(n²/P) matrix pass).
+  * max, stop check, and λ readout are computed redundantly on every shard
+    from the replicated v — cheaper than a second collective, and it keeps
+    the `lax.while_loop` predicate identical on all shards so the loop exits
+    in lockstep.
+  * The similarity update needs v[r] for local rows (a dynamic slice of the
+    gathered v) and v[c] for ALL columns (the gathered v itself) — exactly
+    the data dependence noted at reference similarity_transform.cpp:318-325.
+
+The whole while-loop runs inside shard_map: zero host round-trips, one
+collective per round.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, SolverConfig
+from ..ops.solver import SolveResult, stop_check
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _shard_round_body(eps: float, max_itr: int, axis_name: str):
+    """Build the per-shard while_loop solver. Runs under shard_map."""
+
+    def solve_block(A_blk: jax.Array) -> SolveResult:
+        n_loc, n = A_blk.shape
+        dtype = A_blk.dtype
+        p = lax.axis_index(axis_name)
+        row0 = p * n_loc
+
+        def gather_rowsums(A_blk):
+            v_loc = jnp.sum(A_blk, axis=1)  # local rows are complete
+            return lax.all_gather(v_loc, axis_name, tiled=True)  # (n,)
+
+        v0 = gather_rowsums(A_blk)
+        ev0 = jnp.ones((n_loc,), dtype)
+
+        def cond(c):
+            A_blk, v, ev, lam, i, done = c
+            return jnp.logical_not(done) & (i < max_itr)
+
+        def body(c):
+            A_blk, v, ev, lam, i, done = c
+            m = jnp.max(v)
+            v_rows = lax.dynamic_slice(v, (row0,), (n_loc,))
+            ev = ev * (v_rows / m)
+            done = stop_check(v, eps)
+            lam = v[0]
+
+            def advance(ops):
+                A_blk, v = ops
+                one = jnp.asarray(1.0, dtype)
+                v_rows = lax.dynamic_slice(v, (row0,), (n_loc,))
+                A_blk = A_blk * ((one / v_rows)[:, None] * v[None, :])
+                return A_blk, gather_rowsums(A_blk)
+
+            A_blk, v = lax.cond(done, lambda ops: ops, advance, (A_blk, v))
+            i = jnp.where(done, i, i + 1)
+            return (A_blk, v, ev, lam, i, done)
+
+        init = (
+            A_blk,
+            v0,
+            ev0,
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        )
+        _, v, ev, lam, i, done = lax.while_loop(cond, body, init)
+        return SolveResult(lam, ev, i, done)
+
+    return solve_block
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr"))
+def _solve_sharded_jit(A, mesh, axis_name, eps, max_itr):
+    solve_block = _shard_round_body(eps, max_itr, axis_name)
+    fn = shard_map(
+        solve_block,
+        mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=SolveResult(P(), P(axis_name), P(), P()),
+        check_vma=False,  # λ/rounds/done are replicated by construction
+    )
+    return fn(A)
+
+
+def solve_sharded(
+    A: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "rows",
+    config: SolverConfig = DEFAULT_CONFIG,
+) -> SolveResult:
+    """Row-partitioned solve of one n×n positive matrix over ``mesh``.
+
+    n must be divisible by the mesh axis size.  Returns the same
+    :class:`SolveResult` as the single-chip path, with the eigenvector
+    sharded across rows.
+    """
+    n = A.shape[0]
+    n_shards = mesh.shape[axis_name]
+    if n % n_shards != 0:
+        raise ValueError(f"dim {n} not divisible by {n_shards} shards")
+    A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
+    return _solve_sharded_jit(A, mesh, axis_name, config.eps, config.max_itr)
+
+
+def make_row_mesh(n_devices: Optional[int] = None, axis_name: str = "rows") -> Mesh:
+    """1D mesh over the first ``n_devices`` available devices."""
+    devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        devs = jax.devices("cpu")
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))

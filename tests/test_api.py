@@ -1,0 +1,59 @@
+"""Public API tests: EigenValue class shape + functional entry."""
+
+import numpy as np
+import pytest
+
+from eigen_value_tpu import EigenValue, SolverConfig, max_eigenvalue
+from eigen_value_tpu.api import pick_block, resolve_backend
+
+
+def test_eigenvalue_class_return_shape(rng):
+    ev = EigenValue()
+    mat = rng.random((256, 256), dtype=np.float32)
+    lam, vec, ts_ms, rounds = ev.similarity_transform(mat)
+    assert np.isscalar(lam) or lam.shape == ()
+    assert vec.shape == (256,)
+    assert ts_ms > 0
+    assert isinstance(rounds, int) and 0 <= rounds <= 1000
+    assert np.allclose(mat @ vec, lam * vec, atol=1e-3)
+
+
+def test_compile_cache_reused(rng):
+    ev = EigenValue()
+    mat = rng.random((128, 128), dtype=np.float32)
+    ev.similarity_transform(mat)
+    n_compiled = len(ev._compiled)
+    ev.similarity_transform(mat)
+    assert len(ev._compiled) == n_compiled
+
+
+def test_rejects_non_square(rng):
+    with pytest.raises(AssertionError):
+        EigenValue().similarity_transform(rng.random((4, 8), dtype=np.float32))
+    with pytest.raises(ValueError):
+        max_eigenvalue(rng.random((4, 8), dtype=np.float32))
+
+
+def test_max_eigenvalue_functional(rng):
+    mat = rng.random((128, 128), dtype=np.float32)
+    res = max_eigenvalue(mat)
+    assert bool(res.converged)
+    assert np.allclose(
+        mat @ np.asarray(res.eigenvector),
+        float(res.eigenvalue) * np.asarray(res.eigenvector),
+        atol=1e-3,
+    )
+
+
+def test_pick_block():
+    assert pick_block(8192, 256) == 256
+    assert pick_block(384, 256) == 128
+    assert pick_block(128, 512) == 128
+    assert pick_block(3, 256) is None
+
+
+def test_backend_resolution():
+    cfg = SolverConfig(backend="auto")
+    # 3×3 anchor must fall back to the jnp path
+    assert resolve_backend(cfg, 3) == "xla"
+    assert resolve_backend(SolverConfig(backend="xla"), 8192) == "xla"

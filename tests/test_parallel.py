@@ -1,0 +1,96 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+These are the tests the reference couldn't have (SURVEY.md §4e): the sharded
+solver must agree with the single-device path to tolerance, with identical
+round counts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from eigen_value_tpu import fixtures
+from eigen_value_tpu.ops.solver import solve_xla
+from eigen_value_tpu.parallel import (
+    make_row_mesh,
+    solve_batched,
+    solve_batched_sharded,
+    solve_sharded,
+)
+
+EPS = 1e-3
+MAX_ITR = 1000
+
+
+def cpu_mesh(n, axis="rows"):
+    return Mesh(np.array(jax.devices("cpu")[:n]), (axis,))
+
+
+class TestSharded:
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_matches_single_device(self, n_dev):
+        H = fixtures.hilbert_matrix(256)
+        want = solve_xla(H, EPS, MAX_ITR)
+        got = solve_sharded(H, cpu_mesh(n_dev))
+        assert int(got.rounds) == int(want.rounds) == fixtures.HILBERT_ROUNDS[256]
+        assert bool(got.converged)
+        assert abs(float(got.eigenvalue) - float(want.eigenvalue)) < 1e-5
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvector), np.asarray(want.eigenvector), atol=1e-5
+        )
+
+    def test_random_positive(self, rng):
+        mat = jnp.asarray(rng.random((128, 128), dtype=np.float32) + 1e-4)
+        got = solve_sharded(mat, cpu_mesh(4))
+        v = np.asarray(got.eigenvector)
+        lam = float(got.eigenvalue)
+        assert bool(got.converged)
+        assert np.allclose(np.asarray(mat) @ v, lam * v, atol=1e-3)
+
+    def test_indivisible_dim_raises(self):
+        with pytest.raises(ValueError):
+            solve_sharded(fixtures.hilbert_matrix(130), cpu_mesh(4))
+
+    def test_make_row_mesh(self):
+        mesh = make_row_mesh(4)
+        assert mesh.shape["rows"] == 4
+
+
+class TestBatched:
+    def test_per_matrix_round_counts(self, rng):
+        # batch mixing dims of different convergence speed: per-matrix rounds
+        # must match per-matrix single solves (masked-freeze semantics)
+        mats = np.stack(
+            [rng.random((128, 128), dtype=np.float32) + 1e-4 for _ in range(4)]
+        )
+        got = solve_batched(jnp.asarray(mats), EPS, MAX_ITR)
+        for b in range(4):
+            want = solve_xla(jnp.asarray(mats[b]), EPS, MAX_ITR)
+            assert int(got.rounds[b]) == int(want.rounds)
+            assert abs(float(got.eigenvalue[b]) - float(want.eigenvalue)) < 1e-5
+            np.testing.assert_allclose(
+                np.asarray(got.eigenvector[b]),
+                np.asarray(want.eigenvector),
+                atol=1e-5,
+            )
+
+    def test_batched_hilbert_converges(self):
+        As = jnp.stack([fixtures.hilbert_matrix(128)] * 3)
+        res = solve_batched(As, EPS, MAX_ITR)
+        assert np.asarray(res.converged).all()
+        assert (np.asarray(res.rounds) == fixtures.HILBERT_ROUNDS[128]).all()
+
+    def test_batched_sharded(self, rng):
+        mats = jnp.asarray(
+            np.stack([rng.random((64, 64), dtype=np.float32) + 1e-4 for _ in range(8)])
+        )
+        mesh = cpu_mesh(4, axis="batch")
+        got = solve_batched_sharded(mats, mesh)
+        want = solve_batched(mats, EPS, MAX_ITR)
+        np.testing.assert_array_equal(np.asarray(got.rounds), np.asarray(want.rounds))
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), atol=1e-5
+        )
