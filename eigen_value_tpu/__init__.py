@@ -9,6 +9,7 @@ verification fixtures, benchmark harness, Python API — re-designed TPU-first
 multi-chip, vmapped batched solves).
 """
 
+from . import fixtures
 from .api import EigenValue, max_eigenvalue
 from .config import DEFAULT_CONFIG, EPS, MAX_ITR, SolverConfig
 from .ops.solver import SolveResult
@@ -17,6 +18,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "EigenValue",
+    "fixtures",
     "max_eigenvalue",
     "SolverConfig",
     "SolveResult",

@@ -43,6 +43,11 @@ def _on_tpu() -> bool:
         return False
 
 
+def _auto_interpret() -> bool:
+    """Interpret Pallas kernels when not running on a real TPU."""
+    return not _on_tpu()
+
+
 def pick_block(n: int, preferred: int) -> Optional[int]:
     """Largest hardware-aligned tile size dividing n, or None if n is not
     128-aligned (f32 lane width — see pallas_guide tiling constraints)."""
@@ -53,22 +58,25 @@ def pick_block(n: int, preferred: int) -> Optional[int]:
 
 
 def resolve_backend(config: SolverConfig, n: int) -> str:
-    """Resolve "auto" to a concrete backend for a dim-n solve."""
+    """Resolve "auto" to a concrete backend for a dim-n solve.
+
+    "auto" prefers the matvec (power-form) solver — algebraically the same
+    iteration with 3× less HBM traffic per round than the reference's
+    structure (see solver_matvec.py) — with its Pallas kernel when the dim
+    is tile-aligned on TPU, falling back to jnp everywhere else.
+    """
     if config.backend != "auto":
         return config.backend
     if pick_block(n, config.block_rows) is None:
-        return "xla"  # unaligned dims (e.g. the 3×3 anchor) take the jnp path
+        return "matvec"  # unaligned dims (e.g. the 3×3 anchor): jnp matvec
     if _on_tpu() or config.interpret:
-        return "pallas"
-    return "xla"
+        return "matvec_pallas"
+    return "matvec"
 
 
 def _solve_fn(config: SolverConfig, backend: str):
     if backend == "pallas":
-        try:
-            from .ops.solver_pallas import solve_pallas
-        except ImportError:
-            return partial(solve_xla, eps=config.eps, max_itr=config.max_itr)
+        from .ops.solver_pallas import solve_pallas
 
         return partial(
             solve_pallas,
@@ -78,6 +86,21 @@ def _solve_fn(config: SolverConfig, backend: str):
             block_cols=config.block_cols,
             interpret=config.interpret,
         )
+    if backend == "matvec_pallas":
+        from .ops.solver_matvec import solve_matvec_pallas
+
+        return partial(
+            solve_matvec_pallas,
+            eps=config.eps,
+            max_itr=config.max_itr,
+            block_rows=config.block_rows,
+            block_cols=config.block_cols,
+            interpret=bool(config.interpret) if config.interpret is not None else _auto_interpret(),
+        )
+    if backend == "matvec":
+        from .ops.solver_matvec import solve_matvec
+
+        return partial(solve_matvec, eps=config.eps, max_itr=config.max_itr)
     return partial(solve_xla, eps=config.eps, max_itr=config.max_itr)
 
 

@@ -32,11 +32,19 @@ class SolverConfig:
       dtype: compute dtype. The reference device path is float32 throughout
         (include/similarity_transform.hpp:8-9); its sequential oracle is
         float64 (main.py NumPy default).
-      backend: "auto" | "xla" | "pallas". "xla" is the pure-jnp round body
-        (XLA fuses the O(n) ops into the O(n²) passes); "pallas" uses the
-        hand-written fused scale+row-sum kernel (1 read + 1 write of A per
-        round instead of the reference's 2 reads + 1 write). "auto" picks
-        pallas on TPU for tile-aligned dims, else xla.
+      backend: "auto" | "xla" | "pallas" | "matvec" | "matvec_pallas" —
+        the optimization ladder (mirroring the reference's benchmark
+        variants v0/v1/v2):
+          * "xla": pure-jnp iterated round body (3 n² passes/round — the
+            reference's structure, XLA-fused to ~2).
+          * "pallas": hand-fused scale+row-sum kernel, mutates A in place
+            (1 read + 1 write of A per round).
+          * "matvec": power-form solver — one matvec against the ORIGINAL
+            A per round (1 read, no writes; see solver_matvec.py).
+          * "matvec_pallas": matvec form with the Pallas matvec kernel
+            (≈ HBM roofline). THE production path.
+        "auto" picks matvec_pallas on TPU for tile-aligned dims, matvec
+        otherwise.
       block_rows / block_cols: Pallas tile shape for the n² passes. These
         play the role of the reference's work-group size knob
         (wrapper/similarity_transform.cpp:24-33) but are chosen for
@@ -55,7 +63,7 @@ class SolverConfig:
     interpret: Optional[bool] = None
 
     def __post_init__(self) -> None:
-        if self.backend not in ("auto", "xla", "pallas"):
+        if self.backend not in ("auto", "xla", "pallas", "matvec", "matvec_pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.max_itr < 0:
             raise ValueError("max_itr must be >= 0")

@@ -1,0 +1,238 @@
+"""Pallas TPU kernels for the two O(n²) passes of the round body.
+
+TPU-native re-design of the reference's SYCL kernel pipeline
+(similarity_transform.cpp): the reference's 3-level reduction hierarchy
+(subgroup collectives → workgroup local-memory atomics → device atomics,
+SURVEY.md §2) maps to Pallas tiling — a grid over (row-block, col-block)
+tiles with a VMEM accumulator revisited across the column blocks of a row
+block.  No atomics: the grid is executed sequentially per core, so the
+accumulation is a plain read-modify-write of the output block, and XLA/
+Mosaic pipelines the HBM↔VMEM DMAs behind compute.
+
+Three kernels (the "optimization ladder" mirroring the reference's
+benchmark variants, benchmarks/benchmark_similarity_transform.cpp):
+
+* :func:`rowsum` — row-sum reduction (reference ``sum_across_rows``,
+  similarity_transform.cpp:77-152).  Used for the pre-loop pass.
+* :func:`scale` — similarity update ``A[r][c] *= (1/v[r]) * v[c]``
+  (reference ``compute_next_matrix``, similarity_transform.cpp:286-330).
+  Kept standalone for per-kernel benchmark parity.
+* :func:`scale_rowsum` — THE production kernel: fuses the round-k
+  similarity update with round-(k+1)'s row sums.  Both passes touch every
+  element of A, so fusing halves HBM traffic to 1 read + 1 write of A per
+  round (SURVEY.md §7 "the big opportunity").  A is updated in place via
+  input/output aliasing.
+
+The O(n) kernels of the reference (find_max cpp:154-227, eigvec update
+cpp:229-265, stop cpp:332-460) are deliberately NOT Pallas: at n elements
+they are free riders XLA fuses into negligible work between the n² passes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rowsum_kernel(a_ref, out_ref):
+    part = jnp.sum(a_ref[...], axis=1, keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = part
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[...] += part
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "block_cols", "interpret"))
+def rowsum(
+    A: jax.Array,
+    *,
+    block_rows: int = 256,
+    block_cols: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Row sums of A via a tiled Pallas reduction. Returns shape (n,)."""
+    n = A.shape[0]
+    br, bc = min(block_rows, n), min(block_cols, n)
+    assert n % br == 0 and n % bc == 0, (n, br, bc)
+
+    out = pl.pallas_call(
+        _rowsum_kernel,
+        grid=(n // br, n // bc),
+        in_specs=[
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), A.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=n * n, bytes_accessed=n * n * A.dtype.itemsize, transcendentals=0
+        ),
+        interpret=interpret,
+    )(A)
+    return out[:, 0]
+
+
+def _scale_kernel(a_ref, ivr_ref, vc_ref, out_ref):
+    # right-associated like the reference (cpp:324-325) and the jnp path:
+    # A * ((1/v[r]) * v[c]) — keeps the two backends bit-identical
+    out_ref[...] = a_ref[...] * (ivr_ref[...] * vc_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "block_cols", "interpret"))
+def scale(
+    A: jax.Array,
+    v: jax.Array,
+    *,
+    block_rows: int = 256,
+    block_cols: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Similarity update ``A' = D⁻¹ A D``, D = diag(v), elementwise in-place.
+
+    Same reciprocal-then-multiply arithmetic as the reference kernel
+    (similarity_transform.cpp:324-325): ``A[r][c] * (1/v[r]) * v[c]``.
+    """
+    n = A.shape[0]
+    br, bc = min(block_rows, n), min(block_cols, n)
+    assert n % br == 0 and n % bc == 0, (n, br, bc)
+    inv_v = (jnp.asarray(1.0, A.dtype) / v)[:, None]  # (n, 1) row scaling
+    v_row = v[None, :]  # (1, n) column scaling
+
+    return pl.pallas_call(
+        _scale_kernel,
+        grid=(n // br, n // bc),
+        in_specs=[
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), A.dtype),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * n,
+            bytes_accessed=2 * n * n * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, inv_v, v_row)
+
+
+def _matvec_kernel(a_ref, x_ref, y_ref):
+    part = jnp.sum(a_ref[...] * x_ref[...], axis=1, keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        y_ref[...] = part
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        y_ref[...] += part
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "block_cols", "interpret"))
+def matvec(
+    A: jax.Array,
+    x: jax.Array,
+    *,
+    block_rows: int = 512,
+    block_cols: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """``A @ x`` as a tiled Pallas kernel — the hot op of the matvec-form
+    solver (see solver_matvec.py).  Purely memory-bound: one read of A per
+    call; measured ≈ HBM roofline on v5e (vs ~550 GB/s for XLA's gemv).
+
+    VPU formulation (broadcast-multiply + row reduction) — the MXU is no
+    faster here because a gemv is bandwidth-bound, and this avoids MXU
+    tiling constraints on the x operand.
+    """
+    n, m = A.shape
+    br, bc = min(block_rows, n), min(block_cols, m)
+    assert n % br == 0 and m % bc == 0, (n, m, br, bc)
+
+    y = pl.pallas_call(
+        _matvec_kernel,
+        grid=(n // br, m // bc),
+        in_specs=[
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), A.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m, bytes_accessed=n * m * A.dtype.itemsize, transcendentals=0
+        ),
+        interpret=interpret,
+    )(A, x[None, :])
+    return y[:, 0]
+
+
+def _scale_rowsum_kernel(a_ref, ivr_ref, vc_ref, a_out_ref, v_out_ref):
+    scaled = a_ref[...] * (ivr_ref[...] * vc_ref[...])
+    a_out_ref[...] = scaled
+    part = jnp.sum(scaled, axis=1, keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        v_out_ref[...] = part
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        v_out_ref[...] += part
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "block_cols", "interpret"))
+def scale_rowsum(
+    A: jax.Array,
+    v: jax.Array,
+    *,
+    block_rows: int = 256,
+    block_cols: int = 512,
+    interpret: bool = False,
+):
+    """Fused similarity update + next row sums: one read + one write of A.
+
+    Returns ``(A', v')`` with ``A'[r][c] = A[r][c] * (1/v[r]) * v[c]`` and
+    ``v'[r] = Σ_c A'[r][c]``.  The column-block grid axis is innermost, so
+    the (br, 1) row-sum accumulator block stays resident in VMEM across the
+    column sweep of each row block (SURVEY.md §7 "hard parts").
+    """
+    n = A.shape[0]
+    br, bc = min(block_rows, n), min(block_cols, n)
+    assert n % br == 0 and n % bc == 0, (n, br, bc)
+    inv_v = (jnp.asarray(1.0, A.dtype) / v)[:, None]
+    v_row = v[None, :]
+
+    A_out, v_out = pl.pallas_call(
+        _scale_rowsum_kernel,
+        grid=(n // br, n // bc),
+        in_specs=[
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), A.dtype),
+            jax.ShapeDtypeStruct((n, 1), A.dtype),
+        ),
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * n,
+            bytes_accessed=2 * n * n * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, inv_v, v_row)
+    return A_out, v_out[:, 0]

@@ -1,0 +1,112 @@
+"""Matvec ("power-form") solver: the algebraic fast path.
+
+The similarity update is a pure diagonal conjugation, so the iterated
+matrix never needs to be materialized: with ``A_{k+1} = D_k⁻¹ A_k D_k``
+(D_k = diag(v_k)) one shows by induction that
+
+    A_k[r][c] = A_0[r][c] · q_k[c] / q_k[r],     q_{k+1} = q_k ∘ v_k,
+
+and therefore the only quantity the algorithm observes — the row-sum
+vector — is
+
+    v_k[r] = (A_0 · q_k)[r] / q_k[r].
+
+Because this ratio is scale-invariant in q, the reference's own
+eigenvector accumulator ``ev_k = Π v_i/m_i`` (proportional to q_k) can be
+used directly:  **one matvec against the ORIGINAL matrix per round**:
+
+    v_k = (A_0 @ ev_k) / ev_k.
+
+This is the similarity-transform method revealed as (diagonally
+renormalized) power iteration.  Per-round HBM traffic drops from the
+reference's 3·n²·4B (read for row-sum + read/write for the update,
+similarity_transform.cpp:40,52) to 1·n²·4B — 3× less than the reference's
+structure and 2× less than our fused Pallas scale+sum kernel — and A is
+never written, so max-size solves need only one matrix buffer.
+
+Convergence semantics are IDENTICAL to the iterated form (same v_k
+sequence in exact arithmetic; float32 rounding differs slightly from the
+mutate-A-each-round path, which tests pin to the reference's round counts
+— SURVEY.md §7 "hard parts").  ev stays max-normalized every round, so no
+overflow for convergent inputs (unnormalized q_k would grow like λ^k).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .solver import SolveResult, stop_check
+
+
+class _Carry(NamedTuple):
+    ev: jax.Array
+    v: jax.Array
+    lam: jax.Array
+    i: jax.Array
+    done: jax.Array
+
+
+def solve_matvec_loop(A: jax.Array, matvec, eps: float, max_itr: int) -> SolveResult:
+    """Convergence loop over a pluggable ``matvec(ev) -> (A @ ev) / ev``."""
+    n = A.shape[0]
+    dtype = A.dtype
+    ev0 = jnp.ones((n,), dtype)
+    v0 = matvec(ev0)  # == row sums of A_0
+
+    def cond(c: _Carry) -> jax.Array:
+        return jnp.logical_not(c.done) & (c.i < max_itr)
+
+    def body(c: _Carry) -> _Carry:
+        v = c.v
+        m = jnp.max(v)
+        ev = c.ev * (v / m)
+        done = stop_check(v, eps)
+        lam = v[0]
+        v = lax.cond(done, lambda e: c.v, matvec, ev)
+        i = jnp.where(done, c.i, c.i + 1)
+        return _Carry(ev, v, lam, i, done)
+
+    init = _Carry(
+        ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)
+    )
+    out = lax.while_loop(cond, body, init)
+    return SolveResult(out.lam, out.ev, out.i, out.done)
+
+
+@partial(jax.jit, static_argnames=("eps", "max_itr"))
+def solve_matvec(A: jax.Array, eps: float, max_itr: int) -> SolveResult:
+    """Single-chip matvec-form solve (works for any n, no tile alignment)."""
+
+    def matvec(ev):
+        return (A @ ev) / ev
+
+    return solve_matvec_loop(A, matvec, eps, max_itr)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("eps", "max_itr", "block_rows", "block_cols", "interpret"),
+)
+def solve_matvec_pallas(
+    A: jax.Array,
+    eps: float,
+    max_itr: int,
+    block_rows: int = 512,
+    block_cols: int = 512,
+    interpret: bool = False,
+) -> SolveResult:
+    """Matvec-form solve with the Pallas matvec kernel (≈ HBM roofline)."""
+    from .pallas import kernels
+
+    def matvec(ev):
+        y = kernels.matvec(
+            A, ev, block_rows=block_rows, block_cols=block_cols, interpret=interpret
+        )
+        return y / ev
+
+    return solve_matvec_loop(A, matvec, eps, max_itr)

@@ -54,6 +54,7 @@ def test_pick_block():
 
 def test_backend_resolution():
     cfg = SolverConfig(backend="auto")
-    # 3×3 anchor must fall back to the jnp path
-    assert resolve_backend(cfg, 3) == "xla"
+    # 3×3 anchor must fall back to the unaligned jnp matvec path
+    assert resolve_backend(cfg, 3) == "matvec"
     assert resolve_backend(SolverConfig(backend="xla"), 8192) == "xla"
+    assert resolve_backend(SolverConfig(backend="pallas"), 8192) == "pallas"

@@ -1,0 +1,79 @@
+"""Matvec (power-form) solver tests: the algebraic identity
+v_k = (A₀·ev_k)/ev_k must reproduce the iterated solver's results —
+round counts, eigenvalue, eigenvector — on all fixtures."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eigen_value_tpu import fixtures
+from eigen_value_tpu.ops.pallas import kernels
+from eigen_value_tpu.ops.solver import solve_xla
+from eigen_value_tpu.ops.solver_matvec import solve_matvec, solve_matvec_pallas
+from eigen_value_tpu.reference_impl import parallel_oracle
+
+EPS = 1e-3
+MAX_ITR = 1000
+
+
+class TestMatvecKernel:
+    @pytest.mark.parametrize("shape", [(128, 128), (256, 512)])
+    def test_matches_jnp(self, shape, rng):
+        A = jnp.asarray(rng.random(shape, dtype=np.float32))
+        x = jnp.asarray(rng.random(shape[1], dtype=np.float32) + 0.5)
+        got = kernels.matvec(A, x, block_rows=128, block_cols=128, interpret=True)
+        want = jnp.sum(A * x[None, :], axis=1)  # same reduction structure
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+class TestSolveMatvec:
+    @pytest.mark.parametrize("n", [128, 256, 512, 1024])
+    def test_hilbert_round_parity(self, n):
+        res = solve_matvec(fixtures.hilbert_matrix(n), EPS, MAX_ITR)
+        assert bool(res.converged)
+        assert int(res.rounds) == fixtures.HILBERT_ROUNDS[n]
+
+    def test_3x3_anchor(self):
+        res = solve_matvec(jnp.asarray(fixtures.ANCHOR_3X3, jnp.float32), EPS, MAX_ITR)
+        assert abs(float(res.eigenvalue) - fixtures.ANCHOR_3X3_EIGENVALUE) < EPS
+        for got, want in zip(
+            np.asarray(res.eigenvector), fixtures.ANCHOR_3X3_EIGENVECTOR
+        ):
+            assert abs(got - want) < EPS
+
+    @pytest.mark.parametrize("n", [128, 256])
+    def test_matches_iterated_solver(self, n, rng):
+        mat = jnp.asarray(rng.random((n, n), dtype=np.float32) + 1e-4)
+        got = solve_matvec(mat, EPS, MAX_ITR)
+        want = solve_xla(mat, EPS, MAX_ITR)
+        assert int(got.rounds) == int(want.rounds)
+        assert abs(float(got.eigenvalue) - float(want.eigenvalue)) < 1e-4
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvector), np.asarray(want.eigenvector), atol=1e-4
+        )
+
+    def test_matches_parallel_oracle(self, rng):
+        mat = rng.random((256, 256), dtype=np.float32) + np.float32(1e-4)
+        got = solve_matvec(jnp.asarray(mat), EPS, MAX_ITR)
+        want = parallel_oracle(mat)
+        assert int(got.rounds) == want.rounds
+        assert abs(float(got.eigenvalue) - want.eigenvalue) < EPS
+
+    def test_cap_exhaustion(self):
+        res = solve_matvec(fixtures.hilbert_matrix(128), EPS, 3)
+        assert not bool(res.converged) and int(res.rounds) == 3
+
+
+class TestSolveMatvecPallas:
+    @pytest.mark.parametrize("n", [128, 512])
+    def test_hilbert_round_parity(self, n):
+        res = solve_matvec_pallas(fixtures.hilbert_matrix(n), EPS, MAX_ITR, 128, 128, True)
+        assert bool(res.converged)
+        assert int(res.rounds) == fixtures.HILBERT_ROUNDS[n]
+
+    def test_eigen_pair_property(self, rng):
+        mat = rng.random((256, 256), dtype=np.float32)
+        res = solve_matvec_pallas(jnp.asarray(mat), EPS, MAX_ITR, 128, 128, True)
+        v = np.asarray(res.eigenvector)
+        assert np.allclose(mat @ v, float(res.eigenvalue) * v, atol=1e-3)
