@@ -1,0 +1,94 @@
+"""Benchmark CLI — `python -m eigen_value_tpu.bench`.
+
+Reproduces the reference driver's report shape (main.cpp:7-162: e2e sweep
+table then per-kernel sweeps, fixed-width `dim x dim   ms   rounds` rows —
+README.md:64-76) so side-by-side diffing against the reference README is
+trivial, plus bandwidth/roofline columns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _fmt_e2e(rows) -> str:
+    out = []
+    backend = None
+    for r in rows:
+        if r["backend"] != backend:
+            backend = r["backend"]
+            out.append(f"\nSimilarity Transform (backend: {backend})\n")
+        parity = "" if r["rounds_ok"] else "   [PARITY BREAK]"
+        out.append(
+            f"{r['dim']:<5} x {r['dim']:>5}\t\t{r['ms']:>10.3f} ms"
+            f"\t\t{r['rounds']:>6} round(s)"
+            f"\t\t(device est {r['device_ms_est']:.3f} ms){parity}"
+        )
+    return "\n".join(out)
+
+
+def _fmt_kernels(rows, size_key="dim") -> str:
+    out = []
+    kernel = None
+    rows = sorted(rows, key=lambda r: (r["kernel"], r[size_key]))
+    for r in rows:
+        if r["kernel"] != kernel:
+            kernel = r["kernel"]
+            out.append(f"\n{kernel}\n")
+        gb = f"{r['gbps']:>8.0f} GB/s" if "gbps" in r else " " * 13
+        roof = r.get("roofline_pct")
+        roof_s = f"{roof:>6.1f}% roofline" if roof == roof else ""
+        out.append(
+            f"{r[size_key]:<10}\t\t{r['ms'] * 1e3:>10.1f} us\t{gb}\t{roof_s}"
+        )
+    return "\n".join(out)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="eigen_value_tpu.bench")
+    p.add_argument("--suite", choices=["e2e", "kernels", "vector", "all"], default="all")
+    p.add_argument("--dims", type=int, nargs="*", help="matrix dims to sweep")
+    p.add_argument("--backends", nargs="*", help="e2e backends to run")
+    p.add_argument("--json", action="store_true", help="emit JSON lines")
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument(
+        "--device",
+        choices=["cpu", "tpu"],
+        help="pin the default device (default: platform default)",
+    )
+    args = p.parse_args(argv)
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices(args.device)[0])
+
+    from . import suite
+
+    dims = args.dims or suite.MATRIX_DIMS
+    all_rows = []
+    if args.suite in ("e2e", "all"):
+        rows = suite.bench_e2e(dims, backends=args.backends, reps=args.reps)
+        all_rows += rows
+        if not args.json:
+            print(_fmt_e2e(rows))
+    if args.suite in ("kernels", "all"):
+        rows = suite.bench_kernels(dims)
+        all_rows += rows
+        if not args.json:
+            print(_fmt_kernels(rows))
+    if args.suite in ("vector", "all"):
+        rows = suite.bench_vector_kernels()
+        all_rows += rows
+        if not args.json:
+            print(_fmt_kernels(rows, size_key="size"))
+    if args.json:
+        for r in all_rows:
+            print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

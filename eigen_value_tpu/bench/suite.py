@@ -1,0 +1,210 @@
+"""Benchmark suite — TPU equivalent of the reference's benchmark layer.
+
+Mirrors the reference's surface (benchmarks/benchmark_similarity_transform.cpp:
+11 ``benchmark_*`` functions; driver main.cpp:7-162): an end-to-end sweep
+over 128²..8192² plus per-kernel sweeps, with the same optimization-ladder
+idea — the reference benchmarked 3 variants of its reductions (naive
+atomics → subgroup reduce → hierarchical), we benchmark the backend ladder
+(jnp → Pallas → fused → matvec-form).
+
+Additions over the reference: achieved-bandwidth / %-of-HBM-roofline
+columns (north-star: ≥80%), and explicit separation of per-executable
+launch latency (RTT) from device time — on a tunneled TPU the launch
+latency exceeds kernel time by ~100×, so per-kernel numbers use marginal
+(chained) timing; see utils/timing.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from .. import fixtures
+from ..config import EPS, MAX_ITR
+from ..ops.pallas import kernels
+from ..ops.solver import solve_xla, stop_check
+from ..ops.solver_matvec import solve_matvec, solve_matvec_pallas
+from ..ops.solver_pallas import solve_pallas
+from ..utils.timing import (
+    detect_peak_hbm_gbps,
+    force,
+    roofline_pct,
+    time_call,
+    time_marginal,
+)
+
+MATRIX_DIMS = [1 << p for p in range(7, 14)]  # 128 .. 8192 (main.cpp:23)
+VECTOR_SIZES = [1 << p for p in range(16, 26, 3)]  # 2^16..2^25 (main.cpp:78)
+
+E2E_BACKENDS: Dict[str, Callable] = {
+    "xla": lambda A: solve_xla(A, EPS, MAX_ITR),
+    "pallas_fused": lambda A: solve_pallas(A, EPS, MAX_ITR, 256, 512, False),
+    "matvec": lambda A: solve_matvec(A, EPS, MAX_ITR),
+    "matvec_pallas": lambda A: solve_matvec_pallas(A, EPS, MAX_ITR, 512, 512, False),
+}
+
+
+def measure_rtt_ms() -> float:
+    """Per-executable launch+fetch latency: the fixed cost every timed call
+    pays; subtracted to estimate pure device time of e2e solves."""
+    f = jax.jit(lambda x: x + 1.0)
+    return time_call(lambda: f(jnp.float32(1.0)), reps=10)
+
+
+def bench_e2e(
+    dims: List[int] = MATRIX_DIMS,
+    backends: List[str] | None = None,
+    reps: int = 5,
+) -> List[dict]:
+    """End-to-end Hilbert solves (reference benchmark_similarity_transform,
+    benchmarks/...cpp:3-22; table format of README.md:70-76)."""
+    rtt = measure_rtt_ms()
+    rows = []
+    for name in backends or list(E2E_BACKENDS):
+        fn = E2E_BACKENDS[name]
+        for n in dims:
+            A = fixtures.hilbert_matrix(n)
+            res = fn(A)  # compile + warm
+            rounds = int(res.rounds)
+            ms = time_call(lambda: fn(A), reps=reps)
+            rows.append(
+                {
+                    "bench": "e2e",
+                    "backend": name,
+                    "dim": n,
+                    "ms": ms,
+                    "device_ms_est": max(ms - rtt, 0.0),
+                    "rounds": rounds,
+                    "eigenvalue": float(res.eigenvalue),
+                    "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),
+                }
+            )
+    return rows
+
+
+def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 16) -> List[dict]:
+    """Per-kernel marginal timings for the O(n²) passes.
+
+    Ladder (reference analog: row-sum v0/v1/v2, benchmarks/...cpp:24-159):
+      rowsum_xla → rowsum_pallas → scale_xla → scale_pallas →
+      scale_rowsum_pallas (fused) → matvec_xla → matvec_pallas.
+
+    Read-only ops (rowsum) alternate between two pre-staged copies of A
+    indexed by the chain counter — this defeats loop-invariant hoisting
+    without adding any memory traffic; mutating ops chain naturally.
+    """
+    peak = detect_peak_hbm_gbps()
+    itemsize = 4
+    rows = []
+    eps32 = jnp.asarray(1e-38, jnp.float32)
+    for n in dims:
+        A = fixtures.hilbert_matrix(n)
+        A2 = jnp.stack([A, A + 1e-7])  # (2, n, n) alternation buffer
+        v = jnp.sum(A, axis=1)
+        ones = jnp.ones((n,), jnp.float32)
+        br, bc = min(512, n), min(512, n)
+        pk = dict(block_rows=br, block_cols=bc, interpret=False)
+
+        def rowsum_xla_step(i, s):
+            return jnp.sum(A2[i % 2], axis=1) + s * eps32
+
+        def rowsum_pallas_step(i, s, _pk=pk):
+            return kernels.rowsum(A2[i % 2], **_pk) + s * eps32
+
+        def scale_xla_step(i, s):
+            Ai, vi = s
+            return (Ai * ((1 / vi)[:, None] * vi[None, :]), vi)
+
+        def scale_pallas_step(i, s, _pk=pk):
+            Ai, vi = s
+            return (kernels.scale(Ai, vi, **_pk), vi)
+
+        def scale_rowsum_step(i, s, _pk=pk):
+            return kernels.scale_rowsum(s[0], s[1], **_pk)
+
+        def matvec_xla_step(i, s):
+            return (A @ s) / s
+
+        def matvec_pallas_step(i, s, _pk=pk):
+            return kernels.matvec(A, s, **_pk) / s
+
+        cases = {
+            "rowsum_xla": (rowsum_xla_step, v, n * n * itemsize),
+            "rowsum_pallas": (rowsum_pallas_step, v, n * n * itemsize),
+            "scale_xla": (
+                scale_xla_step,
+                (A, fixtures.stop_success_vector(n)),
+                2 * n * n * itemsize,
+            ),
+            "scale_pallas": (
+                scale_pallas_step,
+                (A, fixtures.stop_success_vector(n)),
+                2 * n * n * itemsize,
+            ),
+            "scale_rowsum_pallas": (scale_rowsum_step, (A, v), 2 * n * n * itemsize),
+            "matvec_xla": (matvec_xla_step, ones, n * n * itemsize),
+            "matvec_pallas": (matvec_pallas_step, ones, n * n * itemsize),
+        }
+        for name, (step, init, nbytes) in cases.items():
+            ms = time_marginal(step, init, k=k)
+            rows.append(
+                {
+                    "bench": "kernel",
+                    "kernel": name,
+                    "dim": n,
+                    "ms": ms,
+                    "gbps": nbytes / (ms * 1e-3) / 1e9 if ms > 0 else float("inf"),
+                    "roofline_pct": roofline_pct(ms, nbytes, peak),
+                }
+            )
+    return rows
+
+
+def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 50) -> List[dict]:
+    """The O(n) kernels (find_max, eigvec update, stop) at vector sizes
+    2^16..2^25 (reference main.cpp:78).  Marginal chained timings; each
+    chain includes the data-dependence glue, so treat as upper bounds —
+    on TPU these fuse into the n² passes and cost ~nothing (SURVEY.md §7).
+    """
+    peak = detect_peak_hbm_gbps()
+    rows = []
+    eps32 = jnp.asarray(1e-38, jnp.float32)
+    for n in sizes:
+        v = jax.random.uniform(jax.random.key(0), (n,), jnp.float32) + 0.5
+        v2 = jnp.stack([v, v + 1e-6])  # alternation buffer for read-only ops
+        ev = jnp.ones((n,), jnp.float32)
+
+        def find_max_step(i, s):
+            return jnp.max(v2[i % 2]) + s * eps32
+
+        def eigvec_step(i, s):
+            # ev[r] *= v[r] / m with alternating v
+            vi = v2[i % 2]
+            return s * (vi / jnp.max(vi))
+
+        def stop_step(i, s):
+            return stop_check(v2[i % 2], EPS).astype(jnp.float32) + s * eps32
+
+        cases = {
+            # find_max (cpp:154-227): read v
+            "find_max": (find_max_step, jnp.float32(0.0), n * 4),
+            # eigvec update (cpp:229-265): read v+ev, write ev
+            "eigen_vector": (eigvec_step, ev, 3 * n * 4),
+            # stop criterion (cpp:332-460): read v
+            "stop": (stop_step, jnp.float32(0.0), n * 4),
+        }
+        for name, (step, init, nbytes) in cases.items():
+            ms = time_marginal(step, init, k=k)
+            rows.append(
+                {
+                    "bench": "vector_kernel",
+                    "kernel": name,
+                    "size": n,
+                    "ms": ms,
+                    "roofline_pct": roofline_pct(ms, nbytes, peak),
+                }
+            )
+    return rows

@@ -127,6 +127,83 @@ def solve_sharded(
     return _solve_sharded_jit(A, mesh, axis_name, config.eps, config.max_itr)
 
 
+def _shard_matvec_body(eps: float, max_itr: int, axis_name: str):
+    """Per-shard matvec-form loop (see ops/solver_matvec.py for the algebra):
+    each round is one local matvec against the ORIGINAL row shard plus one
+    O(n) all_gather — 3× less HBM traffic per round than the iterated form,
+    and A is never written (halves per-shard memory)."""
+
+    def solve_block(A_blk: jax.Array) -> SolveResult:
+        n_loc, n = A_blk.shape
+        dtype = A_blk.dtype
+        p = lax.axis_index(axis_name)
+        row0 = p * n_loc
+
+        def next_v(ev):
+            # v[r] = (A0 @ ev)[r] / ev[r] for local rows, gathered to full
+            ev_rows = lax.dynamic_slice(ev, (row0,), (n_loc,))
+            v_loc = (A_blk @ ev) / ev_rows
+            return lax.all_gather(v_loc, axis_name, tiled=True)
+
+        ev0 = jnp.ones((n,), dtype)
+        v0 = next_v(ev0)
+
+        def cond(c):
+            ev, v, lam, i, done = c
+            return jnp.logical_not(done) & (i < max_itr)
+
+        def body(c):
+            ev, v, lam, i, done = c
+            m = jnp.max(v)
+            ev = ev * (v / m)  # replicated update (v is replicated)
+            done = stop_check(v, eps)
+            lam = v[0]
+            v = lax.cond(done, lambda e: c[1], next_v, ev)
+            i = jnp.where(done, i, i + 1)
+            return (ev, v, lam, i, done)
+
+        init = (
+            ev0,
+            v0,
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        )
+        ev, v, lam, i, done = lax.while_loop(cond, body, init)
+        ev_loc = lax.dynamic_slice(ev, (row0,), (n_loc,))
+        return SolveResult(lam, ev_loc, i, done)
+
+    return solve_block
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr"))
+def _solve_sharded_matvec_jit(A, mesh, axis_name, eps, max_itr):
+    solve_block = _shard_matvec_body(eps, max_itr, axis_name)
+    fn = shard_map(
+        solve_block,
+        mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=SolveResult(P(), P(axis_name), P(), P()),
+        check_vma=False,  # λ/rounds/done are replicated by construction
+    )
+    return fn(A)
+
+
+def solve_sharded_matvec(
+    A: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "rows",
+    config: SolverConfig = DEFAULT_CONFIG,
+) -> SolveResult:
+    """Row-partitioned matvec-form solve — the production multi-chip path."""
+    n = A.shape[0]
+    n_shards = mesh.shape[axis_name]
+    if n % n_shards != 0:
+        raise ValueError(f"dim {n} not divisible by {n_shards} shards")
+    A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
+    return _solve_sharded_matvec_jit(A, mesh, axis_name, config.eps, config.max_itr)
+
+
 def make_row_mesh(n_devices: Optional[int] = None, axis_name: str = "rows") -> Mesh:
     """1D mesh over the first ``n_devices`` available devices."""
     devs = jax.devices()

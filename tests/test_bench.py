@@ -1,0 +1,50 @@
+"""Bench harness tests (CPU-runnable subset: xla/matvec backends, CLI)."""
+
+import json
+import subprocess
+import sys
+
+from eigen_value_tpu.bench import suite
+
+
+def test_bench_e2e_rows():
+    rows = suite.bench_e2e([128], backends=["xla", "matvec"], reps=1)
+    assert len(rows) == 2
+    for r in rows:
+        assert r["rounds"] == 9 and r["rounds_ok"]
+        assert r["ms"] > 0
+
+
+def test_vector_kernel_rows():
+    rows = suite.bench_vector_kernels(sizes=[1 << 16], k=5)
+    names = {r["kernel"] for r in rows}
+    assert names == {"find_max", "eigen_vector", "stop"}
+    assert all(r["ms"] >= 0 for r in rows)
+
+
+def test_cli_json(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "eigen_value_tpu.bench",
+            "--suite",
+            "e2e",
+            "--dims",
+            "128",
+            "--backends",
+            "xla",
+            "--reps",
+            "1",
+            "--json",
+            "--device",
+            "cpu",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    row = json.loads(lines[0])
+    assert row["dim"] == 128 and row["rounds"] == 9

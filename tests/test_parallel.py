@@ -19,6 +19,7 @@ from eigen_value_tpu.parallel import (
     solve_batched,
     solve_batched_sharded,
     solve_sharded,
+    solve_sharded_matvec,
 )
 
 EPS = 1e-3
@@ -57,6 +58,28 @@ class TestSharded:
     def test_make_row_mesh(self):
         mesh = make_row_mesh(4)
         assert mesh.shape["rows"] == 4
+
+
+class TestShardedMatvec:
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_matches_single_device(self, n_dev):
+        H = fixtures.hilbert_matrix(256)
+        want = solve_xla(H, EPS, MAX_ITR)
+        got = solve_sharded_matvec(H, cpu_mesh(n_dev))
+        assert int(got.rounds) == int(want.rounds) == fixtures.HILBERT_ROUNDS[256]
+        assert bool(got.converged)
+        assert abs(float(got.eigenvalue) - float(want.eigenvalue)) < 1e-5
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvector), np.asarray(want.eigenvector), atol=1e-5
+        )
+
+    def test_eigen_pair_property(self, rng):
+        mat = jnp.asarray(rng.random((128, 128), dtype=np.float32) + 1e-4)
+        got = solve_sharded_matvec(mat, cpu_mesh(4))
+        v = np.asarray(got.eigenvector)
+        lam = float(got.eigenvalue)
+        assert bool(got.converged)
+        assert np.allclose(np.asarray(mat) @ v, lam * v, atol=1e-3)
 
 
 class TestBatched:
