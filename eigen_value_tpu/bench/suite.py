@@ -85,7 +85,48 @@ def bench_e2e(
     return rows
 
 
-def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 16) -> List[dict]:
+def _rowsum_bias_pallas(
+    A: jax.Array, bias: jax.Array, *, block_rows: int, block_cols: int, interpret: bool
+) -> jax.Array:
+    """Benchmark-harness variant of kernels.rowsum with a scalar bias operand:
+    ``sum(A + bias, axis=1)``.  The bias (≈1e-38·v[0]) makes a timing chain
+    data-dependent WITHOUT copying A — the dependence rides a (1,1) SMEM
+    operand, so measured traffic stays exactly one read of A."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m = A.shape
+    br, bc = min(block_rows, n), min(block_cols, m)
+
+    def kernel(bias_ref, a_ref, out_ref):
+        part = jnp.sum(a_ref[...] + bias_ref[0, 0], axis=1, keepdims=True)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[...] = part
+
+        @pl.when(pl.program_id(1) != 0)
+        def _():
+            out_ref[...] += part
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // br, m // bc),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), A.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m, bytes_accessed=n * m * A.dtype.itemsize, transcendentals=0
+        ),
+        interpret=interpret,
+    )(bias.reshape(1, 1), A)
+    return out[:, 0]
+
+
+def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
     """Per-kernel marginal timings for the O(n²) passes.
 
     Ladder (reference analog: row-sum v0/v1/v2, benchmarks/...cpp:24-159):
@@ -95,6 +136,9 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 16) -> List[dict]:
     Read-only ops (rowsum) alternate between two pre-staged copies of A
     indexed by the chain counter — this defeats loop-invariant hoisting
     without adding any memory traffic; mutating ops chain naturally.
+    Large arrays travel in the chain STATE (invariant carries), never as
+    closure captures — captured constants get serialized into the compile
+    payload (hundreds of MB at 8192²).
     """
     peak = detect_peak_hbm_gbps()
     itemsize = 4
@@ -102,17 +146,20 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 16) -> List[dict]:
     eps32 = jnp.asarray(1e-38, jnp.float32)
     for n in dims:
         A = fixtures.hilbert_matrix(n)
-        A2 = jnp.stack([A, A + 1e-7])  # (2, n, n) alternation buffer
         v = jnp.sum(A, axis=1)
         ones = jnp.ones((n,), jnp.float32)
         br, bc = min(512, n), min(512, n)
         pk = dict(block_rows=br, block_cols=bc, interpret=False)
 
         def rowsum_xla_step(i, s):
-            return jnp.sum(A2[i % 2], axis=1) + s * eps32
+            # scalar bias keeps the chain data-dependent; XLA fuses the add
+            # into the reduction (still 1 read of A, nothing materialized)
+            Ai, vi = s
+            return (Ai, jnp.sum(Ai + vi[0] * eps32, axis=1))
 
         def rowsum_pallas_step(i, s, _pk=pk):
-            return kernels.rowsum(A2[i % 2], **_pk) + s * eps32
+            Ai, vi = s
+            return (Ai, _rowsum_bias_pallas(Ai, vi[0] * eps32, **_pk))
 
         def scale_xla_step(i, s):
             Ai, vi = s
@@ -126,14 +173,16 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 16) -> List[dict]:
             return kernels.scale_rowsum(s[0], s[1], **_pk)
 
         def matvec_xla_step(i, s):
-            return (A @ s) / s
+            Ai, xi = s
+            return (Ai, (Ai @ xi) / xi)
 
         def matvec_pallas_step(i, s, _pk=pk):
-            return kernels.matvec(A, s, **_pk) / s
+            Ai, xi = s
+            return (Ai, kernels.matvec(Ai, xi, **_pk) / xi)
 
         cases = {
-            "rowsum_xla": (rowsum_xla_step, v, n * n * itemsize),
-            "rowsum_pallas": (rowsum_pallas_step, v, n * n * itemsize),
+            "rowsum_xla": (rowsum_xla_step, (A, v), n * n * itemsize),
+            "rowsum_pallas": (rowsum_pallas_step, (A, v), n * n * itemsize),
             "scale_xla": (
                 scale_xla_step,
                 (A, fixtures.stop_success_vector(n)),
@@ -145,8 +194,8 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 16) -> List[dict]:
                 2 * n * n * itemsize,
             ),
             "scale_rowsum_pallas": (scale_rowsum_step, (A, v), 2 * n * n * itemsize),
-            "matvec_xla": (matvec_xla_step, ones, n * n * itemsize),
-            "matvec_pallas": (matvec_pallas_step, ones, n * n * itemsize),
+            "matvec_xla": (matvec_xla_step, (A, ones), n * n * itemsize),
+            "matvec_pallas": (matvec_pallas_step, (A, ones), n * n * itemsize),
         }
         for name, (step, init, nbytes) in cases.items():
             ms = time_marginal(step, init, k=k)
@@ -163,7 +212,7 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 16) -> List[dict]:
     return rows
 
 
-def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 50) -> List[dict]:
+def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 256) -> List[dict]:
     """The O(n) kernels (find_max, eigvec update, stop) at vector sizes
     2^16..2^25 (reference main.cpp:78).  Marginal chained timings; each
     chain includes the data-dependence glue, so treat as upper bounds —
@@ -174,27 +223,30 @@ def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 50) -> List[d
     eps32 = jnp.asarray(1e-38, jnp.float32)
     for n in sizes:
         v = jax.random.uniform(jax.random.key(0), (n,), jnp.float32) + 0.5
-        v2 = jnp.stack([v, v + 1e-6])  # alternation buffer for read-only ops
         ev = jnp.ones((n,), jnp.float32)
 
+        # chains stay data-dependent via a fused scalar bias (~1e-38), which
+        # XLA folds into the same pass — no extra traffic, no hoisting
         def find_max_step(i, s):
-            return jnp.max(v2[i % 2]) + s * eps32
+            vi, acc = s
+            return (vi, jnp.max(vi + acc * eps32))
 
         def eigvec_step(i, s):
-            # ev[r] *= v[r] / m with alternating v
-            vi = v2[i % 2]
-            return s * (vi / jnp.max(vi))
+            vi, evi = s
+            vdep = vi + evi[0] * eps32
+            return (vi, evi * (vdep / jnp.max(vdep)))
 
         def stop_step(i, s):
-            return stop_check(v2[i % 2], EPS).astype(jnp.float32) + s * eps32
+            vi, acc = s
+            return (vi, stop_check(vi + acc * eps32, EPS).astype(jnp.float32))
 
         cases = {
             # find_max (cpp:154-227): read v
-            "find_max": (find_max_step, jnp.float32(0.0), n * 4),
+            "find_max": (find_max_step, (v, jnp.float32(0.0)), n * 4),
             # eigvec update (cpp:229-265): read v+ev, write ev
-            "eigen_vector": (eigvec_step, ev, 3 * n * 4),
+            "eigen_vector": (eigvec_step, (v, ev), 3 * n * 4),
             # stop criterion (cpp:332-460): read v
-            "stop": (stop_step, jnp.float32(0.0), n * 4),
+            "stop": (stop_step, (v, jnp.float32(0.0)), n * 4),
         }
         for name, (step, init, nbytes) in cases.items():
             ms = time_marginal(step, init, k=k)

@@ -1,0 +1,88 @@
+"""Multi-host solves: `jax.distributed` + hybrid ICI/DCN meshes.
+
+BASELINE.json config 5: a 32768² matrix row-partitioned across a v5p slice
+spanning ≥2 hosts.  The reference has no multi-node anything (SURVEY.md
+§2); this module is the capability the TPU build adds.
+
+Design:
+  * Process group bootstrap via :func:`initialize` (standard
+    ``jax.distributed.initialize``; fail-fast on error — no elastic
+    recovery needed for parity, SURVEY.md §5).
+  * The mesh is built with ``jax.make_mesh`` so the DCN (host) dimension is
+    outermost and ICI innermost — the per-round ``all_gather`` of the O(n)
+    scaling vector then rides ICI within each host slice and crosses DCN
+    once, overlapped by XLA's latency-hiding scheduler with the start of
+    the next local matvec (the collective is tiny: 4n bytes vs n²/P per
+    shard of compute).
+  * The solver itself is :func:`..sharded.solve_sharded_matvec` — global
+    arrays + shard_map are multi-host-transparent in JAX: the same code
+    runs on 1 chip, 8 chips, or a pod slice.
+
+Weak-scaling accounting (north-star: ≥80% efficiency at ≥2 hosts):
+``weak_scaling_efficiency`` compares measured elems/s/chip against the
+single-chip figure.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from ..config import DEFAULT_CONFIG, SolverConfig
+from ..ops.solver import SolveResult
+from .sharded import solve_sharded_matvec
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Bootstrap the multi-host process group.
+
+    With no arguments, relies on the cluster environment (GKE/Cloud TPU
+    auto-detection).  Call once per process before any device use.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_global_row_mesh(axis_name: str = "rows") -> Mesh:
+    """1D row mesh over ALL devices of all processes, host-major so the
+    shard boundary crossing DCN is between host blocks (the all_gather then
+    decomposes into intra-host ICI gathers + one inter-host exchange)."""
+    return jax.make_mesh((jax.device_count(),), (axis_name,))
+
+
+def solve_multihost(
+    A: jax.Array,
+    config: SolverConfig = DEFAULT_CONFIG,
+    mesh: Optional[Mesh] = None,
+) -> SolveResult:
+    """Row-partitioned solve across every device in the process group.
+
+    ``A`` may be a host-local numpy array on each process (it is sharded
+    row-wise via ``jax.device_put`` with a NamedSharding) or an already
+    global jax.Array.
+    """
+    mesh = mesh or make_global_row_mesh()
+    return solve_sharded_matvec(A, mesh, axis_name="rows", config=config)
+
+
+def elems_per_second(n: int, rounds: int, seconds: float) -> float:
+    """Matrix elements processed per second: rounds × n² / t (the matvec
+    form touches each element once per round)."""
+    return rounds * float(n) * float(n) / seconds
+
+
+def weak_scaling_efficiency(
+    elems_per_s_multi: float, n_chips: int, elems_per_s_single: float
+) -> float:
+    """Efficiency vs perfect linear scaling from the 1-chip baseline."""
+    return elems_per_s_multi / (n_chips * elems_per_s_single)

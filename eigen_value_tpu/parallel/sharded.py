@@ -204,6 +204,52 @@ def solve_sharded_matvec(
     return _solve_sharded_matvec_jit(A, mesh, axis_name, config.eps, config.max_itr)
 
 
+@partial(jax.jit, static_argnames=("mesh", "batch_axis", "row_axis", "eps", "max_itr"))
+def _solve_batched_rowsharded_jit(As, mesh, batch_axis, row_axis, eps, max_itr):
+    solve_block = _shard_matvec_body(eps, max_itr, row_axis)
+    fn = shard_map(
+        jax.vmap(solve_block),
+        mesh=mesh,
+        in_specs=P(batch_axis, row_axis, None),
+        out_specs=SolveResult(
+            P(batch_axis), P(batch_axis, row_axis), P(batch_axis), P(batch_axis)
+        ),
+        check_vma=False,
+    )
+    return fn(As)
+
+
+def solve_batched_rowsharded(
+    As: jax.Array,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    row_axis: str = "rows",
+    config: SolverConfig = DEFAULT_CONFIG,
+) -> SolveResult:
+    """2D-mesh batched solve: batch sharded over ``batch_axis`` (DP-like),
+    each matrix's rows sharded over ``row_axis`` (TP-like).
+
+    Composition of the two 1D strategies: per (batch-shard, row-shard) the
+    body is the matvec-form row-sharded loop vmapped over the local batch;
+    the only collective is the per-round all_gather of v along ``row_axis``.
+    The vmapped while loop runs until every local batch element converges,
+    freezing finished ones (per-matrix round counts preserved); done flags
+    are replicated across row shards so the loop stays in lockstep.
+    """
+    B, n, n2 = As.shape
+    if n != n2:
+        raise ValueError(f"expected (B, n, n), got {As.shape}")
+    pb, pr = mesh.shape[batch_axis], mesh.shape[row_axis]
+    if B % pb != 0:
+        raise ValueError(f"batch {B} not divisible by {pb} shards")
+    if n % pr != 0:
+        raise ValueError(f"dim {n} not divisible by {pr} shards")
+    As = jax.device_put(As, NamedSharding(mesh, P(batch_axis, row_axis, None)))
+    return _solve_batched_rowsharded_jit(
+        As, mesh, batch_axis, row_axis, config.eps, config.max_itr
+    )
+
+
 def make_row_mesh(n_devices: Optional[int] = None, axis_name: str = "rows") -> Mesh:
     """1D mesh over the first ``n_devices`` available devices."""
     devs = jax.devices()

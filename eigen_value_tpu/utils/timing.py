@@ -26,9 +26,17 @@ import numpy as np
 
 
 def force(out: Any) -> float:
-    """Block until ``out`` is actually computed by fetching one scalar."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(np.asarray(leaf).ravel()[0])
+    """Block until ``out`` is actually computed by fetching one scalar.
+
+    Picks the smallest leaf and device-slices a single element so only 4
+    bytes cross the wire (the producing executable must still complete
+    before the transfer can run).
+    """
+    leaves = jax.tree_util.tree_leaves(out)
+    leaf = min(leaves, key=lambda l: getattr(l, "size", 1))
+    if getattr(leaf, "ndim", 0):
+        leaf = leaf.ravel()[0]
+    return float(np.asarray(leaf))
 
 
 def time_call(fn: Callable[[], Any], reps: int = 5, warmup: int = 1) -> float:
@@ -46,17 +54,19 @@ def time_call(fn: Callable[[], Any], reps: int = 5, warmup: int = 1) -> float:
 def time_marginal(
     step: Callable[[Any, Any], Any],
     init: Any,
-    k: int = 20,
-    reps: int = 5,
+    k: int = 64,
+    reps: int = 7,
 ) -> float:
     """Marginal ms per application of ``step(i, state) -> state`` (a
     shape-preserving transition; ``i`` is the chain index), measured as
     (T(k+1 chained) - T(1)) / k inside single jitted executables so launch
     latency cancels.
 
-    ``step`` must not be loop-invariant: either carry real data dependence
-    through the state, or read different (pre-staged) input per ``i`` —
-    otherwise XLA hoists the op out of the loop and the marginal is 0.
+    ``step`` must not be loop-invariant: carry real data dependence through
+    the state (a fused ~1e-38 scalar bias is enough) — otherwise XLA hoists
+    the op out of the loop and the marginal reads 0.  k defaults high so
+    per-launch latency jitter (±ms on tunneled devices) stays ≪ k·op_ms;
+    the two chain lengths are measured interleaved for the same reason.
     """
 
     def chain(m: int):
@@ -66,8 +76,17 @@ def time_marginal(
 
         return run
 
-    t1 = time_call(lambda: chain(1)(init), reps=reps)
-    tk = time_call(lambda: chain(k + 1)(init), reps=reps)
+    run1, runk = chain(1), chain(k + 1)
+    force(run1(init))  # compile both before timing
+    force(runk(init))
+    t1 = tk = float("inf")
+    for _ in range(reps):
+        s0 = time.perf_counter()
+        force(run1(init))
+        t1 = min(t1, (time.perf_counter() - s0) * 1e3)
+        s0 = time.perf_counter()
+        force(runk(init))
+        tk = min(tk, (time.perf_counter() - s0) * 1e3)
     return max(tk - t1, 0.0) / k
 
 

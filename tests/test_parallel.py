@@ -17,9 +17,14 @@ from eigen_value_tpu.ops.solver import solve_xla
 from eigen_value_tpu.parallel import (
     make_row_mesh,
     solve_batched,
+    solve_batched_rowsharded,
     solve_batched_sharded,
     solve_sharded,
     solve_sharded_matvec,
+)
+from eigen_value_tpu.parallel.multihost import (
+    elems_per_second,
+    weak_scaling_efficiency,
 )
 
 EPS = 1e-3
@@ -105,6 +110,29 @@ class TestBatched:
         res = solve_batched(As, EPS, MAX_ITR)
         assert np.asarray(res.converged).all()
         assert (np.asarray(res.rounds) == fixtures.HILBERT_ROUNDS[128]).all()
+
+    def test_batched_rowsharded_2d_mesh(self, rng):
+        # DP x TP composition on a 2x4 mesh: per-matrix results must match
+        # the plain batched solver
+        mats = jnp.asarray(
+            np.stack([rng.random((128, 128), dtype=np.float32) + 1e-4 for _ in range(4)])
+        )
+        mesh = Mesh(
+            np.array(jax.devices("cpu")[:8]).reshape(2, 4), ("batch", "rows")
+        )
+        got = solve_batched_rowsharded(mats, mesh)
+        want = solve_batched(mats, EPS, MAX_ITR)
+        np.testing.assert_array_equal(np.asarray(got.rounds), np.asarray(want.rounds))
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvector), np.asarray(want.eigenvector), atol=1e-5
+        )
+
+    def test_scaling_math(self):
+        assert elems_per_second(100, 10, 2.0) == 10 * 100 * 100 / 2.0
+        assert weak_scaling_efficiency(8.0, 8, 1.0) == 1.0
 
     def test_batched_sharded(self, rng):
         mats = jnp.asarray(
