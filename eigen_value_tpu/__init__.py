@@ -10,7 +10,7 @@ multi-chip, vmapped batched solves).
 """
 
 from . import fixtures
-from .api import EigenValue, max_eigenvalue
+from .api import EigenValue, max_eigenvalue, max_eigenvalue_batch
 from .config import DEFAULT_CONFIG, EPS, MAX_ITR, SolverConfig
 from .ops.solver import SolveResult
 
@@ -20,6 +20,7 @@ __all__ = [
     "EigenValue",
     "fixtures",
     "max_eigenvalue",
+    "max_eigenvalue_batch",
     "SolverConfig",
     "SolveResult",
     "DEFAULT_CONFIG",

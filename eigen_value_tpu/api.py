@@ -86,6 +86,15 @@ def _solve_fn(config: SolverConfig, backend: str):
             block_cols=config.block_cols,
             interpret=config.interpret,
         )
+    if backend in ("matvec", "matvec_pallas") and config.storage_dtype is not None:
+        from .ops.solver_matvec import solve_matvec_storage
+
+        return partial(
+            solve_matvec_storage,
+            eps=config.eps,
+            max_itr=config.max_itr,
+            storage_dtype=config.storage_dtype,
+        )
     if backend == "matvec_pallas":
         from .ops.solver_matvec import solve_matvec_pallas
 
@@ -104,17 +113,38 @@ def _solve_fn(config: SolverConfig, backend: str):
     return partial(solve_xla, eps=config.eps, max_itr=config.max_itr)
 
 
-def max_eigenvalue(mat: jax.Array, config: SolverConfig = DEFAULT_CONFIG) -> SolveResult:
+def max_eigenvalue(
+    mat: jax.Array,
+    config: SolverConfig = DEFAULT_CONFIG,
+    validate: bool = False,
+) -> SolveResult:
     """Maximum eigenvalue + eigenvector of a positive square matrix.
 
-    Functional entry point; jittable.  ``mat`` must be square with all
-    entries > 0 (the method's correctness precondition — SURVEY.md §0).
+    Functional entry point; jittable (with ``validate=False``).  ``mat``
+    must be square with all entries > 0 (the method's correctness
+    precondition — SURVEY.md §0: the reference's reductions seed their
+    accumulators with 0 and silently return garbage on non-positive input;
+    pass ``validate=True`` to check on device and raise instead).
     """
     mat = jnp.asarray(mat, config.dtype)
     if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
         raise ValueError(f"must be a square matrix, got shape {mat.shape}")
+    if validate and not bool(jnp.all(mat > 0)):
+        raise ValueError("similarity-transform method requires all entries > 0")
     backend = resolve_backend(config, mat.shape[0])
     return _solve_fn(config, backend)(mat)
+
+
+def max_eigenvalue_batch(
+    mats: jax.Array, config: SolverConfig = DEFAULT_CONFIG
+) -> SolveResult:
+    """Batched solves over ``mats`` of shape (B, n, n); result leaves carry
+    a leading batch axis with per-matrix round counts (see
+    parallel/batched.py for the masked-loop semantics)."""
+    from .parallel.batched import solve_batched
+
+    mats = jnp.asarray(mats, config.dtype)
+    return solve_batched(mats, config.eps, config.max_itr)
 
 
 class EigenValue:
@@ -144,6 +174,13 @@ class EigenValue:
             )
             self._compiled[key] = fn
         return fn
+
+    def warmup(self, dims, dtype=None) -> None:
+        """Pre-compile the solver for the given dims (the AOT analog of the
+        reference's aot_cpu/aot_gpu build targets, Makefile:44-64)."""
+        dtype = dtype or self.config.dtype
+        for n in dims:
+            self._get_compiled(n, dtype)
 
     def similarity_transform(
         self, mat

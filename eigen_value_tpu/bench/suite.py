@@ -26,7 +26,7 @@ from .. import fixtures
 from ..config import EPS, MAX_ITR
 from ..ops.pallas import kernels
 from ..ops.solver import solve_xla, stop_check
-from ..ops.solver_matvec import solve_matvec, solve_matvec_pallas
+from ..ops.solver_matvec import solve_matvec, solve_matvec_pallas, solve_matvec_storage
 from ..ops.solver_pallas import solve_pallas
 from ..utils.timing import (
     detect_peak_hbm_gbps,
@@ -44,6 +44,7 @@ E2E_BACKENDS: Dict[str, Callable] = {
     "pallas_fused": lambda A: solve_pallas(A, EPS, MAX_ITR, 256, 512, False),
     "matvec": lambda A: solve_matvec(A, EPS, MAX_ITR),
     "matvec_pallas": lambda A: solve_matvec_pallas(A, EPS, MAX_ITR, 512, 512, False),
+    "matvec_bf16": lambda A: solve_matvec_storage(A, EPS, MAX_ITR),
 }
 
 
@@ -70,13 +71,18 @@ def bench_e2e(
             res = fn(A)  # compile + warm
             rounds = int(res.rounds)
             ms = time_call(lambda: fn(A), reps=reps)
+            dev_ms = max(ms - rtt, 0.0)
             rows.append(
                 {
                     "bench": "e2e",
                     "backend": name,
                     "dim": n,
                     "ms": ms,
-                    "device_ms_est": max(ms - rtt, 0.0),
+                    "device_ms_est": dev_ms,
+                    "ms_per_round": dev_ms / max(rounds, 1),
+                    # north-star metric: elements touched per second per chip
+                    # (matvec form touches n² once per round)
+                    "elems_per_s": rounds * n * n / (dev_ms * 1e-3) if dev_ms else 0.0,
                     "rounds": rounds,
                     "eigenvalue": float(res.eigenvalue),
                     "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),

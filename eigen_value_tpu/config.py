@@ -61,6 +61,10 @@ class SolverConfig:
     block_rows: int = 256
     block_cols: int = 512
     interpret: Optional[bool] = None
+    #: Optional reduced-precision MATRIX storage (e.g. jnp.bfloat16): halves
+    #: HBM traffic per round on the matvec path; O(n) state stays float32.
+    #: Accuracy loosens to ~2e-3 (see solver_matvec.solve_matvec_storage).
+    storage_dtype: Optional[Any] = None
 
     def __post_init__(self) -> None:
         if self.backend not in ("auto", "xla", "pallas", "matvec", "matvec_pallas"):

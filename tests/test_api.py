@@ -3,7 +3,12 @@
 import numpy as np
 import pytest
 
-from eigen_value_tpu import EigenValue, SolverConfig, max_eigenvalue
+from eigen_value_tpu import (
+    EigenValue,
+    SolverConfig,
+    max_eigenvalue,
+    max_eigenvalue_batch,
+)
 from eigen_value_tpu.api import pick_block, resolve_backend
 
 
@@ -43,6 +48,44 @@ def test_max_eigenvalue_functional(rng):
         float(res.eigenvalue) * np.asarray(res.eigenvector),
         atol=1e-3,
     )
+
+
+def test_validate_rejects_nonpositive(rng):
+    m = rng.random((16, 16), dtype=np.float32)
+    m[3, 5] = -1.0
+    with pytest.raises(ValueError, match="entries > 0"):
+        max_eigenvalue(m, validate=True)
+    # without validate the check is skipped (jittable path)
+    max_eigenvalue(np.abs(m) + 1e-3, validate=True)
+
+
+def test_max_eigenvalue_batch(rng):
+    mats = rng.random((3, 64, 64), dtype=np.float32) + 1e-4
+    res = max_eigenvalue_batch(mats)
+    assert res.eigenvalue.shape == (3,)
+    for b in range(3):
+        v = np.asarray(res.eigenvector[b])
+        assert np.allclose(mats[b] @ v, float(res.eigenvalue[b]) * v, atol=1e-3)
+
+
+def test_warmup_precompiles(rng):
+    ev = EigenValue()
+    ev.warmup([64, 128])
+    assert len(ev._compiled) == 2
+    ev.similarity_transform(rng.random((64, 64), dtype=np.float32))
+    assert len(ev._compiled) == 2  # cache hit, no new compile
+
+
+def test_bf16_storage_config(rng):
+    cfg = SolverConfig(backend="matvec", storage_dtype="bfloat16")
+    mat = rng.random((128, 128), dtype=np.float32) + 1e-3
+    res = max_eigenvalue(mat, cfg)
+    v = np.asarray(res.eigenvector)
+    lam = float(res.eigenvalue)
+    # bf16 storage: ~1e-3 RELATIVE accuracy (λ ≈ 64 here, so scale atol)
+    assert np.allclose(mat @ v, lam * v, atol=2e-3 * lam)
+    want = max_eigenvalue(mat)  # f32 reference
+    assert abs(lam - float(want.eigenvalue)) < 2e-3 * lam
 
 
 def test_pick_block():
