@@ -127,11 +127,16 @@ def solve_sharded(
     return _solve_sharded_jit(A, mesh, axis_name, config.eps, config.max_itr)
 
 
-def _shard_matvec_body(eps: float, max_itr: int, axis_name: str):
+def _shard_matvec_body(
+    eps: float, max_itr: int, axis_name: str, use_pallas: bool = False
+):
     """Per-shard matvec-form loop (see ops/solver_matvec.py for the algebra):
     each round is one local matvec against the ORIGINAL row shard plus one
     O(n) all_gather — 3× less HBM traffic per round than the iterated form,
-    and A is never written (halves per-shard memory)."""
+    and A is never written (halves per-shard memory).
+
+    ``use_pallas`` switches the local matvec to the Pallas roofline kernel
+    (requires 128-aligned local shard dims)."""
 
     def solve_block(A_blk: jax.Array) -> SolveResult:
         n_loc, n = A_blk.shape
@@ -139,10 +144,22 @@ def _shard_matvec_body(eps: float, max_itr: int, axis_name: str):
         p = lax.axis_index(axis_name)
         row0 = p * n_loc
 
+        def local_matvec(ev):
+            if use_pallas:
+                from ..ops.pallas import kernels
+
+                return kernels.matvec(
+                    A_blk,
+                    ev,
+                    block_rows=min(512, n_loc),
+                    block_cols=min(512, n),
+                )
+            return A_blk @ ev
+
         def next_v(ev):
             # v[r] = (A0 @ ev)[r] / ev[r] for local rows, gathered to full
             ev_rows = lax.dynamic_slice(ev, (row0,), (n_loc,))
-            v_loc = (A_blk @ ev) / ev_rows
+            v_loc = local_matvec(ev) / ev_rows
             return lax.all_gather(v_loc, axis_name, tiled=True)
 
         ev0 = jnp.ones((n,), dtype)
@@ -176,9 +193,11 @@ def _shard_matvec_body(eps: float, max_itr: int, axis_name: str):
     return solve_block
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr"))
-def _solve_sharded_matvec_jit(A, mesh, axis_name, eps, max_itr):
-    solve_block = _shard_matvec_body(eps, max_itr, axis_name)
+@partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr", "use_pallas")
+)
+def _solve_sharded_matvec_jit(A, mesh, axis_name, eps, max_itr, use_pallas=False):
+    solve_block = _shard_matvec_body(eps, max_itr, axis_name, use_pallas)
     fn = shard_map(
         solve_block,
         mesh=mesh,
@@ -194,14 +213,24 @@ def solve_sharded_matvec(
     mesh: Mesh,
     axis_name: str = "rows",
     config: SolverConfig = DEFAULT_CONFIG,
+    use_pallas: Optional[bool] = None,
 ) -> SolveResult:
-    """Row-partitioned matvec-form solve — the production multi-chip path."""
+    """Row-partitioned matvec-form solve — the production multi-chip path.
+
+    ``use_pallas`` (default: auto — on for TPU meshes with 128-aligned
+    shards) runs the local matvec as the Pallas roofline kernel.
+    """
     n = A.shape[0]
     n_shards = mesh.shape[axis_name]
     if n % n_shards != 0:
         raise ValueError(f"dim {n} not divisible by {n_shards} shards")
+    if use_pallas is None:
+        on_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
+        use_pallas = on_tpu and (n // n_shards) % 128 == 0 and n % 128 == 0
     A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
-    return _solve_sharded_matvec_jit(A, mesh, axis_name, config.eps, config.max_itr)
+    return _solve_sharded_matvec_jit(
+        A, mesh, axis_name, config.eps, config.max_itr, use_pallas
+    )
 
 
 @partial(jax.jit, static_argnames=("mesh", "batch_axis", "row_axis", "eps", "max_itr"))
