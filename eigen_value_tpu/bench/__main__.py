@@ -48,7 +48,11 @@ def _fmt_kernels(rows, size_key="dim") -> str:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eigen_value_tpu.bench")
-    p.add_argument("--suite", choices=["e2e", "kernels", "vector", "all"], default="all")
+    p.add_argument(
+        "--suite",
+        choices=["e2e", "kernels", "vector", "sharded", "all"],
+        default="all",
+    )
     p.add_argument("--dims", type=int, nargs="*", help="matrix dims to sweep")
     p.add_argument("--backends", nargs="*", help="e2e backends to run")
     p.add_argument("--json", action="store_true", help="emit JSON lines")
@@ -58,8 +62,22 @@ def main(argv=None) -> int:
         choices=["cpu", "tpu"],
         help="pin the default device (default: platform default)",
     )
+    p.add_argument(
+        "--cpu-devices",
+        type=int,
+        default=8,
+        help="virtual CPU device count (applies with --device cpu, before jax init)",
+    )
     args = p.parse_args(argv)
 
+    if args.device == "cpu":
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.cpu_devices}"
+            ).strip()
     if args.device:
         import jax
 
@@ -79,6 +97,17 @@ def main(argv=None) -> int:
         all_rows += rows
         if not args.json:
             print(_fmt_kernels(rows))
+    if args.suite == "sharded":
+        rows = suite.bench_sharded(dim=(args.dims or [4096])[0], reps=args.reps)
+        all_rows += rows
+        if not args.json:
+            for r in rows:
+                print(
+                    f"{r['dim']} x {r['dim']} on {r['shards']} shard(s): "
+                    f"{r['device_ms_est']:.2f} ms dev, {r['rounds']} round(s), "
+                    f"{r['elems_per_s_per_chip']:.2e} elems/s/chip, "
+                    f"eff {r['scaling_efficiency'] * 100:.0f}%"
+                )
     if args.suite in ("vector", "all"):
         rows = suite.bench_vector_kernels()
         all_rows += rows

@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -72,7 +73,9 @@ def random_positive_matrix(key: jax.Array, n: int, dtype=jnp.float32) -> jax.Arr
 
 
 #: The 3×3 cross-implementation anchor (tests/test.cpp:79-104, main.py:52-58).
-ANCHOR_3X3 = jnp.array([[1.0, 1.0, 2.0], [2.0, 1.0, 3.0], [2.0, 3.0, 5.0]])
+#: Kept as a NumPy array so importing the package never initializes JAX
+#: backends (device init locks in XLA_FLAGS before CLIs can set them).
+ANCHOR_3X3 = np.array([[1.0, 1.0, 2.0], [2.0, 1.0, 3.0], [2.0, 3.0, 5.0]])
 ANCHOR_3X3_EIGENVALUE = 7.531129
 ANCHOR_3X3_EIGENVECTOR = (0.394074, 0.578844, 0.997451)
 
