@@ -293,6 +293,11 @@ def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 256) -> List[
             vi, acc = s
             return (vi, stop_check(vi + acc * eps32, EPS).astype(jnp.float32))
 
+        def stop_pallas_step(i, s):
+            # chain rides through the eps operand -> no copy of v
+            vi, acc = s
+            return (vi, kernels.stop(vi, EPS + acc * eps32).astype(jnp.float32))
+
         cases = {
             # find_max (cpp:154-227): read v
             "find_max": (find_max_step, (v, jnp.float32(0.0)), n * 4),
@@ -300,6 +305,7 @@ def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 256) -> List[
             "eigen_vector": (eigvec_step, (v, ev), 3 * n * 4),
             # stop criterion (cpp:332-460): read v
             "stop": (stop_step, (v, jnp.float32(0.0)), n * 4),
+            "stop_pallas": (stop_pallas_step, (v, jnp.float32(0.0)), n * 4),
         }
         for name, (step, init, nbytes) in cases.items():
             ms = time_marginal(step, init, k=k)

@@ -79,6 +79,86 @@ def rowsum(
     return out[:, 0]
 
 
+def _stop_kernel(eps_ref, bnd_ref, cur_ref, out_ref):
+    cur = cur_ref[...]
+    R, L = cur.shape
+    # row-major 2D view of v: element (r, c) is v[r·L + c], so each lane's
+    # neighbor is the next lane; the last lane's neighbor is the NEXT row's
+    # lane 0; the block's very last element's neighbor is the next block's
+    # first element (prefetched into the tiny bnd side array — wrapping at
+    # the grid edge gives the reference's wraparound pair,
+    # similarity_transform.cpp:413-417)
+    within = pltpu.roll(cur, shift=L - 1, axis=1)  # left-rotate lanes by 1
+    first_col = cur[:, :1]
+    next_row_first = pltpu.roll(first_col, shift=R - 1, axis=0)  # up by 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    boundary = bnd_ref[0, pl.program_id(0)]
+    next_row_first = jnp.where(row == R - 1, boundary, next_row_first)
+    shifted = jnp.where(lane == L - 1, next_row_first, within)
+    ok = jnp.all(jnp.abs(cur - shifted) < eps_ref[0, 0])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[0, 0] = ok.astype(jnp.int32)
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] * ok.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "block_rows", "interpret"))
+def stop(
+    v: jax.Array,
+    eps,
+    *,
+    lanes: int = 1024,
+    block_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-pass Pallas stop criterion: all |v[i] - v[(i+1) % n]| < eps.
+
+    The reference's trickiest kernel (subgroup shuffle_down + boundary
+    global read + two-level atomic fetch_min, similarity_transform.cpp:
+    332-460).  v is viewed as a row-major (n/lanes, lanes) matrix so blocks
+    are hardware-shaped (R, L) tiles; neighbor values come from an in-block
+    lane roll + an up-roll of lane 0, and each block's trailing boundary
+    from a precomputed g-element side array in SMEM.  One read of v, flag
+    min-accumulated across grid steps — no rotated copy (the jnp slice
+    formulation pays a relayout pass).
+
+    Requires n divisible by lanes·block_rows (or small enough to fall back
+    to a single (1, n) tile).
+    """
+    n = v.shape[0]
+    eps_arr = jnp.asarray(eps, v.dtype).reshape(1, 1)
+    L = lanes if n % lanes == 0 and n >= lanes else n
+    rows = n // L
+    R = min(block_rows, rows)
+    assert rows % R == 0, (n, L, R)
+    g = rows // R
+    v2 = v.reshape(rows, L)
+    # bnd[i] = first element of block i+1 (wrapping): v[((i+1)·R·L) % n]
+    bnd = jnp.roll(v[:: R * L], -1).reshape(1, g)
+
+    out = pl.pallas_call(
+        _stop_kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n, bytes_accessed=n * v.dtype.itemsize, transcendentals=0
+        ),
+        interpret=interpret,
+    )(eps_arr, bnd, v2)
+    return out[0, 0] == 1
+
+
 def _scale_kernel(a_ref, ivr_ref, vc_ref, out_ref):
     # right-associated like the reference (cpp:324-325) and the jnp path:
     # A * ((1/v[r]) * v[c]) — keeps the two backends bit-identical

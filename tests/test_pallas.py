@@ -61,6 +61,33 @@ class TestScaleRowsum:
         np.testing.assert_array_equal(np.asarray(v2), np.asarray(v2_want))
 
 
+class TestStopKernel:
+    def test_reference_fixtures(self):
+        # the reference's stop success/fail fixture pair (tests/test.cpp:56-73)
+        ok = kernels.stop(
+            fixtures.stop_success_vector(4096), 1e-3, lanes=256, block_rows=8, interpret=True
+        )
+        bad = kernels.stop(
+            fixtures.stop_fail_vector(4096), 1e-3, lanes=256, block_rows=8, interpret=True
+        )
+        assert bool(ok) and not bool(bad)
+
+    @pytest.mark.parametrize("idx", [0, 255, 256, 4095, 2048 + 7])
+    def test_single_break_detected(self, idx):
+        v = np.full(4096, 1.0, np.float32)
+        v[idx] = 2.0
+        got = kernels.stop(jnp.asarray(v), 1e-3, lanes=256, block_rows=8, interpret=True)
+        assert not bool(got)
+
+    def test_fuzz_matches_stop_check(self, rng):
+        from eigen_value_tpu.ops.solver import stop_check
+
+        for i in range(10):
+            v = jnp.asarray(rng.random(2048, dtype=np.float32) * (0.2 if i % 2 else 1.0))
+            got = kernels.stop(v, 0.5, lanes=256, block_rows=4, interpret=True)
+            assert bool(got) == bool(stop_check(v, 0.5))
+
+
 class TestSolvePallas:
     @pytest.mark.parametrize("n", [128, 256, 512])
     def test_hilbert_round_parity(self, n):
