@@ -293,10 +293,19 @@ def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 256) -> List[
             vi, acc = s
             return (vi, stop_check(vi + acc * eps32, EPS).astype(jnp.float32))
 
+        from ..ops.solver_pallas import _auto_interpret
+
+        interp = _auto_interpret()
+
         def stop_pallas_step(i, s):
             # chain rides through the eps operand -> no copy of v
             vi, acc = s
-            return (vi, kernels.stop(vi, EPS + acc * eps32).astype(jnp.float32))
+            return (
+                vi,
+                kernels.stop(vi, EPS + acc * eps32, interpret=interp).astype(
+                    jnp.float32
+                ),
+            )
 
         cases = {
             # find_max (cpp:154-227): read v
