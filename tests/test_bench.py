@@ -18,7 +18,7 @@ def test_bench_e2e_rows():
 def test_vector_kernel_rows():
     rows = suite.bench_vector_kernels(sizes=[1 << 16], k=5)
     names = {r["kernel"] for r in rows}
-    assert names == {"find_max", "eigen_vector", "stop"}
+    assert names == {"find_max", "eigen_vector", "stop", "stop_pallas"}
     assert all(r["ms"] >= 0 for r in rows)
 
 
