@@ -50,7 +50,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eigen_value_tpu.bench")
     p.add_argument(
         "--suite",
-        choices=["e2e", "kernels", "vector", "sharded", "all"],
+        choices=["e2e", "kernels", "vector", "sharded", "native", "all"],
         default="all",
     )
     p.add_argument("--dims", type=int, nargs="*", help="matrix dims to sweep")
@@ -97,6 +97,15 @@ def main(argv=None) -> int:
         all_rows += rows
         if not args.json:
             print(_fmt_kernels(rows))
+    if args.suite == "native":
+        rows = suite.bench_native(dims)
+        all_rows += rows
+        if not args.json:
+            for r in rows:
+                print(
+                    f"{r['dim']:<5} x {r['dim']:>5}\t\t{r['ms']:>10.3f} ms"
+                    f"\t\t{r['rounds']:>6} round(s)   [native C++]"
+                )
     if args.suite == "sharded":
         rows = suite.bench_sharded(dim=(args.dims or [4096])[0], reps=args.reps)
         all_rows += rows

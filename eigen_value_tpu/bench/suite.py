@@ -91,6 +91,35 @@ def bench_e2e(
     return rows
 
 
+def bench_native(dims: List[int] = MATRIX_DIMS) -> List[dict]:
+    """End-to-end sweep through the native C++ runtime (the reference-
+    architecture CPU datapoint from this repo; ABI parity with the
+    reference's libsimilarity_transform.so)."""
+    import numpy as np
+
+    from .. import native
+
+    if not native.available():
+        return []
+    solver = native.NativeEigenValue()
+    rows = []
+    for n in dims:
+        H = np.asarray(fixtures.hilbert_matrix(n))
+        lam, vec, ms, rounds = solver.similarity_transform(H)
+        rows.append(
+            {
+                "bench": "native",
+                "backend": "cpu_native",
+                "dim": n,
+                "ms": float(ms),
+                "rounds": rounds,
+                "eigenvalue": float(lam),
+                "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),
+            }
+        )
+    return rows
+
+
 def bench_sharded(
     dim: int = 4096,
     shard_counts: List[int] | None = None,

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, SolverConfig
-from ..ops.solver import SolveResult, solve_xla
+from ..ops.solver import SolveResult
+from ..ops.solver_matvec import solve_matvec
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr"))
@@ -29,11 +30,13 @@ def solve_batched(As: jax.Array, eps: float, max_itr: int) -> SolveResult:
     """Solve a batch of positive matrices ``As`` of shape (B, n, n).
 
     Returns a SolveResult whose leaves carry a leading batch axis; ``rounds``
-    is per-matrix (frozen at each matrix's own convergence round).
+    is per-matrix (frozen at each matrix's own convergence round).  Uses the
+    matvec-form solver — under vmap the hot op becomes a batched gemv
+    against the original matrices, still 1 read of each A per round.
     """
     if As.ndim != 3 or As.shape[1] != As.shape[2]:
         raise ValueError(f"expected (B, n, n), got {As.shape}")
-    return jax.vmap(lambda A: solve_xla(A, eps, max_itr))(As)
+    return jax.vmap(lambda A: solve_matvec(A, eps, max_itr))(As)
 
 
 def solve_batched_sharded(
