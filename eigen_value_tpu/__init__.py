@@ -9,7 +9,7 @@ verification fixtures, benchmark harness, Python API — re-designed TPU-first
 multi-chip, vmapped batched solves).
 """
 
-from . import fixtures
+from . import checkpoint, fixtures
 from .api import EigenValue, max_eigenvalue, max_eigenvalue_batch
 from .config import DEFAULT_CONFIG, EPS, MAX_ITR, SolverConfig
 from .ops.solver import SolveResult
@@ -18,6 +18,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "EigenValue",
+    "checkpoint",
     "fixtures",
     "max_eigenvalue",
     "max_eigenvalue_batch",

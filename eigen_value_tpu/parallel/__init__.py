@@ -1,6 +1,11 @@
-"""Multi-device parallelism: row-sharded and batched solvers."""
+"""Multi-device parallelism: row-sharded, batched, and multi-host solvers."""
 
 from .batched import solve_batched, solve_batched_sharded
+from .multihost import (
+    assemble_rowsharded,
+    make_global_row_mesh,
+    solve_multihost,
+)
 from .sharded import (
     make_row_mesh,
     solve_batched_rowsharded,
@@ -9,9 +14,12 @@ from .sharded import (
 )
 
 __all__ = [
+    "assemble_rowsharded",
+    "make_global_row_mesh",
     "solve_batched",
     "solve_batched_rowsharded",
     "solve_batched_sharded",
+    "solve_multihost",
     "solve_sharded",
     "solve_sharded_matvec",
     "make_row_mesh",

@@ -29,7 +29,7 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, SolverConfig
 from ..ops.solver import SolveResult
@@ -53,23 +53,68 @@ def initialize(
     )
 
 
-def make_global_row_mesh(axis_name: str = "rows") -> Mesh:
+def make_global_row_mesh(
+    axis_name: str = "rows", platform: Optional[str] = None
+) -> Mesh:
     """1D row mesh over ALL devices of all processes, host-major so the
     shard boundary crossing DCN is between host blocks (the all_gather then
-    decomposes into intra-host ICI gathers + one inter-host exchange)."""
-    return jax.make_mesh((jax.device_count(),), (axis_name,))
+    decomposes into intra-host ICI gathers + one inter-host exchange).
+
+    ``platform`` pins the device kind (e.g. ``"cpu"`` for the multi-process
+    CI harness, where an auxiliary accelerator plugin may also be
+    registered and would otherwise win default-platform selection).
+    """
+    devs = jax.devices(platform) if platform else jax.devices()
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def assemble_rowsharded(
+    local_rows: np.ndarray, mesh: Mesh, axis_name: str = "rows"
+) -> jax.Array:
+    """Assemble the GLOBAL row-sharded matrix from this process's block.
+
+    Each process passes only its contiguous block of rows
+    ``[p·n/P_host, (p+1)·n/P_host)`` (host-major order, matching the mesh
+    from :func:`make_global_row_mesh`); the result is a global
+    ``jax.Array`` sharded ``P(axis_name, None)`` whose data never leaves
+    the host that produced it.  This is how a 32768² matrix that fits no
+    single host's memory is fed to :func:`solve_multihost`.
+    """
+    n = local_rows.shape[1]
+    n_local = local_rows.shape[0]
+    # All topology facts are derived from the mesh's own devices, NOT the
+    # default backend (an auxiliary accelerator plugin may be the default
+    # and would report its own single-process view).
+    flat = list(mesh.devices.flat)
+    n_procs = len({d.process_index for d in flat})
+    if n_local * n_procs != n:
+        raise ValueError(
+            f"local block {local_rows.shape} with {n_procs} "
+            f"processes does not assemble to a square {n}×{n} matrix"
+        )
+    local_set = set(jax.local_devices(backend=flat[0].platform))
+    my_devs = [d for d in flat if d in local_set]
+    if n_local % len(my_devs) != 0:
+        raise ValueError(
+            f"{n_local} local rows not divisible over {len(my_devs)} "
+            "local devices"
+        )
+    sharding = NamedSharding(mesh, P(axis_name, None))
+    chunks = np.split(np.ascontiguousarray(local_rows), len(my_devs))
+    shards = [jax.device_put(ch, d) for ch, d in zip(chunks, my_devs)]
+    return jax.make_array_from_single_device_arrays((n, n), sharding, shards)
 
 
 def solve_multihost(
-    A: jax.Array,
+    A,
     config: SolverConfig = DEFAULT_CONFIG,
     mesh: Optional[Mesh] = None,
 ) -> SolveResult:
     """Row-partitioned solve across every device in the process group.
 
-    ``A`` may be a host-local numpy array on each process (it is sharded
-    row-wise via ``jax.device_put`` with a NamedSharding) or an already
-    global jax.Array.
+    ``A`` is either a global ``jax.Array`` (e.g. from
+    :func:`assemble_rowsharded`) or, in a single-process group, any
+    host array (sharded row-wise via ``jax.device_put``).
     """
     mesh = mesh or make_global_row_mesh()
     return solve_sharded_matvec(A, mesh, axis_name="rows", config=config)

@@ -1,0 +1,83 @@
+"""Checkpoint/resume: chunked stepping must be bit-identical to one-shot."""
+
+import numpy as np
+import pytest
+
+from eigen_value_tpu import checkpoint, fixtures
+from eigen_value_tpu.config import EPS, MAX_ITR
+from eigen_value_tpu.ops.solver_matvec import solve_matvec
+
+DIM = 512  # 12 rounds (fixtures.HILBERT_ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def hilbert():
+    return fixtures.hilbert_matrix(DIM)
+
+
+@pytest.fixture(scope="module")
+def oneshot(hilbert):
+    return solve_matvec(hilbert, eps=EPS, max_itr=MAX_ITR)
+
+
+def test_chunked_stepping_bitexact(hilbert, oneshot):
+    state = checkpoint.init_state(hilbert)
+    for _ in range(10):  # 5-round chunks; converges inside the 3rd
+        state = checkpoint.step(state, 5)
+    res = checkpoint.to_result(state)
+    assert bool(res.converged)
+    assert int(res.rounds) == fixtures.HILBERT_ROUNDS[DIM]
+    assert float(res.eigenvalue) == float(oneshot.eigenvalue)  # bit-exact
+    np.testing.assert_array_equal(
+        np.asarray(res.eigenvector), np.asarray(oneshot.eigenvector)
+    )
+
+
+def test_step_is_noop_after_convergence(hilbert, oneshot):
+    state = checkpoint.step(checkpoint.init_state(hilbert), 1000)
+    rounds, lam = int(state.rounds), float(state.lam)
+    again = checkpoint.step(state, 7)  # donates (invalidates) `state`
+    assert int(again.rounds) == rounds
+    assert float(again.lam) == lam
+
+
+def test_save_load_roundtrip_resume(tmp_path, hilbert, oneshot):
+    path = str(tmp_path / "state.npz")
+    state = checkpoint.step(checkpoint.init_state(hilbert), 4)
+    assert not bool(state.done)
+    checkpoint.save_state(path, state)
+    resumed = checkpoint.load_state(path)
+    np.testing.assert_array_equal(np.asarray(resumed.v), np.asarray(state.v))
+    final = checkpoint.step(resumed, 1000)
+    assert bool(final.done)
+    assert float(final.lam) == float(oneshot.eigenvalue)
+    assert int(final.rounds) == int(oneshot.rounds)
+
+
+def test_solve_checkpointed_driver_loop(tmp_path, hilbert, oneshot):
+    path = str(tmp_path / "drv.npz")
+    res = checkpoint.solve_checkpointed(hilbert, chunk_rounds=3, checkpoint_path=path)
+    assert bool(res.converged)
+    assert float(res.eigenvalue) == float(oneshot.eigenvalue)
+    # the final snapshot exists and resuming from it is a no-op solve
+    res2 = checkpoint.solve_checkpointed(hilbert, chunk_rounds=3, checkpoint_path=path)
+    assert int(res2.rounds) == int(res.rounds)
+
+
+def test_max_itr_cap(hilbert):
+    res = checkpoint.to_result(
+        checkpoint.step(checkpoint.init_state(hilbert), 1000, max_itr=3)
+    )
+    assert not bool(res.converged)
+    assert int(res.rounds) == 3
+
+
+def test_orbax_roundtrip(tmp_path, hilbert):
+    ocp = pytest.importorskip("orbax.checkpoint")  # noqa: F841
+    state = checkpoint.step(checkpoint.init_state(hilbert), 4)
+    path = str(tmp_path / "orbax_state")
+    checkpoint.save_state_orbax(path, state)
+    template = checkpoint.init_state(hilbert)
+    restored = checkpoint.load_state_orbax(path, template)
+    np.testing.assert_array_equal(np.asarray(restored.v), np.asarray(state.v))
+    assert int(restored.rounds) == int(state.rounds)
