@@ -48,7 +48,7 @@ def main() -> None:
 
     cfg = SolverConfig(backend="auto")
     backend = resolve_backend(cfg, DIM)
-    solve = jax.jit(_solve_fn(cfg, backend))
+    solve = jax.jit(_solve_fn(cfg, backend, DIM))
     H = jax.block_until_ready(fixtures.hilbert_matrix(DIM))
 
     res = solve(H)

@@ -25,36 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DEFAULT_CONFIG, SolverConfig
+from .device import auto_interpret as _auto_interpret
+from .device import on_tpu as _on_tpu
+from .device import pick_block
 from .ops.solver import SolveResult, solve_xla
-
-
-def _on_tpu() -> bool:
-    """True when computations default to a TPU device.
-
-    Honors an explicit ``jax_default_device`` override (the test harness
-    pins CPU this way because JAX_PLATFORMS is ignored under the tunnel).
-    """
-    d = jax.config.jax_default_device
-    if d is not None:
-        return getattr(d, "platform", str(d)) == "tpu"
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:
-        return False
-
-
-def _auto_interpret() -> bool:
-    """Interpret Pallas kernels when not running on a real TPU."""
-    return not _on_tpu()
-
-
-def pick_block(n: int, preferred: int) -> Optional[int]:
-    """Largest hardware-aligned tile size dividing n, or None if n is not
-    128-aligned (f32 lane width — see pallas_guide tiling constraints)."""
-    for b in (preferred, 1024, 512, 256, 128):
-        if b <= preferred and n % b == 0:
-            return b
-    return None
 
 
 def resolve_backend(config: SolverConfig, n: int) -> str:
@@ -74,7 +48,22 @@ def resolve_backend(config: SolverConfig, n: int) -> str:
     return "matvec"
 
 
-def _solve_fn(config: SolverConfig, backend: str):
+def _resolve_blocks(config: SolverConfig, n: Optional[int]) -> Tuple[int, int]:
+    """Pallas tile shape for a dim-n solve: the configured blocks when they
+    divide n, otherwise the largest aligned divisors (384, 640, ... are
+    128-aligned but not divisible by the 256/512 defaults)."""
+    if n is None:
+        return config.block_rows, config.block_cols
+    return (
+        pick_block(n, config.block_rows) or config.block_rows,
+        pick_block(n, config.block_cols) or config.block_cols,
+    )
+
+
+def _solve_fn(config: SolverConfig, backend: str, n: Optional[int] = None):
+    """Build the solve callable for ``backend``; ``n`` (when known) adapts
+    the Pallas tile shape to the dim so every 128-aligned dim works."""
+    block_rows, block_cols = _resolve_blocks(config, n)
     if backend == "pallas":
         from .ops.solver_pallas import solve_pallas
 
@@ -82,8 +71,8 @@ def _solve_fn(config: SolverConfig, backend: str):
             solve_pallas,
             eps=config.eps,
             max_itr=config.max_itr,
-            block_rows=config.block_rows,
-            block_cols=config.block_cols,
+            block_rows=block_rows,
+            block_cols=block_cols,
             interpret=config.interpret,
         )
     if backend in ("matvec", "matvec_pallas") and config.storage_dtype is not None:
@@ -102,8 +91,8 @@ def _solve_fn(config: SolverConfig, backend: str):
             solve_matvec_pallas,
             eps=config.eps,
             max_itr=config.max_itr,
-            block_rows=config.block_rows,
-            block_cols=config.block_cols,
+            block_rows=block_rows,
+            block_cols=block_cols,
             interpret=bool(config.interpret) if config.interpret is not None else _auto_interpret(),
         )
     if backend == "matvec":
@@ -132,7 +121,7 @@ def max_eigenvalue(
     if validate and not bool(jnp.all(mat > 0)):
         raise ValueError("similarity-transform method requires all entries > 0")
     backend = resolve_backend(config, mat.shape[0])
-    return _solve_fn(config, backend)(mat)
+    return _solve_fn(config, backend, mat.shape[0])(mat)
 
 
 def max_eigenvalue_batch(
@@ -166,7 +155,7 @@ class EigenValue:
         key = (n, jnp.dtype(dtype).name, backend)
         fn = self._compiled.get(key)
         if fn is None:
-            solve = _solve_fn(self.config, backend)
+            solve = _solve_fn(self.config, backend, n)
             fn = (
                 jax.jit(solve)
                 .lower(jax.ShapeDtypeStruct((n, n), dtype))

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from .. import fixtures
 from ..config import EPS, MAX_ITR
+from ..device import auto_interpret
 from ..ops.pallas import kernels
 from ..ops.solver import solve_xla, stop_check
 from ..ops.solver_matvec import solve_matvec, solve_matvec_pallas, solve_matvec_storage
@@ -39,11 +40,15 @@ from ..utils.timing import (
 MATRIX_DIMS = [1 << p for p in range(7, 14)]  # 128 .. 8192 (main.cpp:23)
 VECTOR_SIZES = [1 << p for p in range(16, 26, 3)]  # 2^16..2^25 (main.cpp:78)
 
+# Pallas backends resolve interpret mode per-device at call time so the
+# CLI's --device cpu (and any non-TPU host) runs the full ladder.
 E2E_BACKENDS: Dict[str, Callable] = {
     "xla": lambda A: solve_xla(A, EPS, MAX_ITR),
-    "pallas_fused": lambda A: solve_pallas(A, EPS, MAX_ITR, 256, 512, False),
+    "pallas_fused": lambda A: solve_pallas(A, EPS, MAX_ITR, 256, 512, None),
     "matvec": lambda A: solve_matvec(A, EPS, MAX_ITR),
-    "matvec_pallas": lambda A: solve_matvec_pallas(A, EPS, MAX_ITR, 512, 512, False),
+    "matvec_pallas": lambda A: solve_matvec_pallas(
+        A, EPS, MAX_ITR, 512, 512, auto_interpret()
+    ),
     "matvec_bf16": lambda A: solve_matvec_storage(A, EPS, MAX_ITR),
 }
 
@@ -231,7 +236,7 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
         v = jnp.sum(A, axis=1)
         ones = jnp.ones((n,), jnp.float32)
         br, bc = min(512, n), min(512, n)
-        pk = dict(block_rows=br, block_cols=bc, interpret=False)
+        pk = dict(block_rows=br, block_cols=bc, interpret=auto_interpret())
 
         def rowsum_xla_step(i, s):
             # scalar bias keeps the chain data-dependent; XLA fuses the add
@@ -322,9 +327,7 @@ def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 256) -> List[
             vi, acc = s
             return (vi, stop_check(vi + acc * eps32, EPS).astype(jnp.float32))
 
-        from ..ops.solver_pallas import _auto_interpret
-
-        interp = _auto_interpret()
+        interp = auto_interpret()
 
         def stop_pallas_step(i, s):
             # chain rides through the eps operand -> no copy of v

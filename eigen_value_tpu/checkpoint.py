@@ -124,9 +124,13 @@ def solve_checkpointed(
 ) -> SolveResult:
     """Run a full solve in ``chunk_rounds``-round steps, optionally saving
     an ``.npz`` snapshot after every chunk (the preemption-tolerant driver
-    loop).  Resumes automatically if ``checkpoint_path`` already exists."""
+    loop).  Resumes automatically if ``checkpoint_path`` already exists —
+    after verifying the snapshot was taken for THIS matrix (shape, dtype,
+    and boundary-row equality); a stale snapshot from a different solve
+    raises instead of silently returning the wrong result."""
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         state = load_state(checkpoint_path)
+        _check_same_matrix(state.A, A, checkpoint_path)
     else:
         state = init_state(A)
     while not bool(state.done) and int(state.rounds) < max_itr:
@@ -134,6 +138,24 @@ def solve_checkpointed(
         if checkpoint_path is not None:
             save_state(checkpoint_path, state)
     return to_result(state)
+
+
+def _check_same_matrix(saved: jax.Array, given, path: str) -> None:
+    """Cheap identity check between a snapshot's matrix and the caller's:
+    shape, dtype, and exact equality of the first and last rows (O(n), not
+    O(n²) — sufficient to catch a reused checkpoint path in practice)."""
+    given = jnp.asarray(given)
+    if saved.shape != given.shape or saved.dtype != given.dtype:
+        raise ValueError(
+            f"checkpoint {path!r} holds a {saved.dtype} {saved.shape} matrix "
+            f"but the solve was called with {given.dtype} {given.shape}"
+        )
+    for row in (0, -1):
+        if not np.array_equal(np.asarray(saved[row]), np.asarray(given[row])):
+            raise ValueError(
+                f"checkpoint {path!r} was created for a different matrix "
+                f"(row {row} differs) — pass a fresh checkpoint_path"
+            )
 
 
 # ---------------------------------------------------------------- storage

@@ -1,0 +1,48 @@
+"""Device-platform detection and tile-size selection.
+
+Single home for the two decisions every backend shares:
+
+  * *are we on a real TPU?* — drives both auto-backend routing (api.py)
+    and the default for Pallas ``interpret`` mode (solver_pallas.py,
+    bench suite).  Kept in one place so the two can never diverge.
+  * *what Pallas tile divides this dim?* — the TPU analog of the
+    reference's work-group-size policy (wrapper/similarity_transform.cpp:
+    24-33 picks ``min(dim/2, device_max)``); here tiles must both respect
+    the (8,128) f32 register tiling and exactly divide the array dims.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def on_tpu() -> bool:
+    """True when computations default to a TPU device.
+
+    Honors an explicit ``jax_default_device`` override (the test harness
+    pins CPU this way because JAX_PLATFORMS is ignored under the tunnel).
+    """
+    d = jax.config.jax_default_device
+    if d is not None:
+        return getattr(d, "platform", str(d)) == "tpu"
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def auto_interpret() -> bool:
+    """Interpret Pallas kernels whenever not running on a real TPU."""
+    return not on_tpu()
+
+
+def pick_block(n: int, preferred: int) -> Optional[int]:
+    """Largest hardware-aligned tile size ≤ ``preferred`` dividing ``n``,
+    or None if n is not 128-aligned (f32 lane width — see pallas_guide
+    tiling constraints)."""
+    for b in (preferred, 1024, 512, 256, 128):
+        if b <= preferred and n % b == 0:
+            return b
+    return None

@@ -15,19 +15,9 @@ from typing import Optional
 
 import jax
 
+from ..device import auto_interpret as _auto_interpret
 from .pallas import kernels
 from .solver import SolveResult, solve_loop
-
-
-def _auto_interpret() -> bool:
-    """Interpret Pallas kernels when not running on a real TPU (CPU tests)."""
-    d = jax.config.jax_default_device
-    if d is not None:
-        return getattr(d, "platform", None) != "tpu"
-    try:
-        return jax.default_backend() != "tpu"
-    except RuntimeError:
-        return True
 
 
 @partial(

@@ -52,7 +52,8 @@ def main(argv=None) -> int:
         res = oracle(mat)
         end = time() * 1000
 
-        assert res.eigenvalue - np.max(np.real(np.linalg.eigvals(mat))) < EPS
+        assert res.converged, f"oracle did not converge at {n}²"
+        assert abs(res.eigenvalue - np.max(np.real(np.linalg.eigvals(mat)))) < EPS
         print(
             f"{n:<4} x {n:>4}\t\t{end - start:>6.2f} ms\t\t{res.rounds:>8} round(s)"
         )

@@ -14,7 +14,7 @@ preserving per-matrix round counts (SURVEY.md §7 step 6).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -65,8 +65,14 @@ def solve_batched_sharded(
         NamedSharding(mesh, P(axis_name)),
         NamedSharding(mesh, P(axis_name)),
     )
-    fn = jax.jit(
-        partial(solve_batched, eps=config.eps, max_itr=config.max_itr),
+    return _batched_sharded_jit(config.eps, config.max_itr, out_sharding)(As)
+
+
+@lru_cache(maxsize=None)
+def _batched_sharded_jit(eps: float, max_itr: int, out_sharding: SolveResult):
+    """Cache the jitted executable per (eps, max_itr, sharding) — a fresh
+    jax.jit wrapper per call would re-trace on every invocation."""
+    return jax.jit(
+        partial(solve_batched, eps=eps, max_itr=max_itr),
         out_shardings=out_sharding,
     )
-    return fn(As)

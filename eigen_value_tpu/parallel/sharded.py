@@ -33,6 +33,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, SolverConfig
+from ..device import pick_block
 from ..ops.solver import SolveResult, stop_check
 
 try:  # jax >= 0.6 exposes shard_map at top level
@@ -128,7 +129,11 @@ def solve_sharded(
 
 
 def _shard_matvec_body(
-    eps: float, max_itr: int, axis_name: str, use_pallas: bool = False
+    eps: float,
+    max_itr: int,
+    axis_name: str,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Per-shard matvec-form loop (see ops/solver_matvec.py for the algebra):
     each round is one local matvec against the ORIGINAL row shard plus one
@@ -148,11 +153,13 @@ def _shard_matvec_body(
             if use_pallas:
                 from ..ops.pallas import kernels
 
+                # blocks must exactly divide the local shard dims
                 return kernels.matvec(
                     A_blk,
                     ev,
-                    block_rows=min(512, n_loc),
-                    block_cols=min(512, n),
+                    block_rows=pick_block(n_loc, 512) or n_loc,
+                    block_cols=pick_block(n, 512) or n,
+                    interpret=interpret,
                 )
             return A_blk @ ev
 
@@ -194,10 +201,13 @@ def _shard_matvec_body(
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr", "use_pallas")
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "eps", "max_itr", "use_pallas", "interpret"),
 )
-def _solve_sharded_matvec_jit(A, mesh, axis_name, eps, max_itr, use_pallas=False):
-    solve_block = _shard_matvec_body(eps, max_itr, axis_name, use_pallas)
+def _solve_sharded_matvec_jit(
+    A, mesh, axis_name, eps, max_itr, use_pallas=False, interpret=False
+):
+    solve_block = _shard_matvec_body(eps, max_itr, axis_name, use_pallas, interpret)
     fn = shard_map(
         solve_block,
         mesh=mesh,
@@ -224,12 +234,13 @@ def solve_sharded_matvec(
     n_shards = mesh.shape[axis_name]
     if n % n_shards != 0:
         raise ValueError(f"dim {n} not divisible by {n_shards} shards")
+    mesh_on_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
     if use_pallas is None:
-        on_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
-        use_pallas = on_tpu and (n // n_shards) % 128 == 0 and n % 128 == 0
+        use_pallas = mesh_on_tpu and (n // n_shards) % 128 == 0 and n % 128 == 0
+    interpret = bool(use_pallas) and not mesh_on_tpu
     A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
     return _solve_sharded_matvec_jit(
-        A, mesh, axis_name, config.eps, config.max_itr, use_pallas
+        A, mesh, axis_name, config.eps, config.max_itr, use_pallas, interpret
     )
 
 
@@ -280,10 +291,22 @@ def solve_batched_rowsharded(
 
 
 def make_row_mesh(n_devices: Optional[int] = None, axis_name: str = "rows") -> Mesh:
-    """1D mesh over the first ``n_devices`` available devices."""
+    """1D mesh over the first ``n_devices`` available devices.
+
+    Falls back to the (virtual) CPU platform when the default platform has
+    too few devices; raises if even that cannot satisfy the request — a
+    silently smaller mesh would make scaling runs measure the wrong thing.
+    """
     devs = jax.devices()
     if n_devices is not None and len(devs) < n_devices:
         devs = jax.devices("cpu")
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                "devices are visible (set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
+                " for a virtual CPU mesh)"
+            )
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))

@@ -101,3 +101,16 @@ def test_backend_resolution():
     assert resolve_backend(cfg, 3) == "matvec"
     assert resolve_backend(SolverConfig(backend="xla"), 8192) == "xla"
     assert resolve_backend(SolverConfig(backend="pallas"), 8192) == "pallas"
+
+
+def test_auto_backend_nonpow2_aligned_dims(rng):
+    """128-aligned dims NOT divisible by the default 256/512 blocks (384,
+    640, ...) must route through matvec_pallas with an adapted tile shape
+    instead of crashing on the kernel's divisibility assert."""
+    mat = rng.random((384, 384), dtype=np.float32) + 1e-4
+    res = max_eigenvalue(mat, SolverConfig(backend="auto", interpret=True))
+    ref = max_eigenvalue(mat, SolverConfig(backend="matvec"))
+    assert int(res.rounds) == int(ref.rounds)
+    assert float(res.eigenvalue) == pytest.approx(float(ref.eigenvalue), abs=1e-3)
+    v = np.asarray(res.eigenvector)
+    assert np.allclose(mat @ v, float(res.eigenvalue) * v, atol=1e-3)

@@ -64,6 +64,20 @@ def test_solve_checkpointed_driver_loop(tmp_path, hilbert, oneshot):
     assert int(res2.rounds) == int(res.rounds)
 
 
+def test_stale_checkpoint_path_raises(tmp_path, hilbert):
+    """Reusing a checkpoint path for a different matrix must raise, not
+    silently return the previous solve's result."""
+    path = str(tmp_path / "stale.npz")
+    checkpoint.solve_checkpointed(hilbert, chunk_rounds=50, checkpoint_path=path)
+    other = np.asarray(hilbert) * np.float32(2.0)
+    with pytest.raises(ValueError, match="different matrix"):
+        checkpoint.solve_checkpointed(other, chunk_rounds=50, checkpoint_path=path)
+    with pytest.raises(ValueError, match="checkpoint"):
+        checkpoint.solve_checkpointed(
+            fixtures.hilbert_matrix(DIM * 2), chunk_rounds=50, checkpoint_path=path
+        )
+
+
 def test_max_itr_cap(hilbert):
     res = checkpoint.to_result(
         checkpoint.step(checkpoint.init_state(hilbert), 1000, max_itr=3)

@@ -64,6 +64,21 @@ class TestSharded:
         mesh = make_row_mesh(4)
         assert mesh.shape["rows"] == 4
 
+    def test_make_row_mesh_too_few_devices_raises(self):
+        with pytest.raises(ValueError, match="only"):
+            make_row_mesh(4096)
+
+    def test_sharded_pallas_matvec_nonpow2_blocks(self):
+        """use_pallas with a 768-row shard (not divisible by the 512
+        default block) must adapt the tile shape; runs interpreted on the
+        CPU mesh."""
+        H = fixtures.hilbert_matrix(768)
+        want = solve_xla(H, EPS, MAX_ITR)
+        got = solve_sharded_matvec(H, cpu_mesh(2), use_pallas=True)
+        assert int(got.rounds) == int(want.rounds)
+        assert bool(got.converged)
+        assert abs(float(got.eigenvalue) - float(want.eigenvalue)) < 1e-3
+
 
 class TestShardedMatvec:
     @pytest.mark.parametrize("n_dev", [2, 8])
