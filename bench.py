@@ -5,66 +5,111 @@ Baseline: 126 ms / 17 rounds — the reference's best machine (Xeon Platinum
 8358, reference README.md:92; see BASELINE.md).  vs_baseline is the
 speedup factor (baseline_ms / our_ms), so >1 beats the reference.
 
-``value`` is the on-device e2e solve time: wall time of the solve call
-minus the calibrated per-executable launch+fetch latency of the transport
-(~31 ms through the remote-TPU tunnel — pure infrastructure, present even
-for an empty executable).  This matches what the reference times: its
-clock starts after queue/buffer setup (similarity_transform.cpp:36).
-Raw wall and the calibration are included in the JSON for transparency.
+``value`` is the on-device e2e solve time measured by CHAINED
+differencing: one executable runs k data-dependent full solves, another
+runs 1; per-solve time is (T_k − T_1)/(k−1), so the remote-TPU tunnel's
+~30 ms per-executable launch latency (and its ±1.5 ms jitter, comparable
+to the device time itself) cancels exactly.  The inter-solve dependence
+is threaded through an O(n) scaling of the solver's internal vector —
+mathematically a no-op (the iteration is scale-invariant in ev,
+ops/solver_matvec.py) and costs no extra O(n²) traffic, but it defeats
+loop-invariant hoisting so all k solves really execute.  What is timed
+matches what the reference times: the full convergence loop on an
+already-resident matrix (its clock starts after buffer setup,
+similarity_transform.cpp:36).  Raw chain walls are in the JSON for
+transparency.
 """
 
 import json
-import statistics
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 BASELINE_MS = 126.0  # reference best-CPU 8192² e2e (BASELINE.md)
 DIM = 8192
 ROUNDS_EXPECTED = 17
-REPEATS = 15
+CHAIN = 9  # solves in the long chain (noise on the diff divides by CHAIN-1)
+REPEATS = 9
 
 
-def _sync_scalar(x) -> float:
+def _sync(x) -> float:
     return float(np.asarray(x))
 
 
-def _median_ms(fn, reps=REPEATS) -> float:
-    fn()  # warm
+def _min_ms(fn, reps=REPEATS) -> float:
+    fn()  # warm (compile)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
         ts.append((time.perf_counter() - t0) * 1e3)
-    return statistics.median(ts)
+    return min(ts)
 
 
 def main() -> None:
     from eigen_value_tpu import SolverConfig, fixtures
-    from eigen_value_tpu.api import _solve_fn, resolve_backend
+    from eigen_value_tpu.api import _resolve_blocks, _solve_fn, resolve_backend
+    from eigen_value_tpu.config import EPS, MAX_ITR
+    from eigen_value_tpu.device import auto_interpret
+    from eigen_value_tpu.ops.solver_matvec import solve_matvec_loop
 
     cfg = SolverConfig(backend="auto")
     backend = resolve_backend(cfg, DIM)
-    solve = jax.jit(_solve_fn(cfg, backend, DIM))
     H = jax.block_until_ready(fixtures.hilbert_matrix(DIM))
 
-    res = solve(H)
+    # Parity + correctness on the production entry point.
+    res = jax.jit(_solve_fn(cfg, backend, DIM))(H)
     rounds = int(res.rounds)
     if rounds != ROUNDS_EXPECTED:
         print(
             f"WARNING: round-count parity broken: {rounds} != {ROUNDS_EXPECTED}",
             file=sys.stderr,
         )
+    lam = float(res.eigenvalue)
 
-    # transport calibration: empty executable + scalar fetch
-    trivial = jax.jit(lambda x: x + 1.0)
-    rtt_ms = _median_ms(lambda: _sync_scalar(trivial(jnp.float32(1.0))))
+    use_pallas = backend == "matvec_pallas"
+    br, bc = _resolve_blocks(cfg, DIM)
+    interpret = auto_interpret()
 
-    wall_ms = _median_ms(lambda: _sync_scalar(solve(H).eigenvalue))
-    device_ms = max(wall_ms - rtt_ms, 1e-3)
+    def chain(k: int):
+        @jax.jit
+        def run(H: jax.Array) -> jax.Array:
+            def body(i, acc):
+                # 1 + λ·1e-38 is exactly 1.0f at runtime (the iteration is
+                # also scale-invariant in ev regardless), but the runtime
+                # dependence defeats hoisting/CSE of the k solves.
+                s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+
+                def matvec(ev):
+                    evs = ev * s
+                    if use_pallas:
+                        from eigen_value_tpu.ops.pallas import kernels
+
+                        y = kernels.matvec(
+                            H, evs, block_rows=br, block_cols=bc, interpret=interpret
+                        )
+                    else:
+                        y = H @ evs
+                    return y / evs
+
+                return solve_matvec_loop(H, matvec, EPS, MAX_ITR).eigenvalue
+
+            return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        return run
+
+    run_long, run_short = chain(CHAIN), chain(1)
+    lam_chain = _sync(run_long(H))
+    if abs(lam_chain - lam) > 1e-6:
+        print(f"WARNING: chained λ {lam_chain} != solve λ {lam}", file=sys.stderr)
+
+    t_long = _min_ms(lambda: _sync(run_long(H)))
+    t_short = _min_ms(lambda: _sync(run_short(H)))
+    device_ms = max((t_long - t_short) / (CHAIN - 1), 1e-3)
 
     print(
         json.dumps(
@@ -73,8 +118,9 @@ def main() -> None:
                 "value": round(device_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / device_ms, 2),
-                "wall_ms": round(wall_ms, 3),
-                "transport_rtt_ms": round(rtt_ms, 3),
+                "wall_chain_ms": round(t_long, 3),
+                "wall_single_ms": round(t_short, 3),
+                "chain": CHAIN,
                 "rounds": rounds,
                 "backend": backend,
             }

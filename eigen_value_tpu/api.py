@@ -41,29 +41,34 @@ def resolve_backend(config: SolverConfig, n: int) -> str:
     """
     if config.backend != "auto":
         return config.backend
-    if pick_block(n, config.block_rows) is None:
+    if pick_block(n, config.block_rows or 128) is None:
         return "matvec"  # unaligned dims (e.g. the 3×3 anchor): jnp matvec
     if _on_tpu() or config.interpret:
         return "matvec_pallas"
     return "matvec"
 
 
-def _resolve_blocks(config: SolverConfig, n: Optional[int]) -> Tuple[int, int]:
-    """Pallas tile shape for a dim-n solve: the configured blocks when they
-    divide n, otherwise the largest aligned divisors (384, 640, ... are
-    128-aligned but not divisible by the 256/512 defaults)."""
+def _resolve_blocks(
+    config: SolverConfig, n: Optional[int], backend: str = "matvec_pallas"
+) -> Tuple[int, int]:
+    """Pallas tile shape for a dim-n solve.
+
+    Defaults are the measured-best shapes per backend (512×512 for the
+    matvec kernel, 256×512 for the fused scale+rowsum kernel); explicit
+    config values win.  When ``n`` is known, blocks shrink to the largest
+    aligned divisors (384, 640, ... are 128-aligned but not divisible by
+    the 256/512 defaults)."""
+    rows = config.block_rows or (512 if backend.startswith("matvec") else 256)
+    cols = config.block_cols or 512
     if n is None:
-        return config.block_rows, config.block_cols
-    return (
-        pick_block(n, config.block_rows) or config.block_rows,
-        pick_block(n, config.block_cols) or config.block_cols,
-    )
+        return rows, cols
+    return (pick_block(n, rows) or rows, pick_block(n, cols) or cols)
 
 
 def _solve_fn(config: SolverConfig, backend: str, n: Optional[int] = None):
     """Build the solve callable for ``backend``; ``n`` (when known) adapts
     the Pallas tile shape to the dim so every 128-aligned dim works."""
-    block_rows, block_cols = _resolve_blocks(config, n)
+    block_rows, block_cols = _resolve_blocks(config, n, backend)
     if backend == "pallas":
         from .ops.solver_pallas import solve_pallas
 

@@ -48,7 +48,9 @@ class SolverConfig:
       block_rows / block_cols: Pallas tile shape for the n² passes. These
         play the role of the reference's work-group size knob
         (wrapper/similarity_transform.cpp:24-33) but are chosen for
-        VMEM/VPU tiling instead of SIMD width.
+        VMEM/VPU tiling instead of SIMD width. ``None`` (default) picks
+        the measured-best shape per backend: 256×512 for the fused
+        scale+rowsum kernel, 512×512 for the matvec kernel.
       interpret: force Pallas interpret mode (None = auto: interpret
         whenever not running on a real TPU). Interpret mode doubles as the
         CI "sanitizer" run (SURVEY.md §5).
@@ -58,8 +60,8 @@ class SolverConfig:
     max_itr: int = MAX_ITR
     dtype: Any = jnp.float32
     backend: str = "auto"
-    block_rows: int = 256
-    block_cols: int = 512
+    block_rows: Optional[int] = None
+    block_cols: Optional[int] = None
     interpret: Optional[bool] = None
     #: Optional reduced-precision MATRIX storage (e.g. jnp.bfloat16): halves
     #: HBM traffic per round on the matvec path; O(n) state stays float32.
