@@ -145,6 +145,24 @@ class TestBatched:
             np.asarray(got.eigenvector), np.asarray(want.eigenvector), atol=1e-5
         )
 
+    @pytest.mark.slow
+    def test_config4_full_scale(self, rng):
+        """BASELINE.json config 4 at its stated scale: 256 independent 512²
+        positive matrices, batch axis sharded across the 8-device mesh."""
+        mats = jnp.asarray(rng.random((256, 512, 512), dtype=np.float32) + 1e-4)
+        mesh = cpu_mesh(8, axis="batch")
+        got = jax.block_until_ready(solve_batched_sharded(mats, mesh))
+        assert np.asarray(got.converged).all()
+        # spot-check per-matrix results against independent single solves
+        for b in (0, 97, 255):
+            want = solve_xla(mats[b], EPS, MAX_ITR)
+            assert int(got.rounds[b]) == int(want.rounds)
+            assert abs(float(got.eigenvalue[b]) - float(want.eigenvalue)) < 1e-4
+        # eigen-pair property across the whole batch
+        Av = np.einsum("bij,bj->bi", np.asarray(mats), np.asarray(got.eigenvector))
+        lv = np.asarray(got.eigenvalue)[:, None] * np.asarray(got.eigenvector)
+        assert np.abs(Av - lv).max() < 1e-2  # 512² f32 row sums: looser atol
+
     def test_scaling_math(self):
         assert elems_per_second(100, 10, 2.0) == 10 * 100 * 100 / 2.0
         assert weak_scaling_efficiency(8.0, 8, 1.0) == 1.0
