@@ -112,7 +112,8 @@ def main(argv=None) -> int:
         if not args.json:
             for r in rows:
                 print(
-                    f"{r['dim']} x {r['dim']} on {r['shards']} shard(s): "
+                    f"[{r['solver']}] {r['dim']} x {r['dim']} on "
+                    f"{r['shards']} shard(s): "
                     f"{r['device_ms_est']:.2f} ms dev, {r['rounds']} round(s), "
                     f"{r['elems_per_s_per_chip']:.2e} elems/s/chip, "
                     f"eff {r['scaling_efficiency'] * 100:.0f}%"

@@ -138,37 +138,43 @@ def bench_sharded(
     from jax.sharding import Mesh
 
     from ..config import DEFAULT_CONFIG
-    from ..parallel.sharded import solve_sharded_matvec
+    from ..parallel.sharded import solve_sharded_matvec, solve_sharded_matvec_ring
 
     d = jax.config.jax_default_device
     devs = jax.devices(d.platform) if d is not None else jax.devices()
     counts = shard_counts or [p for p in (1, 2, 4, 8) if p <= len(devs)]
     rtt = measure_rtt_ms()
     A = fixtures.hilbert_matrix(dim)
-    rows, base_eps = [], None
-    for p in counts:
-        mesh = Mesh(np.array(devs[:p]), ("rows",))
-        fn = lambda: solve_sharded_matvec(A, mesh, config=DEFAULT_CONFIG)
-        res = fn()
-        rounds = int(res.rounds)
-        ms = time_call(fn, reps=reps)
-        dev_ms = max(ms - rtt, 1e-6)
-        eps_chip = rounds * dim * dim / (dev_ms * 1e-3) / p
-        if base_eps is None:
-            base_eps = eps_chip  # per-chip throughput at 1 shard
-        rows.append(
-            {
-                "bench": "sharded",
-                "dim": dim,
-                "shards": p,
-                "ms": ms,
-                "device_ms_est": dev_ms,
-                "rounds": rounds,
-                "elems_per_s_per_chip": eps_chip,
-                # ideal scaling keeps per-chip throughput flat
-                "scaling_efficiency": eps_chip / base_eps,
-            }
-        )
+    rows = []
+    for solver_name, solver in (
+        ("matvec_gather", solve_sharded_matvec),
+        ("matvec_ring", solve_sharded_matvec_ring),
+    ):
+        base_eps = None
+        for p in counts:
+            mesh = Mesh(np.array(devs[:p]), ("rows",))
+            fn = lambda: solver(A, mesh, config=DEFAULT_CONFIG)
+            res = fn()
+            rounds = int(res.rounds)
+            ms = time_call(fn, reps=reps)
+            dev_ms = max(ms - rtt, 1e-6)
+            eps_chip = rounds * dim * dim / (dev_ms * 1e-3) / p
+            if base_eps is None:
+                base_eps = eps_chip  # per-chip throughput at 1 shard
+            rows.append(
+                {
+                    "bench": "sharded",
+                    "solver": solver_name,
+                    "dim": dim,
+                    "shards": p,
+                    "ms": ms,
+                    "device_ms_est": dev_ms,
+                    "rounds": rounds,
+                    "elems_per_s_per_chip": eps_chip,
+                    # ideal scaling keeps per-chip throughput flat
+                    "scaling_efficiency": eps_chip / base_eps,
+                }
+            )
     return rows
 
 

@@ -11,6 +11,7 @@ from .sharded import (
     solve_batched_rowsharded,
     solve_sharded,
     solve_sharded_matvec,
+    solve_sharded_matvec_ring,
 )
 
 __all__ = [
@@ -22,5 +23,6 @@ __all__ = [
     "solve_multihost",
     "solve_sharded",
     "solve_sharded_matvec",
+    "solve_sharded_matvec_ring",
     "make_row_mesh",
 ]

@@ -244,6 +244,132 @@ def solve_sharded_matvec(
     )
 
 
+def _shard_matvec_ring_body(eps: float, max_itr: int, axis_name: str):
+    """Fully distributed matvec-form loop with RING-pipelined communication.
+
+    The plain sharded loop (``_shard_matvec_body``) all_gathers the O(n)
+    vector, then runs the O(n²/P) local matvec — serializing a DCN/ICI
+    latency per round.  Here nothing is ever gathered: the eigenvector
+    stays sharded, and each round's matvec runs as P chunk-GEMVs while the
+    ev chunks rotate around the ring via ``lax.ppermute`` — the classic
+    TPU overlap pattern (BASELINE north star: "all-reduce ... overlapped
+    with row-sum pass").  XLA's latency-hiding scheduler issues the next
+    permute before the current chunk's GEMV completes, hiding the wire
+    time behind compute; per round the only blocking collectives are three
+    scalar reductions (max, stop, λ).
+
+    Chunk partials are accumulated in source order (not arrival order) so
+    the row-sum reduction order — and therefore the float32 round count —
+    is identical on every shard and independent of P.
+    """
+
+    def solve_block(A_blk: jax.Array) -> SolveResult:
+        n_loc, n = A_blk.shape
+        dtype = A_blk.dtype
+        p = lax.axis_index(axis_name)
+        n_shards = n // n_loc
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def ring_matvec(ev_loc):
+            """(A_blk @ ev_full)[local rows] without materializing ev_full:
+            rotate ev chunks through the ring, one chunk-GEMV per step."""
+
+            def step(s, carry):
+                chunk, parts = carry
+                src = (p - s) % n_shards  # owner of the chunk now held
+                y = lax.dynamic_slice(
+                    A_blk, (jnp.int32(0), src * n_loc), (n_loc, n_loc)
+                ) @ chunk
+                parts = lax.dynamic_update_slice(
+                    parts, y[None, :], (src, jnp.int32(0))
+                )
+                chunk = lax.ppermute(chunk, axis_name, perm)
+                return chunk, parts
+
+            parts0 = jnp.zeros((n_shards, n_loc), dtype)
+            _, parts = lax.fori_loop(0, n_shards, step, (ev_loc, parts0))
+            return jnp.sum(parts, axis=0)  # fixed source order: P-invariant
+
+        def next_v(ev_loc):
+            return ring_matvec(ev_loc) / ev_loc
+
+        def stop_and_lam(v_loc):
+            """Wraparound stop + λ readout from shard-local slices: the
+            neighbor of the last local element is the NEXT shard's first
+            element (one tiny ppermute), λ = global v[0] (shard 0's first
+            element, broadcast via psum of a masked scalar)."""
+            e = jnp.asarray(eps, dtype)
+            first_of_next = lax.ppermute(
+                v_loc[0], axis_name, [((i + 1) % n_shards, i) for i in range(n_shards)]
+            )
+            ok_local = jnp.all(jnp.abs(v_loc[1:] - v_loc[:-1]) < e) & (
+                jnp.abs(first_of_next - v_loc[-1]) < e
+            )
+            done = lax.pmin(ok_local.astype(jnp.int32), axis_name) > 0
+            lam = lax.psum(jnp.where(p == 0, v_loc[0], jnp.zeros((), dtype)), axis_name)
+            return done, lam
+
+        ev0 = jnp.ones((n_loc,), dtype)
+        v0 = next_v(ev0)
+
+        def cond(c):
+            ev, v, lam, i, done = c
+            return jnp.logical_not(done) & (i < max_itr)
+
+        def body(c):
+            ev, v, lam, i, done = c
+            m = lax.pmax(jnp.max(v), axis_name)
+            ev = ev * (v / m)
+            done, lam = stop_and_lam(v)
+            v = lax.cond(done, lambda e: c[1], next_v, ev)
+            i = jnp.where(done, i, i + 1)
+            return (ev, v, lam, i, done)
+
+        init = (
+            ev0,
+            v0,
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        )
+        ev, v, lam, i, done = lax.while_loop(cond, body, init)
+        return SolveResult(lam, ev, i, done)
+
+    return solve_block
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr"))
+def _solve_sharded_ring_jit(A, mesh, axis_name, eps, max_itr):
+    solve_block = _shard_matvec_ring_body(eps, max_itr, axis_name)
+    fn = shard_map(
+        solve_block,
+        mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=SolveResult(P(), P(axis_name), P(), P()),
+        check_vma=False,  # λ/rounds/done are replicated by construction
+    )
+    return fn(A)
+
+
+def solve_sharded_matvec_ring(
+    A: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "rows",
+    config: SolverConfig = DEFAULT_CONFIG,
+) -> SolveResult:
+    """Row-partitioned matvec-form solve with ring-pipelined communication
+    (no all_gather; ev chunks rotate via ppermute, overlapped with the
+    chunk GEMVs).  Preferred over :func:`solve_sharded_matvec` when the
+    per-round gather latency is visible — large meshes or DCN-spanning
+    meshes where O(n) wire time rivals the O(n²/P) local pass."""
+    n = A.shape[0]
+    n_shards = mesh.shape[axis_name]
+    if n % n_shards != 0:
+        raise ValueError(f"dim {n} not divisible by {n_shards} shards")
+    A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
+    return _solve_sharded_ring_jit(A, mesh, axis_name, config.eps, config.max_itr)
+
+
 @partial(jax.jit, static_argnames=("mesh", "batch_axis", "row_axis", "eps", "max_itr"))
 def _solve_batched_rowsharded_jit(As, mesh, batch_axis, row_axis, eps, max_itr):
     solve_block = _shard_matvec_body(eps, max_itr, row_axis)
