@@ -151,8 +151,17 @@ class EigenValue:
     hard-asserts float32).
     """
 
-    def __init__(self, config: SolverConfig = DEFAULT_CONFIG) -> None:
+    def __init__(
+        self,
+        config: SolverConfig = DEFAULT_CONFIG,
+        device: Optional[jax.Device] = None,
+    ) -> None:
+        """``device`` pins all solves to one device — the analog of the
+        reference's SYCL device selection at queue construction
+        (wrapper/similarity_transform.cpp:4-12, default_selector in
+        main.cpp:10).  None = the platform default."""
         self.config = config
+        self.device = device
         self._compiled = {}
 
     def _get_compiled(self, n: int, dtype):
@@ -161,11 +170,16 @@ class EigenValue:
         fn = self._compiled.get(key)
         if fn is None:
             solve = _solve_fn(self.config, backend, n)
-            fn = (
-                jax.jit(solve)
-                .lower(jax.ShapeDtypeStruct((n, n), dtype))
-                .compile()
+            aval = jax.ShapeDtypeStruct(
+                (n, n),
+                dtype,
+                sharding=(
+                    jax.sharding.SingleDeviceSharding(self.device)
+                    if self.device is not None
+                    else None
+                ),
             )
+            fn = jax.jit(solve).lower(aval).compile()
             self._compiled[key] = fn
         return fn
 
@@ -180,6 +194,8 @@ class EigenValue:
         self, mat
     ) -> Tuple[np.float32, np.ndarray, float, int]:
         mat = jnp.asarray(mat, self.config.dtype)
+        if self.device is not None:
+            mat = jax.device_put(mat, self.device)
         m, n = mat.shape
         assert m == n, "must be square matrix of floating points !"
         fn = self._get_compiled(n, mat.dtype)

@@ -1,0 +1,51 @@
+"""device.py helpers + EigenValue device pinning + profiling utils."""
+
+import jax
+import numpy as np
+import pytest
+
+from eigen_value_tpu import EigenValue
+from eigen_value_tpu.device import auto_interpret, on_tpu, pick_block
+from eigen_value_tpu.utils import profiling
+
+
+def test_pick_block_table():
+    assert pick_block(8192, 512) == 512
+    assert pick_block(8192, 256) == 256
+    assert pick_block(384, 512) == 128
+    assert pick_block(640, 512) == 128
+    assert pick_block(1024, 1024) == 1024
+    assert pick_block(130, 512) is None
+    assert pick_block(3, 256) is None
+
+
+def test_on_tpu_respects_default_device_pin():
+    # conftest pins the default device to CPU
+    assert on_tpu() is False
+    assert auto_interpret() is True
+
+
+def test_eigenvalue_device_pinning(rng):
+    dev = jax.devices("cpu")[0]
+    ev = EigenValue(device=dev)
+    mat = rng.random((128, 128), dtype=np.float32)
+    lam, vec, _, rounds = ev.similarity_transform(mat)
+    assert np.allclose(mat @ vec, lam * vec, atol=1e-3)
+    assert 0 < rounds <= 1000
+
+
+def test_profiling_trace_and_annotate(tmp_path, rng):
+    from eigen_value_tpu import max_eigenvalue
+
+    mat = rng.random((64, 64), dtype=np.float32)
+    with profiling.trace(str(tmp_path / "trace")) as d:
+        with profiling.annotate("solve"):
+            res = max_eigenvalue(mat)
+            jax.block_until_ready(res)
+    assert d == str(tmp_path / "trace")
+    assert bool(res.converged)
+
+
+def test_device_memory_stats_shape():
+    stats = profiling.device_memory_stats()
+    assert stats is None or isinstance(stats, dict)
