@@ -50,7 +50,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eigen_value_tpu.bench")
     p.add_argument(
         "--suite",
-        choices=["e2e", "kernels", "vector", "sharded", "native", "all"],
+        choices=["e2e", "kernels", "vector", "sharded", "multihost", "native", "all"],
         default="all",
     )
     p.add_argument("--dims", type=int, nargs="*", help="matrix dims to sweep")
@@ -116,6 +116,18 @@ def main(argv=None) -> int:
                     f"{r['shards']} shard(s): "
                     f"{r['device_ms_est']:.2f} ms dev, {r['rounds']} round(s), "
                     f"{r['elems_per_s_per_chip']:.2e} elems/s/chip, "
+                    f"eff {r['scaling_efficiency'] * 100:.0f}%"
+                )
+    if args.suite == "multihost":
+        rows = suite.bench_multihost(dim=(args.dims or [2048])[0], reps=args.reps)
+        all_rows += rows
+        if not args.json:
+            for r in rows:
+                print(
+                    f"{r['processes']} process(es) x "
+                    f"{r['global_devices'] // r['processes']} device(s): "
+                    f"{r['dim']} x {r['dim']}  {r['ms']:.2f} ms, "
+                    f"{r['rounds']} round(s), {r['elems_per_s']:.2e} elems/s, "
                     f"eff {r['scaling_efficiency'] * 100:.0f}%"
                 )
     if args.suite in ("vector", "all"):

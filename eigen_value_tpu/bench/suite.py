@@ -178,6 +178,93 @@ def bench_sharded(
     return rows
 
 
+def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
+    """Multi-process scaling report (BASELINE north star: elems/s at 1 host
+    and N≥2 hosts).  Spawns the same total device count as 1 process × 8
+    devices and as 2 processes × 4 devices (a simulated 2-host slice with
+    a real jax.distributed process group + gloo cross-process collectives);
+    efficiency = multi-process throughput / single-process throughput,
+    isolating the cross-"host" exchange overhead of the per-round gather.
+
+    NOTE: on the CPU harness the cross-process collective backend is gloo
+    over loopback (~ms per round) — the efficiency column here validates
+    the multi-host FLOW and exposes the exchange count; it does not model
+    TPU DCN latency (~10 µs/hop), where the same exchange is invisible
+    next to the O(n²/P) per-round compute.
+    """
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    def _free_port() -> int:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo_parent = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        filter(None, [repo_parent, env.get("PYTHONPATH")])
+    )
+
+    def run(num_processes: int, local_devices: int) -> List[dict]:
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-m",
+                    "eigen_value_tpu.bench.mh_worker",
+                    "--process-id",
+                    str(pid),
+                    "--num-processes",
+                    str(num_processes),
+                    "--coordinator",
+                    f"127.0.0.1:{port}",
+                    "--dim",
+                    str(dim),
+                    "--local-devices",
+                    str(local_devices),
+                    "--reps",
+                    str(reps),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+            )
+            for pid in range(num_processes)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            if p.returncode != 0:
+                raise RuntimeError(f"mh_worker failed:\n{err[-2000:]}")
+            outs.append(_json.loads(out.strip().splitlines()[-1]))
+        return outs
+
+    single = run(1, 8)[0]
+    multi = run(2, 4)[0]
+    rows = []
+    for r in (single, multi):
+        rows.append(
+            {
+                "bench": "multihost",
+                "processes": r["num_processes"],
+                "global_devices": r["global_devices"],
+                "dim": r["dim"],
+                "ms": r["ms"],
+                "rounds": r["rounds"],
+                "elems_per_s": r["elems_per_s"],
+                "scaling_efficiency": r["elems_per_s"] / single["elems_per_s"],
+            }
+        )
+    return rows
+
+
 def _rowsum_bias_pallas(
     A: jax.Array, bias: jax.Array, *, block_rows: int, block_cols: int, interpret: bool
 ) -> jax.Array:
