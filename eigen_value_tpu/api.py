@@ -120,7 +120,13 @@ def max_eigenvalue(
     accumulators with 0 and silently return garbage on non-positive input;
     pass ``validate=True`` to check on device and raise instead).
     """
-    mat = jnp.asarray(mat, config.dtype)
+    mat = jnp.asarray(mat)
+    if config.storage_dtype is not None and mat.dtype == jnp.dtype(
+        config.storage_dtype
+    ):
+        pass  # already quantized — don't round-trip through a f32 copy
+    else:
+        mat = mat.astype(config.dtype)
     if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
         raise ValueError(f"must be a square matrix, got shape {mat.shape}")
     if validate and not bool(jnp.all(mat > 0)):

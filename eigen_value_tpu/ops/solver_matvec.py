@@ -51,10 +51,17 @@ class _Carry(NamedTuple):
     done: jax.Array
 
 
-def solve_matvec_loop(A: jax.Array, matvec, eps: float, max_itr: int) -> SolveResult:
-    """Convergence loop over a pluggable ``matvec(ev) -> (A @ ev) / ev``."""
+def solve_matvec_loop(
+    A: jax.Array, matvec, eps: float, max_itr: int, state_dtype=None
+) -> SolveResult:
+    """Convergence loop over a pluggable ``matvec(ev) -> (A @ ev) / ev``.
+
+    ``state_dtype`` sets the dtype of the O(n) iteration state (ev, v, λ,
+    stop check) independently of the matrix storage — reduced-precision
+    storage keeps float32 state (bf16 cannot even represent the 1e-3 stop
+    tolerance at λ-scale values)."""
     n = A.shape[0]
-    dtype = A.dtype
+    dtype = state_dtype or A.dtype
     ev0 = jnp.ones((n,), dtype)
     v0 = matvec(ev0)  # == row sums of A_0
 
@@ -105,6 +112,11 @@ def solve_matvec_storage(
     the float32 reference (measured exact 9/…/17 parity on TPU v5e at every
     benchmark dim, but that is accumulation-order luck, not a contract).
     This is the opt-in fast mode; default stays float32.
+
+    ``A`` may already be in ``storage_dtype`` (the cast is then a no-op) —
+    how dims whose float32 copy would not fit HBM are solved (65536² bf16
+    = 8 GB, generated on device directly in bf16); the O(n) state is
+    float32 regardless.
     """
     Aq = A.astype(storage_dtype)
 
@@ -112,7 +124,7 @@ def solve_matvec_storage(
         y = jnp.dot(Aq, ev.astype(storage_dtype), preferred_element_type=jnp.float32)
         return y / ev
 
-    return solve_matvec_loop(A, matvec, eps, max_itr)
+    return solve_matvec_loop(Aq, matvec, eps, max_itr, state_dtype=jnp.float32)
 
 
 @partial(

@@ -10,6 +10,10 @@ On a real multi-host slice, call eigen_value_tpu.parallel.multihost
 (see tests/multihost_worker.py for the full multi-process flow).
 """
 
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

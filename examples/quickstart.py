@@ -7,6 +7,10 @@ API and the bf16 fast mode.
 Run: python examples/quickstart.py
 """
 
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax.numpy as jnp

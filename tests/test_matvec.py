@@ -92,6 +92,29 @@ class TestSolveMatvecBf16:
         assert res.eigenvector.dtype == jnp.float32
         assert res.eigenvalue.dtype == jnp.float32
 
+    def test_prequantized_input_matches_cast_path(self):
+        """A matrix already in the storage dtype (how 65536²-scale solves
+        avoid ever materializing a f32 copy) must give bit-identical
+        results to the cast-from-f32 path, with f32 state."""
+        H = fixtures.hilbert_matrix(256)
+        Hq = H.astype(jnp.bfloat16)  # the exact quantization the cast path does
+        a = solve_matvec_storage(H, EPS, MAX_ITR)
+        b = solve_matvec_storage(Hq, EPS, MAX_ITR)
+        assert b.eigenvector.dtype == jnp.float32
+        assert int(a.rounds) == int(b.rounds)
+        assert float(a.eigenvalue) == float(b.eigenvalue)
+        np.testing.assert_array_equal(
+            np.asarray(a.eigenvector), np.asarray(b.eigenvector)
+        )
+
+    def test_api_accepts_prequantized(self):
+        from eigen_value_tpu import SolverConfig, max_eigenvalue
+
+        Hq = fixtures.hilbert_matrix(128, dtype=jnp.bfloat16)
+        res = max_eigenvalue(Hq, SolverConfig(storage_dtype=jnp.bfloat16))
+        assert bool(res.converged)
+        assert res.eigenvalue.dtype == jnp.float32
+
 
 class TestSolveMatvecPallas:
     @pytest.mark.parametrize("n", [128, 512])
