@@ -44,7 +44,9 @@ VECTOR_SIZES = [1 << p for p in range(16, 26, 3)]  # 2^16..2^25 (main.cpp:78)
 # CLI's --device cpu (and any non-TPU host) runs the full ladder.
 E2E_BACKENDS: Dict[str, Callable] = {
     "xla": lambda A: solve_xla(A, EPS, MAX_ITR),
-    "pallas_fused": lambda A: solve_pallas(A, EPS, MAX_ITR, 256, 512, None),
+    "pallas_fused": lambda A: solve_pallas(
+        A, EPS, MAX_ITR, min(512, A.shape[0]), min(1024, A.shape[0]), None
+    ),
     "matvec": lambda A: solve_matvec(A, EPS, MAX_ITR),
     "matvec_pallas": lambda A: solve_matvec_pallas(
         A, EPS, MAX_ITR, 512, 512, auto_interpret()

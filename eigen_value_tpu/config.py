@@ -49,7 +49,7 @@ class SolverConfig:
         play the role of the reference's work-group size knob
         (wrapper/similarity_transform.cpp:24-33) but are chosen for
         VMEM/VPU tiling instead of SIMD width. ``None`` (default) picks
-        the measured-best shape per backend: 256×512 for the fused
+        the measured-best shape per backend: 512×1024 for the fused
         scale+rowsum kernel, 512×512 for the matvec kernel.
       interpret: force Pallas interpret mode (None = auto: interpret
         whenever not running on a real TPU). Interpret mode doubles as the
