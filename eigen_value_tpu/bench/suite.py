@@ -332,6 +332,10 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
         ones = jnp.ones((n,), jnp.float32)
         br, bc = min(512, n), min(512, n)
         pk = dict(block_rows=br, block_cols=bc, interpret=auto_interpret())
+        # the read+write kernels are measured-best at wider column tiles
+        pk_wide = dict(
+            block_rows=br, block_cols=min(1024, n), interpret=auto_interpret()
+        )
 
         def rowsum_xla_step(i, s):
             # scalar bias keeps the chain data-dependent; XLA fuses the add
@@ -347,11 +351,11 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
             Ai, vi = s
             return (Ai * ((1 / vi)[:, None] * vi[None, :]), vi)
 
-        def scale_pallas_step(i, s, _pk=pk):
+        def scale_pallas_step(i, s, _pk=pk_wide):
             Ai, vi = s
             return (kernels.scale(Ai, vi, **_pk), vi)
 
-        def scale_rowsum_step(i, s, _pk=pk):
+        def scale_rowsum_step(i, s, _pk=pk_wide):
             return kernels.scale_rowsum(s[0], s[1], **_pk)
 
         def matvec_xla_step(i, s):
