@@ -316,3 +316,134 @@ def scale_rowsum(
         interpret=interpret,
     )(A, inv_v, v_row)
     return A_out, v_out[:, 0]
+
+
+def _round_fused_kernel(
+    a_ref,
+    evrow_ref,
+    vrow_ref,
+    evcol_ref,
+    vcol_ref,
+    vfull_ref,
+    vnext_ref,
+    evnew_ref,
+    done_ref,
+    lam_ref,
+    m_ref,
+    *,
+    eps,
+):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        v = vfull_ref[...]  # (1, n)
+        n = v.shape[1]
+        m_ref[0, 0] = jnp.max(v)
+        # neighbor-with-wraparound via lane roll: element k pairs with
+        # v[(k+1) % n] (reference stop semantics, cpp:385-417)
+        nbr = pltpu.roll(v, shift=n - 1, axis=1)
+        done_ref[0, 0] = jnp.all(jnp.abs(v - nbr) < eps).astype(jnp.int32)
+        lam_ref[0, 0] = v[0, 0]
+
+    m = m_ref[0, 0]
+    evs_c = evrow_ref[...] * (vrow_ref[...] / m)  # (1, bc): updated ev chunk
+
+    @pl.when(i == 0)
+    def _():
+        evnew_ref[...] = evs_c
+
+    part = jnp.sum(a_ref[...] * evs_c, axis=1, keepdims=True)  # (br, 1)
+
+    @pl.when(j == 0)
+    def _():
+        vnext_ref[...] = part
+
+    @pl.when(j != 0)
+    def _():
+        vnext_ref[...] += part
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        evs_r = evcol_ref[...] * (vcol_ref[...] / m)  # (br, 1)
+        vnext_ref[...] = vnext_ref[...] / evs_r
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_rows", "block_cols", "interpret")
+)
+def round_fused(
+    A: jax.Array,
+    ev: jax.Array,
+    v: jax.Array,
+    *,
+    eps: float,
+    block_rows: int = 512,
+    block_cols: int = 512,
+    interpret: bool = False,
+):
+    """ONE kernel = one full round of the matvec-form solver.
+
+    Fuses everything the round body does — find_max (cpp:154-227), the
+    eigenvector update (cpp:229-265), the wraparound stop check
+    (cpp:332-460), the λ readout (cpp:60-65), and the O(n²) matvec that
+    subsumes sum_across_rows/compute_next_matrix (see solver_matvec.py) —
+    into a single Pallas call.  Motivation: measured in the production
+    `lax.while_loop`, the O(n) glue between kernel invocations costs
+    ~45 µs/round (~13% of the round); the scalars live in SMEM, written
+    at grid step (0,0) and read by every later step of the sequential
+    grid.  Measured on v5e this does NOT beat the cond-skip loop (see
+    solve_fused_round) — retained as the documented end of the
+    optimization ladder.
+
+    Returns ``(v_next, ev_new, done, lam)`` where, matching the reference
+    ordering exactly: ``m = max(v)``; ``ev_new = ev · v/m``;
+    ``done = all |v[k] − v[(k+1)%n]| < eps``; ``lam = v[0]``; and
+    ``v_next = (A @ ev_new) / ev_new`` (row-sum vector of the next
+    iterate; garbage-but-cheap to discard when ``done``).  Reduction
+    order of the matvec is identical to :func:`matvec` (same tiling), so
+    round counts are unchanged.
+    """
+    n, ncols = A.shape
+    br, bc = min(block_rows, n), min(block_cols, ncols)
+    assert n % br == 0 and ncols % bc == 0, (n, ncols, br, bc)
+
+    ev_row, v_row = ev[None, :], v[None, :]
+    ev_col, v_col = ev[:, None], v[:, None]
+
+    vnext, evnew, done, lam = pl.pallas_call(
+        functools.partial(_round_fused_kernel, eps=float(eps)),
+        grid=(n // br, ncols // bc),
+        in_specs=[
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncols), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), A.dtype),
+            jax.ShapeDtypeStruct((1, ncols), A.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), A.dtype),
+        ),
+        scratch_shapes=[pltpu.SMEM((1, 1), A.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ncols,
+            bytes_accessed=n * ncols * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, ev_row, v_row, ev_col, v_col, v_row)
+    return vnext[:, 0], evnew[0, :], done[0, 0] > 0, lam[0, 0]

@@ -11,6 +11,7 @@ from eigen_value_tpu import fixtures
 from eigen_value_tpu.ops.pallas import kernels
 from eigen_value_tpu.ops.solver import solve_xla
 from eigen_value_tpu.ops.solver_matvec import (
+    solve_fused_round,
     solve_matvec,
     solve_matvec_pallas,
     solve_matvec_storage,
@@ -128,3 +129,16 @@ class TestSolveMatvecPallas:
         res = solve_matvec_pallas(jnp.asarray(mat), EPS, MAX_ITR, 128, 128, True)
         v = np.asarray(res.eigenvector)
         assert np.allclose(mat @ v, float(res.eigenvalue) * v, atol=1e-3)
+
+    @pytest.mark.parametrize("n", [128, 256, 512])
+    def test_fused_round_kernel_bitexact(self, n):
+        """The one-kernel-per-round solver (SMEM scalars, full-array v
+        block) must be bit-exact vs the production cond-skip loop."""
+        H = fixtures.hilbert_matrix(n)
+        a = solve_matvec_pallas(H, EPS, MAX_ITR, interpret=True)
+        b = solve_fused_round(H, EPS, MAX_ITR, interpret=True)
+        assert int(a.rounds) == int(b.rounds) == fixtures.HILBERT_ROUNDS[n]
+        assert float(a.eigenvalue) == float(b.eigenvalue)
+        np.testing.assert_array_equal(
+            np.asarray(a.eigenvector), np.asarray(b.eigenvector)
+        )
