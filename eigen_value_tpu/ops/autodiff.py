@@ -43,3 +43,59 @@ def _bwd(eps, max_itr, residuals, lam_bar):
 
 
 eigenvalue.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def eigenpair(A: jax.Array, eps: float = EPS, max_itr: int = MAX_ITR):
+    """``(λ, v)`` of a positive square matrix, differentiable in A — both
+    the eigenvalue AND the eigenvector.
+
+    The returned ``v`` is explicitly normalized to ``max component = 1``
+    (the solver's nominal convention, SURVEY.md §0, here enforced exactly
+    so differentiation has a well-defined constraint): ``e_jᵀ v = 1``
+    with ``j = argmax(v)``, locally constant for a simple Perron
+    eigenpair, so differentiable almost everywhere.
+
+    Backward pass: the eigen-equation differential with the normalization
+    gives the bordered linear system
+
+        [[A − λI, −v], [e_jᵀ, 0]] [dv; dλ] = [−dA·v; 0]
+
+    whose (n+1)×(n+1) matrix K is nonsingular for a simple eigenpair even
+    though A − λI itself is singular.  The VJP solves the adjoint system
+    Kᵀ[w; s] = [v̄; λ̄] (GMRES, matvec against the SAME resident A — no
+    factorization, no transpose copy) and returns Ā = −w vᵀ.  For v̄ = 0
+    this reduces analytically to the Perron adjoint λ̄·u vᵀ/(uᵀv) used by
+    :func:`eigenvalue`.
+    """
+    res = solve_matvec(A, eps, max_itr)
+    v = res.eigenvector / jnp.max(res.eigenvector)
+    return res.eigenvalue, v
+
+
+def _pair_fwd(A, eps, max_itr):
+    lam, v = eigenpair(A, eps, max_itr)
+    return (lam, v), (A, lam, v)
+
+
+def _pair_bwd(eps, max_itr, residuals, cotangents):
+    A, lam, v = residuals
+    lam_bar, v_bar = cotangents
+    n = A.shape[0]
+    ej = jax.nn.one_hot(jnp.argmax(v), n, dtype=A.dtype)
+
+    def KT_mv(ws):
+        w, s = ws[:n], ws[n]
+        top = (w @ A) - lam * w + ej * s  # (Aᵀ − λI)w + e_j·s
+        bot = -jnp.dot(v, w)
+        return jnp.concatenate([top, bot[None]])
+
+    rhs = jnp.concatenate([v_bar, lam_bar[None]])
+    sol, _ = jax.scipy.sparse.linalg.gmres(
+        KT_mv, rhs, tol=1e-9, atol=0.0, maxiter=10 * (n + 1), solve_method="batched"
+    )
+    w = sol[:n]
+    return (-(w[:, None] * v[None, :]),)
+
+
+eigenpair.defvjp(_pair_fwd, _pair_bwd)

@@ -46,3 +46,76 @@ def test_jittable(rng):
     lam = jax.jit(eigenvalue)(m)
     g = jax.jit(jax.grad(eigenvalue))(m)
     assert np.isfinite(float(lam)) and np.isfinite(np.asarray(g)).all()
+
+
+class TestEigenpair:
+    """Eigenvector VJP via the bordered adjoint system."""
+
+    def _setup(self, n=12, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        A = rng.random((n, n)) + 0.1  # float64 under x64
+        lam_bar = rng.standard_normal()
+        v_bar = rng.standard_normal(n)
+        E = rng.standard_normal((n, n))
+        return A, lam_bar, v_bar, E
+
+    def test_vjp_matches_finite_differences(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        enable_x64 = jax.enable_x64
+
+        from eigen_value_tpu.ops.autodiff import eigenpair
+
+        with enable_x64():
+            A, lam_bar, v_bar, E = self._setup()
+            A = jnp.asarray(A)
+            E = jnp.asarray(E)
+            lam_bar = jnp.asarray(lam_bar)
+            v_bar = jnp.asarray(v_bar)
+
+            # tight eps: the VJP is exact at the true eigenpair, so the
+            # forward solve must be converged well past the FD step size
+            (lam, v), vjp_fn = jax.vjp(lambda M: eigenpair(M, 1e-12, 100000), A)
+            (dA,) = vjp_fn((lam_bar, v_bar))
+            got = float(jnp.sum(dA * E))
+
+            def g(M):
+                l, w = eigenpair(M, 1e-12, 100000)
+                return float(lam_bar) * float(l) + float(jnp.dot(v_bar, w))
+
+            h = 1e-7
+            fd = (g(A + h * E) - g(A - h * E)) / (2 * h)
+            assert got == pytest.approx(fd, rel=1e-4, abs=1e-8)
+
+    def test_reduces_to_eigenvalue_adjoint(self):
+        """v̄ = 0 must reproduce the closed-form Perron adjoint."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        enable_x64 = jax.enable_x64
+
+        from eigen_value_tpu.ops.autodiff import eigenpair, eigenvalue
+
+        with enable_x64():
+            A, _, _, _ = self._setup(seed=5)
+            A = jnp.asarray(A)
+            _, vjp_fn = jax.vjp(lambda M: eigenpair(M, 1e-12, 100000), A)
+            (dA,) = vjp_fn((jnp.asarray(1.0), jnp.zeros(A.shape[0])))
+            g_closed = jax.grad(lambda M: eigenvalue(M, 1e-12, 100000))(A)
+            np.testing.assert_allclose(
+                np.asarray(dA), np.asarray(g_closed), rtol=1e-6, atol=1e-10
+            )
+
+    def test_normalization_max_is_one(self):
+        import numpy as np
+
+        from eigen_value_tpu import fixtures
+        from eigen_value_tpu.ops.autodiff import eigenpair
+
+        lam, v = eigenpair(fixtures.hilbert_matrix(128))
+        assert float(np.asarray(v).max()) == pytest.approx(1.0)
+        H = np.asarray(fixtures.hilbert_matrix(128))
+        assert np.allclose(H @ np.asarray(v), float(lam) * np.asarray(v), atol=1e-3)
