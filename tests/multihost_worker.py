@@ -24,6 +24,12 @@ def main() -> int:
     p.add_argument("--coordinator", required=True)
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--local-devices", type=int, default=4)
+    p.add_argument(
+        "--solver",
+        choices=["gather", "ring"],
+        default="gather",
+        help="per-round exchange: all_gather vs ring-pipelined ppermute",
+    )
     args = p.parse_args()
 
     # Env must be pinned before jax import (same dance as tests/conftest.py).
@@ -62,7 +68,12 @@ def main() -> int:
     local_rows = np.float32(1.0) / (r + c + 1).astype(np.float32)
 
     A = multihost.assemble_rowsharded(local_rows, mesh)
-    res = jax.block_until_ready(multihost.solve_multihost(A, mesh=mesh))
+    if args.solver == "ring":
+        from eigen_value_tpu.parallel import solve_sharded_matvec_ring
+
+        res = jax.block_until_ready(solve_sharded_matvec_ring(A, mesh))
+    else:
+        res = jax.block_until_ready(multihost.solve_multihost(A, mesh=mesh))
 
     # Global eigen-pair residual max|A·v − λ·v| computed on the mesh
     # (A stays row-sharded; GSPMD inserts the ev all-gather).

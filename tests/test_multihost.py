@@ -32,7 +32,8 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_solve_parity():
+@pytest.mark.parametrize("solver", ["gather", "ring"])
+def test_two_process_solve_parity(solver):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
@@ -53,6 +54,8 @@ def test_two_process_solve_parity():
                 f"127.0.0.1:{port}",
                 "--dim",
                 str(DIM),
+                "--solver",
+                solver,
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
