@@ -31,19 +31,26 @@ from .device import pick_block
 from .ops.solver import SolveResult, solve_xla
 
 
-def resolve_backend(config: SolverConfig, n: int) -> str:
+def resolve_backend(
+    config: SolverConfig, n: int, device: Optional[jax.Device] = None
+) -> str:
     """Resolve "auto" to a concrete backend for a dim-n solve.
 
     "auto" prefers the matvec (power-form) solver — algebraically the same
     iteration with 3× less HBM traffic per round than the reference's
     structure (see solver_matvec.py) — with its Pallas kernel when the dim
     is tile-aligned on TPU, falling back to jnp everywhere else.
+
+    ``device`` (when the solve is pinned, e.g. ``EigenValue(device=...)``)
+    overrides the default-platform check: the backend must match where
+    the computation actually runs, not the global default.
     """
     if config.backend != "auto":
         return config.backend
     if pick_block(n, config.block_rows or 128) is None:
         return "matvec"  # unaligned dims (e.g. the 3×3 anchor): jnp matvec
-    if _on_tpu() or config.interpret:
+    on_tpu = device.platform == "tpu" if device is not None else _on_tpu()
+    if on_tpu or config.interpret:
         return "matvec_pallas"
     return "matvec"
 
@@ -66,9 +73,15 @@ def _resolve_blocks(
     return (pick_block(n, rows) or rows, pick_block(n, cols) or cols)
 
 
-def _solve_fn(config: SolverConfig, backend: str, n: Optional[int] = None):
+def _solve_fn(
+    config: SolverConfig,
+    backend: str,
+    n: Optional[int] = None,
+    device: Optional[jax.Device] = None,
+):
     """Build the solve callable for ``backend``; ``n`` (when known) adapts
-    the Pallas tile shape to the dim so every 128-aligned dim works."""
+    the Pallas tile shape to the dim so every 128-aligned dim works;
+    ``device`` (when pinned) decides the Pallas interpret default."""
     block_rows, block_cols = _resolve_blocks(config, n, backend)
     if backend == "pallas":
         from .ops.solver_pallas import solve_pallas
@@ -79,7 +92,11 @@ def _solve_fn(config: SolverConfig, backend: str, n: Optional[int] = None):
             max_itr=config.max_itr,
             block_rows=block_rows,
             block_cols=block_cols,
-            interpret=config.interpret,
+            interpret=(
+                config.interpret
+                if config.interpret is not None or device is None
+                else device.platform != "tpu"
+            ),
         )
     if backend in ("matvec", "matvec_pallas") and config.storage_dtype is not None:
         from .ops.solver_matvec import solve_matvec_storage
@@ -99,7 +116,11 @@ def _solve_fn(config: SolverConfig, backend: str, n: Optional[int] = None):
             max_itr=config.max_itr,
             block_rows=block_rows,
             block_cols=block_cols,
-            interpret=bool(config.interpret) if config.interpret is not None else _auto_interpret(),
+            interpret=(
+                bool(config.interpret)
+                if config.interpret is not None
+                else (device.platform != "tpu" if device is not None else _auto_interpret())
+            ),
         )
     if backend == "matvec":
         from .ops.solver_matvec import solve_matvec
@@ -122,17 +143,19 @@ def max_eigenvalue(
     pass ``validate=True`` to check on device and raise instead).
     """
     mat = jnp.asarray(mat)
-    if config.storage_dtype is not None and mat.dtype == jnp.dtype(
-        config.storage_dtype
-    ):
-        pass  # already quantized — don't round-trip through a f32 copy
-    else:
-        mat = mat.astype(config.dtype)
     if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
         raise ValueError(f"must be a square matrix, got shape {mat.shape}")
+    backend = resolve_backend(config, mat.shape[0])
+    if (
+        config.storage_dtype is not None
+        and mat.dtype == jnp.dtype(config.storage_dtype)
+        and backend in ("matvec", "matvec_pallas")
+    ):
+        pass  # already quantized for the storage path — skip the f32 copy
+    else:
+        mat = mat.astype(config.dtype)
     if validate and not bool(jnp.all(mat > 0)):
         raise ValueError("similarity-transform method requires all entries > 0")
-    backend = resolve_backend(config, mat.shape[0])
     return _solve_fn(config, backend, mat.shape[0])(mat)
 
 
@@ -172,11 +195,11 @@ class EigenValue:
         self._compiled = {}
 
     def _get_compiled(self, n: int, dtype):
-        backend = resolve_backend(self.config, n)
+        backend = resolve_backend(self.config, n, self.device)
         key = (n, jnp.dtype(dtype).name, backend)
         fn = self._compiled.get(key)
         if fn is None:
-            solve = _solve_fn(self.config, backend, n)
+            solve = _solve_fn(self.config, backend, n, self.device)
             aval = jax.ShapeDtypeStruct(
                 (n, n),
                 dtype,
@@ -200,9 +223,14 @@ class EigenValue:
     def similarity_transform(
         self, mat
     ) -> Tuple[np.float32, np.ndarray, float, int]:
+        if self.device is not None and not isinstance(mat, jax.Array):
+            # place host data directly on the pinned device — going through
+            # jnp.asarray first would bounce the O(n²) payload off the
+            # default device
+            mat = jax.device_put(np.asarray(mat), self.device)
         mat = jnp.asarray(mat, self.config.dtype)
         if self.device is not None:
-            mat = jax.device_put(mat, self.device)
+            mat = jax.device_put(mat, self.device)  # no-op if already there
         m, n = mat.shape
         assert m == n, "must be square matrix of floating points !"
         fn = self._get_compiled(n, mat.dtype)

@@ -1,6 +1,9 @@
-"""Multi-process bench worker — one simulated "host" of the multi-host flow.
+"""Multi-process worker — one simulated "host" of the multi-host flow.
 
-Spawned by ``bench_multihost`` (suite.py) and usable standalone:
+The single home of the multi-process bootstrap dance (env pinned before
+jax import, host-local Hilbert row block, assemble_rowsharded): spawned
+by ``bench_multihost`` (suite.py) for the scaling report AND by
+tests/test_multihost.py for the 2-process parity test.  Standalone:
 
     python -m eigen_value_tpu.bench.mh_worker --process-id 0 \
         --num-processes 2 --coordinator 127.0.0.1:PORT --dim 2048
@@ -8,9 +11,9 @@ Spawned by ``bench_multihost`` (suite.py) and usable standalone:
 Each process owns ``--local-devices`` virtual CPU devices and ONLY its own
 contiguous block of Hilbert rows (the host-local placement of the real
 multi-host flow, parallel/multihost.py); emits one JSON line with the
-solve result and min wall time over ``--reps`` timed solves.  With
-``--num-processes 1`` no process group is formed — the single-"host"
-baseline for scaling efficiency.
+solve result, the global eigen-pair residual, and min wall time over
+``--reps`` timed solves.  With ``--num-processes 1`` no process group is
+formed — the single-"host" baseline for scaling efficiency.
 """
 
 import argparse
@@ -28,6 +31,12 @@ def main() -> int:
     p.add_argument("--dim", type=int, default=2048)
     p.add_argument("--local-devices", type=int, default=4)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument(
+        "--solver",
+        choices=["gather", "ring"],
+        default="gather",
+        help="per-round exchange: all_gather vs ring-pipelined ppermute",
+    )
     args = p.parse_args()
 
     # Env must be pinned before jax import (same dance as tests/conftest.py).
@@ -39,9 +48,11 @@ def main() -> int:
         ).strip()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from eigen_value_tpu.parallel import multihost
+    from eigen_value_tpu.parallel import multihost, solve_sharded_matvec_ring
 
     if args.num_processes > 1:
         multihost.initialize(
@@ -49,8 +60,14 @@ def main() -> int:
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
+    # The mesh is pinned to the CPU platform: an auxiliary accelerator
+    # plugin (e.g. a tunneled TPU) may register despite JAX_PLATFORMS and
+    # must not join the process group's mesh.
     mesh = multihost.make_global_row_mesh(platform="cpu")
 
+    # This process's row block of the Hilbert matrix, generated locally
+    # with the fixture's exact arithmetic (int divisor, f32 reciprocal —
+    # fixtures.hilbert_matrix / reference utils.cpp:137-154).
     n = args.dim
     n_local = n // args.num_processes
     row0 = args.process_id * n_local
@@ -59,27 +76,40 @@ def main() -> int:
     local_rows = np.float32(1.0) / (r + c + 1).astype(np.float32)
     A = multihost.assemble_rowsharded(local_rows, mesh)
 
-    def solve() -> float:
-        res = multihost.solve_multihost(A, mesh=mesh)
-        return float(np.asarray(res.eigenvalue)), int(res.rounds)
+    def solve():
+        if args.solver == "ring":
+            return jax.block_until_ready(solve_sharded_matvec_ring(A, mesh))
+        return jax.block_until_ready(multihost.solve_multihost(A, mesh=mesh))
 
-    lam, rounds = solve()  # warm / compile
+    res = solve()  # warm / compile
     ts = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        lam, rounds = solve()
+        res = solve()
         ts.append((time.perf_counter() - t0) * 1e3)
-    ms = min(ts)
+    ms = min(ts) if ts else float("nan")
+    lam, rounds = float(np.asarray(res.eigenvalue)), int(res.rounds)
+
+    # Global eigen-pair residual max|A·v − λ·v| computed on the mesh
+    # (A stays row-sharded; GSPMD inserts the ev all-gather).
+    residual = jax.jit(
+        lambda A, ev, lam: jnp.max(jnp.abs(A @ ev - lam * ev)),
+        out_shardings=NamedSharding(mesh, P()),
+    )(A, res.eigenvector, res.eigenvalue)
 
     print(
         json.dumps(
             {
                 "process_id": args.process_id,
-                "num_processes": args.num_processes,
+                # counted over the mesh's devices: the default backend may
+                # be an auxiliary plugin with a single-process view
+                "num_processes": len({d.process_index for d in mesh.devices.flat}),
                 "global_devices": len(mesh.devices.flat),
                 "dim": n,
                 "rounds": rounds,
                 "eigenvalue": lam,
+                "converged": bool(res.converged),
+                "residual": float(residual),
                 "ms": ms,
                 "elems_per_s": multihost.elems_per_second(n, rounds, ms * 1e-3),
             }

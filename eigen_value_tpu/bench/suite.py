@@ -241,11 +241,19 @@ def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
             for pid in range(num_processes)
         ]
         outs = []
-        for p in procs:
-            out, err = p.communicate(timeout=600)
-            if p.returncode != 0:
-                raise RuntimeError(f"mh_worker failed:\n{err[-2000:]}")
-            outs.append(_json.loads(out.strip().splitlines()[-1]))
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=600)
+                if p.returncode != 0:
+                    raise RuntimeError(f"mh_worker failed:\n{err[-2000:]}")
+                outs.append(_json.loads(out.strip().splitlines()[-1]))
+        finally:
+            # a failed/timed-out worker must not leave siblings blocked
+            # forever in jax.distributed.initialize
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         return outs
 
     single = run(1, 8)[0]

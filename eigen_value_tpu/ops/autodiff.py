@@ -91,8 +91,20 @@ def _pair_bwd(eps, max_itr, residuals, cotangents):
         return jnp.concatenate([top, bot[None]])
 
     rhs = jnp.concatenate([v_bar, lam_bar[None]])
+    # The tolerance must be REACHABLE or GMRES spins to its iteration cap
+    # and returns garbage: floor it at ~50·machine-eps of the compute dtype
+    # (f32 → ~6e-6; the original 1e-9 is unreachable in f32) AND at a
+    # tenth of the forward solve's eps — (λ, v) are only eps-accurate, so
+    # the bordered system is inconsistent below that level anyway.
+    tol = max(50.0 * float(jnp.finfo(A.dtype).eps), 1e-9, 0.1 * float(eps))
     sol, _ = jax.scipy.sparse.linalg.gmres(
-        KT_mv, rhs, tol=1e-9, atol=0.0, maxiter=10 * (n + 1), solve_method="batched"
+        KT_mv,
+        rhs,
+        tol=tol,
+        atol=0.0,
+        restart=min(n + 1, 100),
+        maxiter=10,
+        solve_method="batched",
     )
     w = sol[:n]
     return (-(w[:, None] * v[None, :]),)

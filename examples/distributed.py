@@ -7,7 +7,7 @@ Runs on whatever devices are visible; to simulate an 8-chip mesh on CPU:
 
 On a real multi-host slice, call eigen_value_tpu.parallel.multihost
 .initialize() first and build per-host blocks with assemble_rowsharded
-(see tests/multihost_worker.py for the full multi-process flow).
+(see eigen_value_tpu/bench/mh_worker.py for the full multi-process flow).
 """
 
 import os as _os, sys as _sys

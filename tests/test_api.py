@@ -114,3 +114,33 @@ def test_auto_backend_nonpow2_aligned_dims(rng):
     assert float(res.eigenvalue) == pytest.approx(float(ref.eigenvalue), abs=1e-3)
     v = np.asarray(res.eigenvector)
     assert np.allclose(mat @ v, float(res.eigenvalue) * v, atol=1e-3)
+
+
+def test_resolve_backend_honors_pinned_device_platform():
+    """A pinned device's platform must drive backend resolution — not the
+    global default platform (regression: TPU-default host + CPU-pinned
+    EigenValue picked matvec_pallas with interpret=False and failed)."""
+    import types
+
+    cfg = SolverConfig(backend="auto")
+    tpu = types.SimpleNamespace(platform="tpu")
+    cpu = types.SimpleNamespace(platform="cpu")
+    assert resolve_backend(cfg, 256, device=tpu) == "matvec_pallas"
+    assert resolve_backend(cfg, 256, device=cpu) == "matvec"
+
+
+def test_storage_dtype_with_non_storage_backend_still_casts():
+    """bf16 input + storage_dtype but an iterated backend (which ignores
+    storage_dtype) must cast to the compute dtype — an all-bf16 iteration
+    cannot represent the 1e-3 stop tolerance and never converges."""
+    import jax.numpy as jnp
+
+    from eigen_value_tpu import fixtures, max_eigenvalue
+
+    Hq = fixtures.hilbert_matrix(128, dtype=jnp.bfloat16)
+    res = max_eigenvalue(
+        Hq, SolverConfig(backend="xla", storage_dtype=jnp.bfloat16)
+    )
+    assert bool(res.converged)
+    assert res.eigenvalue.dtype == jnp.float32
+    assert int(res.rounds) <= fixtures.HILBERT_ROUNDS[128] + 1

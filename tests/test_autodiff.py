@@ -119,3 +119,30 @@ class TestEigenpair:
         assert float(np.asarray(v).max()) == pytest.approx(1.0)
         H = np.asarray(fixtures.hilbert_matrix(128))
         assert np.allclose(H @ np.asarray(v), float(lam) * np.asarray(v), atol=1e-3)
+
+    def test_float32_default_dtype_gradient_is_finite_and_close(self):
+        """Regression: the backward GMRES tolerance must be reachable in
+        f32 — an unreachable tol spins to the iteration cap and returns
+        non-finite garbage."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eigen_value_tpu.ops.autodiff import eigenpair
+
+        rng = np.random.default_rng(7)
+        A = jnp.asarray(rng.random((256, 256), dtype=np.float32) + 0.1)
+        cot_v = jnp.asarray(rng.standard_normal(256), jnp.float32)
+        E = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+
+        _, vjp_fn = jax.vjp(lambda M: eigenpair(M), A)
+        (dA,) = vjp_fn((jnp.float32(1.0), cot_v))
+        assert bool(jnp.isfinite(dA).all())
+
+        def g(M):
+            l, w = eigenpair(M)
+            return float(l) + float(jnp.dot(cot_v, w))
+
+        h = 3e-3
+        fd = (g(A + h * E) - g(A - h * E)) / (2 * h)
+        assert float(jnp.sum(dA * E)) == pytest.approx(fd, rel=2e-2)

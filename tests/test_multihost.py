@@ -21,7 +21,6 @@ import pytest
 from eigen_value_tpu import fixtures
 from eigen_value_tpu.reference_impl import parallel_oracle
 
-WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 DIM = 256
 
 
@@ -45,7 +44,10 @@ def test_two_process_solve_parity(solver):
         subprocess.Popen(
             [
                 sys.executable,
-                WORKER,
+                "-m",
+                "eigen_value_tpu.bench.mh_worker",
+                "--reps",
+                "1",
                 "--process-id",
                 str(pid),
                 "--num-processes",
@@ -65,15 +67,18 @@ def test_two_process_solve_parity(solver):
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        try:
+    try:
+        for p in procs:
             out, err = p.communicate(timeout=300)
-        except subprocess.TimeoutExpired:
-            for q in procs:
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        # a failed/timed-out worker must not leave its sibling blocked
+        # forever in jax.distributed.initialize
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            raise
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+                q.wait()
 
     oracle = parallel_oracle(np.asarray(fixtures.hilbert_matrix(DIM)))
     for res in outs:
