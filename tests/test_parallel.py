@@ -221,3 +221,29 @@ class TestBatched:
         np.testing.assert_allclose(
             np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), atol=1e-5
         )
+
+
+class TestBatchedMixedConvergence:
+    def test_cap_hit_subset_keeps_per_matrix_flags(self, rng):
+        """A batch where some matrices hit the iteration cap: converged
+        flags and round counts must stay per-matrix (the masked loop must
+        not freeze early or run-on), matching independent single solves."""
+        mats = jnp.asarray(
+            np.stack([rng.random((96, 96), dtype=np.float32) + 1e-4 for _ in range(4)])
+        )
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec
+
+        cap = 2  # below the ~3-4 rounds these need
+        got = solve_batched(mats, EPS, cap)
+        for b in range(4):
+            # solve_matvec is what solve_batched vmaps — bit-comparable
+            want = solve_matvec(mats[b], EPS, cap)
+            assert bool(got.converged[b]) == bool(want.converged)
+            assert int(got.rounds[b]) == int(want.rounds)
+            assert float(got.eigenvalue[b]) == pytest.approx(
+                float(want.eigenvalue), rel=1e-6
+            )
+        # sanity: the cap genuinely bites for at least one matrix at cap=2
+        full = solve_batched(mats, EPS, 1000)
+        assert np.asarray(full.converged).all()
+        assert (np.asarray(full.rounds) > cap).any()
