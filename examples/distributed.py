@@ -54,9 +54,12 @@ def main() -> None:
     )
 
     # Checkpointed long solve: 4-round chunks, resumable snapshot on disk.
-    res_c = checkpoint.solve_checkpointed(
-        H, chunk_rounds=4, checkpoint_path="/tmp/eigen_solve.npz"
-    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        res_c = checkpoint.solve_checkpointed(
+            H, chunk_rounds=4, checkpoint_path=f"{d}/eigen_solve.npz"
+        )
     print(f"checkpointed: λ = {float(res_c.eigenvalue):.5f}, rounds = {int(res_c.rounds)}")
 
 

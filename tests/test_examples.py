@@ -1,0 +1,41 @@
+"""The shipped examples must stay runnable (CPU, 8 virtual devices)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_example(name: str) -> str:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = os.pathsep.join(filter(None, [ROOT, env.get("PYTHONPATH")]))
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", name)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    return out.stdout
+
+
+@pytest.mark.slow
+def test_quickstart_example():
+    out = _run_example("quickstart.py")
+    assert "round(s)" in out
+    assert "functional: λ" in out
+    assert "bf16 fast mode" in out
+
+
+@pytest.mark.slow
+def test_distributed_example():
+    out = _run_example("distributed.py")
+    assert "sharded (8 devices)" in out and "rounds = 13 (expect 13)" in out
+    assert "ring:" in out
+    assert "checkpointed" in out
