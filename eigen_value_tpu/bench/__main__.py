@@ -102,10 +102,17 @@ def main(argv=None) -> int:
         all_rows += rows
         if not args.json:
             for r in rows:
-                print(
-                    f"{r['dim']:<5} x {r['dim']:>5}\t\t{r['ms']:>10.3f} ms"
-                    f"\t\t{r['rounds']:>6} round(s)   [native C++]"
-                )
+                if r["bench"] == "native_kernel":
+                    print(
+                        f"{r['kernel']:<24} {r['dim']:<6}"
+                        f"{r['ms'] * 1e3:>12.1f} us   [native C++]"
+                    )
+                else:
+                    print(
+                        f"[{r['backend']}] {r['dim']:<5} x {r['dim']:>5}"
+                        f"\t{r['ms']:>10.3f} ms"
+                        f"\t\t{r['rounds']:>6} round(s)   [native C++]"
+                    )
     if args.suite == "sharded":
         rows = suite.bench_sharded(dim=(args.dims or [4096])[0], reps=args.reps)
         all_rows += rows

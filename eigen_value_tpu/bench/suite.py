@@ -115,18 +115,29 @@ def bench_native(dims: List[int] = MATRIX_DIMS) -> List[dict]:
     rows = []
     for n in dims:
         H = np.asarray(fixtures.hilbert_matrix(n))
-        lam, vec, ms, rounds = solver.similarity_transform(H)
-        rows.append(
-            {
-                "bench": "native",
-                "backend": "cpu_native",
-                "dim": n,
-                "ms": float(ms),
-                "rounds": rounds,
-                "eigenvalue": float(lam),
-                "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),
-            }
-        )
+        for form, matvec in (("cpu_native", False), ("cpu_native_matvec", True)):
+            lam, vec, ms, rounds = solver.similarity_transform(H, matvec_form=matvec)
+            rows.append(
+                {
+                    "bench": "native",
+                    "backend": form,
+                    "dim": n,
+                    "ms": float(ms),
+                    "rounds": rounds,
+                    "eigenvalue": float(lam),
+                    "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),
+                }
+            )
+    for name in ("row_sums", "next_matrix", "matvec"):
+        for n in dims:
+            rows.append(
+                {
+                    "bench": "native_kernel",
+                    "kernel": f"native_{name}",
+                    "dim": n,
+                    "ms": solver.bench_kernel_us(name, n) / 1e3,
+                }
+            )
     return rows
 
 

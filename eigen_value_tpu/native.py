@@ -76,6 +76,16 @@ class NativeEigenValue:
             ctypes.c_uint,
             itr_t,
         ]
+        self._lib.max_eigen_value_matvec.restype = ctypes.c_int64
+        self._lib.max_eigen_value_matvec.argtypes = (
+            self._lib.max_eigen_value.argtypes
+        )
+        self._lib.bench_kernel_us.restype = ctypes.c_double
+        self._lib.bench_kernel_us.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint,
+            ctypes.c_uint,
+        ]
 
     def __del__(self) -> None:
         lib = getattr(self, "_lib", None)
@@ -84,8 +94,11 @@ class NativeEigenValue:
             lib.free_queue(ctx)
 
     def similarity_transform(
-        self, mat: np.ndarray
+        self, mat: np.ndarray, matvec_form: bool = False
     ) -> Tuple[np.float32, np.ndarray, int, int]:
+        """``matvec_form=True`` runs the power-form native solver (one
+        matvec per round against the original matrix, no writes —
+        ops/solver_matvec.py's algebra, natively)."""
         mat = np.ascontiguousarray(mat, dtype=np.float32)
         m, n = mat.shape
         assert m == n, "must be square matrix of floating points !"
@@ -93,7 +106,19 @@ class NativeEigenValue:
         eigen_val = np.empty(1, dtype=np.float32)
         eigen_vec = np.empty(n, dtype=np.float32)
         iter_cnt = np.zeros(1, dtype=np.uint32)
-        ts = self._lib.max_eigen_value(
-            self._ctx, mat, eigen_val, eigen_vec, n, iter_cnt
+        fn = (
+            self._lib.max_eigen_value_matvec
+            if matvec_form
+            else self._lib.max_eigen_value
         )
+        ts = fn(self._ctx, mat, eigen_val, eigen_vec, n, iter_cnt)
         return eigen_val[0], eigen_vec, int(ts), int(iter_cnt[0])
+
+    def bench_kernel_us(self, name: str, dim: int, reps: int = 3) -> float:
+        """Best-of-reps wall µs of one native kernel launch (reference
+        ``benchmark_*`` family). Names: row_sums, find_max, eigvec, stop,
+        next_matrix, matvec."""
+        us = self._lib.bench_kernel_us(name.encode(), dim, reps)
+        if us < 0:
+            raise ValueError(f"unknown native kernel {name!r}")
+        return float(us)

@@ -1,0 +1,74 @@
+// Native CLI driver — the reference's `./run` binary (main.cpp:7-162)
+// re-expressed for this framework's native runtime: an end-to-end Hilbert
+// sweep table followed by per-kernel sweeps, in the reference's
+// fixed-width report format so tables diff side-by-side.
+//
+// Build + run:  make -C native run && ./native/run
+// (The JAX/TPU counterpart is `python -m eigen_value_tpu.bench`.)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+
+extern "C" {
+void make_queue(void** ctx);
+void free_queue(void* ctx);
+int64_t max_eigen_value(void* ctx, float* mat, float* eigen_val,
+                        float* eigen_vec, unsigned dim, unsigned* iter_cnt);
+int64_t max_eigen_value_matvec(void* ctx, const float* mat, float* eigen_val,
+                               float* eigen_vec, unsigned dim,
+                               unsigned* iter_cnt);
+double bench_kernel_us(const char* name, unsigned dim, unsigned reps);
+void generate_hilbert(float* A, unsigned dim);
+}
+
+static void e2e_sweep(void* q, bool matvec_form) {
+  std::printf("Similarity Transform (native C++ %s)\n\n",
+              matvec_form ? "matvec form" : "iterated form");
+  for (unsigned p = 7; p <= 13; ++p) {
+    const unsigned n = 1u << p;
+    float* A = (float*)std::malloc(sizeof(float) * (size_t)n * n);
+    float* ev = (float*)std::malloc(sizeof(float) * n);
+    float lam = 0.0f;
+    unsigned itr = 0;
+    generate_hilbert(A, n);
+    const int64_t ms = matvec_form
+                           ? max_eigen_value_matvec(q, A, &lam, ev, n, &itr)
+                           : max_eigen_value(q, A, &lam, ev, n, &itr);
+    std::printf("%-5u x %5u\t\t%10lld ms\t\t%6u round(s)\n", n, n,
+                (long long)ms, itr);
+    std::free(A);
+    std::free(ev);
+  }
+  std::printf("\n");
+}
+
+static void kernel_sweep(const char* name, unsigned lo_pow, unsigned hi_pow) {
+  std::printf("%s\n\n", name);
+  for (unsigned p = lo_pow; p <= hi_pow; ++p) {
+    const unsigned n = 1u << p;
+    const double us = bench_kernel_us(name, n, 3);
+    std::printf("%-10u\t\t%12.1f us\n", n, us);
+  }
+  std::printf("\n");
+}
+
+int main() {
+  void* q = nullptr;
+  make_queue(&q);
+
+  e2e_sweep(q, /*matvec_form=*/false);
+  e2e_sweep(q, /*matvec_form=*/true);
+
+  // matrix kernels: 2^7..2^13 (reference main.cpp:39)
+  kernel_sweep("row_sums", 7, 13);
+  kernel_sweep("next_matrix", 7, 13);
+  kernel_sweep("matvec", 7, 13);
+  // vector kernels: 2^16..2^25 (reference main.cpp:78)
+  kernel_sweep("find_max", 16, 25);
+  kernel_sweep("eigvec", 16, 25);
+  kernel_sweep("stop", 16, 25);
+
+  free_queue(q);
+  return 0;
+}

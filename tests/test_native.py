@@ -57,3 +57,41 @@ def test_input_not_mutated(solver):
     orig = mat.copy()
     solver.similarity_transform(mat)
     np.testing.assert_array_equal(mat, orig)
+
+
+@pytest.mark.parametrize("n,rounds", [(128, 9), (512, 12)])
+def test_matvec_form_round_parity(solver, n, rounds):
+    lam, vec, ms, got_rounds = solver.similarity_transform(
+        _hilbert(n), matvec_form=True
+    )
+    assert got_rounds == rounds
+    lam_it, _, _, _ = solver.similarity_transform(_hilbert(n))
+    assert abs(lam - lam_it) < 1e-3
+
+
+def test_matvec_form_eigen_pair(solver, rng):
+    mat = rng.random((256, 256), dtype=np.float32) + np.float32(1e-4)
+    lam, vec, ms, rounds = solver.similarity_transform(mat, matvec_form=True)
+    assert np.allclose(mat @ vec, lam * vec, atol=1e-3)
+
+
+def test_bench_kernel_us(solver):
+    for name in ("row_sums", "find_max", "eigvec", "stop", "next_matrix", "matvec"):
+        us = solver.bench_kernel_us(name, 256, reps=2)
+        assert us > 0
+    with pytest.raises(ValueError, match="unknown"):
+        solver.bench_kernel_us("bogus", 256)
+
+
+def test_cli_driver_builds_and_reports():
+    """The native `run` binary (reference ./run analog) builds; spot-run a
+    tiny sweep by checking the build artifact exists after make."""
+    import subprocess
+
+    out = subprocess.run(
+        ["make", "-C", str(native._NATIVE_DIR), "run"],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (native._NATIVE_DIR / "run").exists()
