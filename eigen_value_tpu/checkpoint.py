@@ -13,6 +13,12 @@ Intended for very large solves (the matvec form solves 65536² matrices
 where a single step is minutes of work on preemptible capacity) and for
 the driver pattern: ``step → save → (maybe die) → load → step``.
 
+The state composes with sharding: pass a row-sharded ``A``
+(``NamedSharding(mesh, P("rows", None))``) and ``init_state``/``step``
+run partitioned under GSPMD with results bit-identical to the
+single-device path (tested) — checkpointed solves scale to multi-chip
+unchanged.
+
 Formats: ``.npz`` (single-host, no extra deps) and Orbax (sharded
 multi-host state, optional).
 """
