@@ -25,9 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DEFAULT_CONFIG, SolverConfig
-from .device import auto_interpret as _auto_interpret
 from .device import on_tpu as _on_tpu
-from .device import pick_block
+from .device import pick_block, resolve_interpret
 from .ops.solver import SolveResult, solve_xla
 
 
@@ -92,11 +91,7 @@ def _solve_fn(
             max_itr=config.max_itr,
             block_rows=block_rows,
             block_cols=block_cols,
-            interpret=(
-                config.interpret
-                if config.interpret is not None or device is None
-                else device.platform != "tpu"
-            ),
+            interpret=resolve_interpret(config.interpret, device),
         )
     if backend in ("matvec", "matvec_pallas") and config.storage_dtype is not None:
         from .ops.solver_matvec import solve_matvec_storage
@@ -116,11 +111,7 @@ def _solve_fn(
             max_itr=config.max_itr,
             block_rows=block_rows,
             block_cols=block_cols,
-            interpret=(
-                bool(config.interpret)
-                if config.interpret is not None
-                else (device.platform != "tpu" if device is not None else _auto_interpret())
-            ),
+            interpret=resolve_interpret(config.interpret, device),
         )
     if backend == "matvec":
         from .ops.solver_matvec import solve_matvec
@@ -146,13 +137,12 @@ def max_eigenvalue(
     if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
         raise ValueError(f"must be a square matrix, got shape {mat.shape}")
     backend = resolve_backend(config, mat.shape[0])
-    if (
+    prequantized = (
         config.storage_dtype is not None
         and mat.dtype == jnp.dtype(config.storage_dtype)
         and backend in ("matvec", "matvec_pallas")
-    ):
-        pass  # already quantized for the storage path — skip the f32 copy
-    else:
+    )
+    if not prequantized:  # storage path accepts its own dtype — no f32 copy
         mat = mat.astype(config.dtype)
     if validate and not bool(jnp.all(mat > 0)):
         raise ValueError("similarity-transform method requires all entries > 0")

@@ -38,6 +38,19 @@ def auto_interpret() -> bool:
     return not on_tpu()
 
 
+def resolve_interpret(
+    explicit: Optional[bool], device: Optional[jax.Device] = None
+) -> bool:
+    """The one place Pallas ``interpret`` defaults are decided: an explicit
+    setting wins; a pinned device's platform comes next; otherwise the
+    default platform (``auto_interpret``)."""
+    if explicit is not None:
+        return bool(explicit)
+    if device is not None:
+        return device.platform != "tpu"
+    return auto_interpret()
+
+
 def pick_block(n: int, preferred: int) -> Optional[int]:
     """Largest hardware-aligned tile size ≤ ``preferred`` dividing ``n``,
     or None if n is not 128-aligned (f32 lane width — see pallas_guide

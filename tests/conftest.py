@@ -29,3 +29,17 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xE16E7)
+
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def subprocess_env(**overrides) -> dict:
+    """Environment for worker subprocesses: repo on PYTHONPATH (the package
+    is not installed), caller's overrides applied last."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        filter(None, [REPO_ROOT, env.get("PYTHONPATH")])
+    )
+    env.update(overrides)
+    return env

@@ -34,12 +34,10 @@ def _free_port() -> int:
 @pytest.mark.parametrize("solver", ["gather", "ring"])
 def test_two_process_solve_parity(solver):
     port = _free_port()
-    env = dict(os.environ)
+    from conftest import subprocess_env
+
+    env = subprocess_env()
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = os.pathsep.join(
-        filter(None, [repo_root, env.get("PYTHONPATH")])
-    )
     procs = [
         subprocess.Popen(
             [

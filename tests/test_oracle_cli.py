@@ -11,11 +11,9 @@ import pytest
 
 @pytest.mark.parametrize("semantics", ["sequential", "parallel"])
 def test_oracle_cli_runs_and_reports(semantics):
-    env = dict(os.environ)
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = os.pathsep.join(
-        filter(None, [repo_root, env.get("PYTHONPATH")])
-    )
+    from conftest import subprocess_env
+
+    env = subprocess_env()
     out = subprocess.run(
         [
             sys.executable,
