@@ -75,6 +75,15 @@ class SolverConfig:
             raise ValueError("max_itr must be >= 0")
         if self.eps <= 0:
             raise ValueError("eps must be > 0")
+        if jnp.dtype(self.dtype) == jnp.dtype("float64"):
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "dtype=float64 needs x64 mode (jax.config.update"
+                    "('jax_enable_x64', True)); without it JAX silently "
+                    "downcasts to float32"
+                )
 
 
 DEFAULT_CONFIG = SolverConfig()

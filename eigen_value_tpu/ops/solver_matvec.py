@@ -95,6 +95,45 @@ def solve_matvec(A: jax.Array, eps: float, max_itr: int) -> SolveResult:
     return solve_matvec_loop(A, matvec, eps, max_itr)
 
 
+@partial(jax.jit, static_argnames=("eps", "max_itr"))
+def solve_matvec_traced(A: jax.Array, eps: float, max_itr: int):
+    """Matvec-form solve that also records the PER-ROUND λ estimate (v[0]
+    at each round's stop check) — convergence observability the reference
+    has no analog for (its only per-solve metrics are ms + final rounds,
+    SURVEY.md §5).  Returns ``(SolveResult, lam_history)`` where
+    ``lam_history`` has shape ``(max_itr,)``; entries past the converging
+    round repeat the final λ (the loop exits early — no extra compute).
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    ev0 = jnp.ones((n,), dtype)
+    v0 = (A @ ev0) / ev0
+    hist0 = jnp.zeros((max_itr,), dtype)
+
+    def cond(c):
+        (_, _, _, i, done), _ = c
+        return jnp.logical_not(done) & (i < max_itr)
+
+    def body(c):
+        (ev, v, lam, i, done), hist = c
+        m = jnp.max(v)
+        ev = ev * (v / m)
+        done = stop_check(v, eps)
+        lam = v[0]
+        hist = lax.dynamic_update_index_in_dim(hist, lam, i, axis=0)
+        v = lax.cond(done, lambda e: c[0].v, lambda e: (A @ e) / e, ev)
+        i = jnp.where(done, i, i + 1)
+        return _Carry(ev, v, lam, i, done), hist
+
+    (ev, v, lam, i, done), hist = lax.while_loop(
+        cond, body, (_Carry(ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)), hist0)
+    )
+    # pad the tail with the final λ so downstream plots/deltas are clean
+    # (rounds 0..i each wrote their slot; later slots are untouched zeros)
+    hist = jnp.where(jnp.arange(max_itr) <= i, hist, lam)
+    return SolveResult(lam, ev, i, done), hist
+
+
 @partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))
 def solve_matvec_storage(
     A: jax.Array, eps: float, max_itr: int, storage_dtype=jnp.bfloat16

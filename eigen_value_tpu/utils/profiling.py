@@ -22,7 +22,10 @@ def trace(log_dir: str = "/tmp/eigen_value_tpu_trace") -> Iterator[str]:
         # open `d` in XProf / tensorboard-plugin-profile
 
     Falls back to a no-op (still yielding the dir) if the backend can't
-    trace (e.g. tunneled devices).
+    trace.  Verified working on this repo's remote-TPU tunnel with the
+    caveat that only HOST-side activity streams (xplane + trace.json.gz
+    are written; device timelines need a locally-attached TPU) — use the
+    bench suite's marginal timings for device-side numbers there.
     """
     try:
         jax.profiler.start_trace(log_dir)

@@ -144,3 +144,13 @@ def test_storage_dtype_with_non_storage_backend_still_casts():
     assert bool(res.converged)
     assert res.eigenvalue.dtype == jnp.float32
     assert int(res.rounds) <= fixtures.HILBERT_ROUNDS[128] + 1
+
+
+def test_float64_without_x64_raises():
+    import jax
+    import numpy as np_
+
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 enabled in this environment")
+    with pytest.raises(ValueError, match="x64"):
+        SolverConfig(dtype=np_.float64)

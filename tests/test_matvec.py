@@ -142,3 +142,36 @@ class TestSolveMatvecPallas:
         np.testing.assert_array_equal(
             np.asarray(a.eigenvector), np.asarray(b.eigenvector)
         )
+
+
+class TestTracedSolve:
+    def test_history_matches_oracle_rounds(self):
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec_traced
+        from eigen_value_tpu.reference_impl import parallel_oracle
+
+        H = fixtures.hilbert_matrix(256)
+        res, hist = solve_matvec_traced(H, EPS, 50)
+        assert int(res.rounds) == fixtures.HILBERT_ROUNDS[256]
+        assert hist.shape == (50,)
+        # final entries repeat the converged λ
+        np.testing.assert_array_equal(
+            np.asarray(hist[int(res.rounds):]), float(res.eigenvalue)
+        )
+        # the recorded per-round λ sequence monotonically approaches the
+        # oracle value (row sums equalize toward λ)
+        want = parallel_oracle(np.asarray(H)).eigenvalue
+        errs = np.abs(np.asarray(hist) - want)
+        assert errs[int(res.rounds)] < 1e-3
+        assert errs[0] > errs[int(res.rounds)]
+
+    def test_result_matches_untraced(self):
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec_traced
+
+        H = fixtures.hilbert_matrix(128)
+        a = solve_matvec(H, EPS, MAX_ITR)
+        b, _ = solve_matvec_traced(H, EPS, 100)
+        assert int(a.rounds) == int(b.rounds)
+        assert float(a.eigenvalue) == float(b.eigenvalue)
+        np.testing.assert_array_equal(
+            np.asarray(a.eigenvector), np.asarray(b.eigenvector)
+        )
