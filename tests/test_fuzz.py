@@ -1,0 +1,64 @@
+"""Differential fuzzing: every backend against the NumPy oracle on many
+random positive matrices, including adversarial shapes the reference never
+exercised (near-rank-1, wide dynamic range, near-uniform)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eigen_value_tpu.ops.solver import solve_xla
+from eigen_value_tpu.ops.solver_matvec import (
+    solve_matvec,
+    solve_matvec_pallas,
+)
+from eigen_value_tpu.ops.solver_pallas import solve_pallas
+from eigen_value_tpu.reference_impl import parallel_oracle
+
+EPS = 1e-3
+MAX_ITR = 1000
+
+BACKENDS = {
+    "xla": lambda A: solve_xla(A, EPS, MAX_ITR),
+    "pallas": lambda A: solve_pallas(A, EPS, MAX_ITR, 64, 64, True),
+    "matvec": lambda A: solve_matvec(A, EPS, MAX_ITR),
+    "matvec_pallas": lambda A: solve_matvec_pallas(A, EPS, MAX_ITR, 64, 64, True),
+}
+
+
+def _cases(rng, n=128, count=8):
+    for _ in range(count):
+        yield "uniform", rng.random((n, n), dtype=np.float32) + 1e-4
+    for _ in range(3):
+        # near-rank-1: dominant eigenvalue ≈ |u||w|, converges in 1-2 rounds
+        u = rng.random(n, dtype=np.float32) + 0.1
+        w = rng.random(n, dtype=np.float32) + 0.1
+        yield "rank1ish", np.float32(np.outer(u, w) + 1e-3 * rng.random((n, n)))
+    for _ in range(3):
+        # wide dynamic range: entries spanning 1e-4 .. 1e2
+        yield "wide", np.float32(
+            10.0 ** rng.uniform(-4, 2, size=(n, n))
+        )
+    # near-uniform: row sums almost equal from the start
+    yield "uniformish", np.float32(1.0 + 1e-4 * rng.random((n, n)))
+
+
+@pytest.mark.parametrize("backend", sorted(BACKENDS))
+def test_differential_vs_oracle(backend, rng):
+    solve = BACKENDS[backend]
+    for kind, mat in _cases(rng):
+        want = parallel_oracle(mat)
+        got = solve(jnp.asarray(mat))
+        tol = 1e-3 * max(want.eigenvalue, 1.0)
+        assert bool(got.converged) == want.converged, (backend, kind)
+        assert int(got.rounds) == want.rounds, (
+            backend,
+            kind,
+            int(got.rounds),
+            want.rounds,
+        )
+        assert abs(float(got.eigenvalue) - want.eigenvalue) < tol, (backend, kind)
+        v = np.asarray(got.eigenvector)
+        assert np.allclose(
+            mat @ v, float(got.eigenvalue) * v, atol=5 * tol
+        ), (backend, kind)
