@@ -21,10 +21,12 @@ def _fmt_e2e(rows) -> str:
             backend = r["backend"]
             out.append(f"\nSimilarity Transform (backend: {backend})\n")
         parity = "" if r["rounds_ok"] else "   [PARITY BREAK]"
+        dev = r["device_ms_est"]
+        dev_s = f"{dev:.3f} ms" if dev is not None else "below transport noise"
         out.append(
             f"{r['dim']:<5} x {r['dim']:>5}\t\t{r['ms']:>10.3f} ms"
             f"\t\t{r['rounds']:>6} round(s)"
-            f"\t\t(device est {r['device_ms_est']:.3f} ms){parity}"
+            f"\t\t(device est {dev_s}){parity}"
         )
     return "\n".join(out)
 

@@ -79,9 +79,11 @@ def bench_e2e(
             rounds = int(res.rounds)
             ms = time_call(lambda: fn(A), reps=reps)
             # transport jitter is ~±1.5 ms: an estimate below that is
-            # indistinguishable from zero — report NaN, not a fake number
-            # (bench.py's chained differencing is the reliable method)
-            dev_ms = ms - rtt if ms - rtt > 1.5 else float("nan")
+            # indistinguishable from zero — report None (JSON null, RFC-
+            # safe) instead of a fake number; bench.py's chained
+            # differencing is the reliable method for sub-jitter times
+            below_noise = ms - rtt <= 1.5
+            dev_ms = None if below_noise else ms - rtt
             rows.append(
                 {
                     "bench": "e2e",
@@ -89,10 +91,12 @@ def bench_e2e(
                     "dim": n,
                     "ms": ms,
                     "device_ms_est": dev_ms,
-                    "ms_per_round": dev_ms / max(rounds, 1),
+                    "ms_per_round": None if below_noise else dev_ms / max(rounds, 1),
                     # north-star metric: elements touched per second per chip
                     # (matvec form touches n² once per round)
-                    "elems_per_s": rounds * n * n / (dev_ms * 1e-3) if dev_ms else 0.0,
+                    "elems_per_s": (
+                        None if below_noise else rounds * n * n / (dev_ms * 1e-3)
+                    ),
                     "rounds": rounds,
                     "eigenvalue": float(res.eigenvalue),
                     "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),

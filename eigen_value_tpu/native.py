@@ -117,8 +117,9 @@ class NativeEigenValue:
     def bench_kernel_us(self, name: str, dim: int, reps: int = 3) -> float:
         """Best-of-reps wall µs of one native kernel launch (reference
         ``benchmark_*`` family). Names: row_sums, find_max, eigvec, stop,
-        next_matrix, matvec."""
-        us = self._lib.bench_kernel_us(name.encode(), dim, reps)
+        next_matrix, matvec.  ``reps`` is clamped to ≥1 (the C side's
+        first rep is a warmup and records nothing)."""
+        us = self._lib.bench_kernel_us(name.encode(), dim, max(1, reps))
         if us < 0:
             raise ValueError(f"unknown native kernel {name!r}")
         return float(us)

@@ -51,19 +51,9 @@ class _Carry(NamedTuple):
     done: jax.Array
 
 
-def solve_matvec_loop(
-    A: jax.Array, matvec, eps: float, max_itr: int, state_dtype=None
-) -> SolveResult:
-    """Convergence loop over a pluggable ``matvec(ev) -> (A @ ev) / ev``.
-
-    ``state_dtype`` sets the dtype of the O(n) iteration state (ev, v, λ,
-    stop check) independently of the matrix storage — reduced-precision
-    storage keeps float32 state (bf16 cannot even represent the 1e-3 stop
-    tolerance at λ-scale values)."""
-    n = A.shape[0]
-    dtype = state_dtype or A.dtype
-    ev0 = jnp.ones((n,), dtype)
-    v0 = matvec(ev0)  # == row sums of A_0
+def _make_cond_body(matvec, eps: float, max_itr: int):
+    """The ONE definition of the matvec-form round (shared by the plain
+    and λ-traced loops so their semantics can never diverge)."""
 
     def cond(c: _Carry) -> jax.Array:
         return jnp.logical_not(c.done) & (c.i < max_itr)
@@ -78,9 +68,29 @@ def solve_matvec_loop(
         i = jnp.where(done, c.i, c.i + 1)
         return _Carry(ev, v, lam, i, done)
 
-    init = _Carry(
+    return cond, body
+
+
+def _init_carry(A: jax.Array, matvec, dtype) -> _Carry:
+    n = A.shape[0]
+    ev0 = jnp.ones((n,), dtype)
+    v0 = matvec(ev0)  # == row sums of A_0
+    return _Carry(
         ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)
     )
+
+
+def solve_matvec_loop(
+    A: jax.Array, matvec, eps: float, max_itr: int, state_dtype=None
+) -> SolveResult:
+    """Convergence loop over a pluggable ``matvec(ev) -> (A @ ev) / ev``.
+
+    ``state_dtype`` sets the dtype of the O(n) iteration state (ev, v, λ,
+    stop check) independently of the matrix storage — reduced-precision
+    storage keeps float32 state (bf16 cannot even represent the 1e-3 stop
+    tolerance at λ-scale values)."""
+    cond, body = _make_cond_body(matvec, eps, max_itr)
+    init = _init_carry(A, matvec, state_dtype or A.dtype)
     out = lax.while_loop(cond, body, init)
     return SolveResult(out.lam, out.ev, out.i, out.done)
 
@@ -103,35 +113,33 @@ def solve_matvec_traced(A: jax.Array, eps: float, max_itr: int):
     SURVEY.md §5).  Returns ``(SolveResult, lam_history)`` where
     ``lam_history`` has shape ``(max_itr,)``; entries past the converging
     round repeat the final λ (the loop exits early — no extra compute).
+
+    The round itself is the SAME ``_make_cond_body`` body as
+    :func:`solve_matvec` — only the history write wraps it — so the two
+    stay bit-identical by construction.
     """
-    n = A.shape[0]
-    dtype = A.dtype
-    ev0 = jnp.ones((n,), dtype)
-    v0 = (A @ ev0) / ev0
-    hist0 = jnp.zeros((max_itr,), dtype)
 
-    def cond(c):
-        (_, _, _, i, done), _ = c
-        return jnp.logical_not(done) & (i < max_itr)
+    def matvec(ev):
+        return (A @ ev) / ev
 
-    def body(c):
-        (ev, v, lam, i, done), hist = c
-        m = jnp.max(v)
-        ev = ev * (v / m)
-        done = stop_check(v, eps)
-        lam = v[0]
-        hist = lax.dynamic_update_index_in_dim(hist, lam, i, axis=0)
-        v = lax.cond(done, lambda e: c[0].v, lambda e: (A @ e) / e, ev)
-        i = jnp.where(done, i, i + 1)
-        return _Carry(ev, v, lam, i, done), hist
+    cond, body = _make_cond_body(matvec, eps, max_itr)
+    init = _init_carry(A, matvec, A.dtype)
+    hist0 = jnp.zeros((max_itr,), A.dtype)
 
-    (ev, v, lam, i, done), hist = lax.while_loop(
-        cond, body, (_Carry(ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)), hist0)
-    )
+    def cond_t(ch):
+        return cond(ch[0])
+
+    def body_t(ch):
+        c, hist = ch
+        c2 = body(c)
+        # round c.i just computed λ = c2.lam (index unchanged when done)
+        return c2, lax.dynamic_update_index_in_dim(hist, c2.lam, c.i, axis=0)
+
+    out, hist = lax.while_loop(cond_t, body_t, (init, hist0))
     # pad the tail with the final λ so downstream plots/deltas are clean
     # (rounds 0..i each wrote their slot; later slots are untouched zeros)
-    hist = jnp.where(jnp.arange(max_itr) <= i, hist, lam)
-    return SolveResult(lam, ev, i, done), hist
+    hist = jnp.where(jnp.arange(max_itr) <= out.i, hist, out.lam)
+    return SolveResult(out.lam, out.ev, out.i, out.done), hist
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))

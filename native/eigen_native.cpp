@@ -117,8 +117,7 @@ int64_t max_eigen_value(void* ctx_, float* mat, float* eigen_val,
   unsigned i = 0;
   for (; i < cfg.max_itr; ++i) {
     row_sums(A, v, dim);
-    float m = 0.0f;  // seeded 0: positivity assumption (cpp:169)
-    for (unsigned r = 0; r < dim; ++r) m = std::fmax(m, v[r]);
+    const float m = find_max(v, dim);
     for (unsigned r = 0; r < dim; ++r) eigen_vec[r] *= v[r] / m;
     if (stop(v, dim, cfg.eps)) break;  // break BEFORE the update (cpp:45-52)
     next_matrix(A, v, dim);
@@ -148,9 +147,13 @@ int64_t max_eigen_value_matvec(void* ctx_, const float* mat, float* eigen_val,
   const auto start = std::chrono::steady_clock::now();
   row_sums(mat, v, dim);  // v0 = A @ ones
   unsigned i = 0;
+  float lam = v[0];
   for (; i < cfg.max_itr; ++i) {
     const float m = find_max(v, dim);
     for (unsigned r = 0; r < dim; ++r) eigen_vec[r] *= v[r] / m;
+    lam = v[0];  // λ of the round being CHECKED — on cap exhaustion the
+                 // convention is the last checked v[0], not the freshly
+                 // updated v below (matches max_eigen_value + the oracle)
     if (stop(v, dim, cfg.eps)) break;  // break BEFORE the update
     matvec(mat, eigen_vec, y, dim);
     for (unsigned r = 0; r < dim; ++r) v[r] = y[r] / eigen_vec[r];
@@ -158,7 +161,7 @@ int64_t max_eigen_value_matvec(void* ctx_, const float* mat, float* eigen_val,
   *iter_cnt = i;
   const auto end = std::chrono::steady_clock::now();
 
-  *eigen_val = v[0];
+  *eigen_val = lam;
   std::free(v);
   std::free(y);
   return std::chrono::duration_cast<std::chrono::milliseconds>(end - start)

@@ -22,10 +22,13 @@ double bench_kernel_us(const char* name, unsigned dim, unsigned reps);
 void generate_hilbert(float* A, unsigned dim);
 }
 
+static unsigned g_max_matrix_pow = 13;  // reference main.cpp:23 sweep cap
+static unsigned g_max_vector_pow = 25;  // reference main.cpp:78 sweep cap
+
 static void e2e_sweep(void* q, bool matvec_form) {
   std::printf("Similarity Transform (native C++ %s)\n\n",
               matvec_form ? "matvec form" : "iterated form");
-  for (unsigned p = 7; p <= 13; ++p) {
+  for (unsigned p = 7; p <= g_max_matrix_pow; ++p) {
     const unsigned n = 1u << p;
     float* A = (float*)std::malloc(sizeof(float) * (size_t)n * n);
     float* ev = (float*)std::malloc(sizeof(float) * n);
@@ -53,7 +56,13 @@ static void kernel_sweep(const char* name, unsigned lo_pow, unsigned hi_pow) {
   std::printf("\n");
 }
 
-int main() {
+int main(int argc, char** argv) {
+  // ./run [max_matrix_pow] [max_vector_pow] — defaults reproduce the
+  // reference's full sweeps; smaller caps give a quick smoke run (used by
+  // the test suite: ./run 8 17).
+  if (argc > 1) g_max_matrix_pow = (unsigned)std::atoi(argv[1]);
+  if (argc > 2) g_max_vector_pow = (unsigned)std::atoi(argv[2]);
+
   void* q = nullptr;
   make_queue(&q);
 
@@ -61,13 +70,13 @@ int main() {
   e2e_sweep(q, /*matvec_form=*/true);
 
   // matrix kernels: 2^7..2^13 (reference main.cpp:39)
-  kernel_sweep("row_sums", 7, 13);
-  kernel_sweep("next_matrix", 7, 13);
-  kernel_sweep("matvec", 7, 13);
+  kernel_sweep("row_sums", 7, g_max_matrix_pow);
+  kernel_sweep("next_matrix", 7, g_max_matrix_pow);
+  kernel_sweep("matvec", 7, g_max_matrix_pow);
   // vector kernels: 2^16..2^25 (reference main.cpp:78)
-  kernel_sweep("find_max", 16, 25);
-  kernel_sweep("eigvec", 16, 25);
-  kernel_sweep("stop", 16, 25);
+  kernel_sweep("find_max", 16, g_max_vector_pow);
+  kernel_sweep("eigvec", 16, g_max_vector_pow);
+  kernel_sweep("stop", 16, g_max_vector_pow);
 
   free_queue(q);
   return 0;

@@ -84,8 +84,8 @@ def test_bench_kernel_us(solver):
 
 
 def test_cli_driver_builds_and_reports():
-    """The native `run` binary (reference ./run analog) builds; spot-run a
-    tiny sweep by checking the build artifact exists after make."""
+    """The native `run` binary (reference ./run analog) builds AND runs a
+    small sweep with correct round counts in the report."""
     import subprocess
 
     out = subprocess.run(
@@ -94,4 +94,18 @@ def test_cli_driver_builds_and_reports():
         text=True,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    assert (native._NATIVE_DIR / "run").exists()
+
+    run = subprocess.run(
+        [str(native._NATIVE_DIR / "run"), "8", "17"],  # dims ≤256, vecs ≤2^17
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "Similarity Transform (native C++ iterated form)" in run.stdout
+    assert "Similarity Transform (native C++ matvec form)" in run.stdout
+    # both solver forms must report the reference round counts
+    assert run.stdout.count("9 round(s)") == 2
+    assert run.stdout.count("10 round(s)") == 2
+    for kernel in ("row_sums", "next_matrix", "matvec", "find_max", "stop"):
+        assert kernel in run.stdout
