@@ -52,7 +52,16 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eigen_value_tpu.bench")
     p.add_argument(
         "--suite",
-        choices=["e2e", "kernels", "vector", "sharded", "multihost", "native", "all"],
+        choices=[
+            "e2e",
+            "kernels",
+            "vector",
+            "sharded",
+            "multihost",
+            "native",
+            "model",
+            "all",
+        ],
         default="all",
     )
     p.add_argument("--dims", type=int, nargs="*", help="matrix dims to sweep")
@@ -138,6 +147,22 @@ def main(argv=None) -> int:
                     f"{r['dim']} x {r['dim']}  {r['ms']:.2f} ms, "
                     f"{r['rounds']} round(s), {r['elems_per_s']:.2e} elems/s, "
                     f"eff {r['scaling_efficiency'] * 100:.0f}%"
+                )
+    if args.suite == "model":
+        from ..utils.scaling_model import prediction_table
+
+        rows = prediction_table(dims=args.dims or [8192, 32768, 65536])
+        all_rows += rows
+        if not args.json:
+            print(
+                "Predicted multi-chip scaling (ANALYTICAL MODEL anchored to"
+                " measured 1-chip numbers — not a measurement)\n"
+            )
+            for r in rows:
+                print(
+                    f"[{r['solver']}] {r['dim']}² on {r['chips']:>3} chip(s) / "
+                    f"{r['hosts']:>2} host(s): {r['round_us']:>9.1f} us/round, "
+                    f"eff {r['efficiency'] * 100:5.1f}%"
                 )
     if args.suite in ("vector", "all"):
         rows = suite.bench_vector_kernels()

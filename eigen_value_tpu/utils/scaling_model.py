@@ -1,0 +1,143 @@
+"""Analytical scaling model for multi-chip solves.
+
+Real multi-chip hardware is not available in this environment (single
+tunneled chip), so pod-scale behavior is PREDICTED from first principles
+anchored to measured single-chip numbers — clearly a model, not a
+measurement.  The per-round cost of the row-partitioned matvec-form solve
+(parallel/sharded.py) decomposes as:
+
+  * local compute: the shard's matvec is HBM-bound —
+    ``(n²/P)·itemsize / hbm_gbps`` (measured 8192²/1 chip: 0.326 ms at
+    ~850 GB/s effective, which calibrates ``hbm_gbps``);
+  * exchange: the O(n) scaling vector.
+      - gathered form: one all_gather per round — each chip receives
+        (P−1)/P·n·itemsize over its ICI links, plus per-hop latency on
+        the ring of P shards;
+      - ring form: P−1 ppermute steps of an n/P chunk, each OVERLAPPED
+        with that chunk's GEMV — the exchange only costs where a chunk's
+        wire time exceeds its compute time (latency-bound small chunks);
+  * DCN: when the mesh spans hosts, ``hops_dcn`` of the exchange cross
+    the host network instead of ICI.
+
+Defaults are approximate public v5e figures; override ``ChipSpec`` for
+other parts.  Use ``python -m eigen_value_tpu.bench --suite model`` for
+the prediction tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    """Hardware parameters (defaults ≈ public TPU v5e figures; effective
+    HBM bandwidth is the MEASURED sustained number from this repo's bench,
+    not the nameplate)."""
+
+    hbm_gbps: float = 850.0  # sustained, measured (nameplate 819)
+    ici_gbps: float = 400.0  # per-chip aggregate ICI bandwidth
+    ici_latency_us: float = 1.0  # per ppermute/collective step
+    dcn_gbps: float = 25.0  # per-host effective DCN bandwidth
+    dcn_latency_us: float = 10.0  # per DCN crossing
+    itemsize: int = 4  # float32 matrix
+
+
+DEFAULT_SPEC = ChipSpec()
+
+
+def local_matvec_us(n: int, p: int, spec: ChipSpec = DEFAULT_SPEC) -> float:
+    """HBM-bound time of one shard's (n/P × n) GEMV."""
+    return (n / p) * n * spec.itemsize / spec.hbm_gbps / 1e3
+
+
+def gather_exchange_us(
+    n: int, p: int, hosts: int = 1, spec: ChipSpec = DEFAULT_SPEC
+) -> float:
+    """Per-round all_gather of the O(n) vector (gathered form)."""
+    if p == 1:
+        return 0.0
+    wire = (p - 1) / p * n * spec.itemsize / spec.ici_gbps / 1e3
+    lat = (p - 1) * spec.ici_latency_us
+    if hosts > 1:
+        # one chunk boundary per host crossing rides DCN instead of ICI
+        dcn_bytes = (hosts - 1) / p * n * spec.itemsize
+        wire += dcn_bytes / spec.dcn_gbps / 1e3
+        lat += (hosts - 1) * spec.dcn_latency_us
+    return wire + lat
+
+
+def ring_exchange_exposed_us(
+    n: int, p: int, hosts: int = 1, spec: ChipSpec = DEFAULT_SPEC
+) -> float:
+    """EXPOSED (non-overlapped) exchange cost of the ring form: each of the
+    P−1 rotation steps overlaps an n/P-chunk transfer with that chunk's
+    GEMV; only the excess of wire over compute is paid."""
+    if p == 1:
+        return 0.0
+    chunk_compute = local_matvec_us(n, p, spec) / p  # one chunk's GEMV
+    chunk_wire = (n / p) * spec.itemsize / spec.ici_gbps / 1e3 + spec.ici_latency_us
+    exposed = max(0.0, chunk_wire - chunk_compute) * (p - 1)
+    if hosts > 1:
+        dcn_chunk = (n / p) * spec.itemsize / spec.dcn_gbps / 1e3 + spec.dcn_latency_us
+        exposed += max(0.0, dcn_chunk - chunk_compute) * (hosts - 1)
+    return exposed
+
+
+def round_time_us(
+    n: int,
+    p: int,
+    hosts: int = 1,
+    ring: bool = False,
+    spec: ChipSpec = DEFAULT_SPEC,
+) -> float:
+    """Predicted per-round wall time of the sharded matvec-form solve."""
+    exch = (
+        ring_exchange_exposed_us(n, p, hosts, spec)
+        if ring
+        else gather_exchange_us(n, p, hosts, spec)
+    )
+    return local_matvec_us(n, p, spec) + exch
+
+
+def scaling_efficiency(
+    n: int,
+    p: int,
+    hosts: int = 1,
+    ring: bool = False,
+    spec: ChipSpec = DEFAULT_SPEC,
+) -> float:
+    """Predicted strong-scaling efficiency vs the 1-chip round time:
+    ideal = T(1)/P, efficiency = ideal / T(P)."""
+    t1 = round_time_us(n, 1, 1, ring, spec)
+    tp = round_time_us(n, p, hosts, ring, spec)
+    return (t1 / p) / tp
+
+
+def prediction_table(
+    dims: List[int] = (8192, 32768, 65536),
+    chip_counts: List[int] = (1, 4, 8, 16, 64, 256),
+    chips_per_host: int = 8,
+    spec: ChipSpec = DEFAULT_SPEC,
+) -> List[dict]:
+    """Model predictions for the bench CLI (--suite model)."""
+    rows = []
+    for n in dims:
+        for p in chip_counts:
+            if n % p != 0:
+                continue
+            hosts = max(1, p // chips_per_host)
+            for ring in (False, True):
+                rows.append(
+                    {
+                        "bench": "model",
+                        "dim": n,
+                        "chips": p,
+                        "hosts": hosts,
+                        "solver": "matvec_ring" if ring else "matvec_gather",
+                        "round_us": round_time_us(n, p, hosts, ring, spec),
+                        "efficiency": scaling_efficiency(n, p, hosts, ring, spec),
+                    }
+                )
+    return rows
