@@ -124,6 +124,7 @@ def max_eigenvalue(
     mat: jax.Array,
     config: SolverConfig = DEFAULT_CONFIG,
     validate: bool = False,
+    mesh=None,
 ) -> SolveResult:
     """Maximum eigenvalue + eigenvector of a positive square matrix.
 
@@ -132,10 +133,22 @@ def max_eigenvalue(
     precondition — SURVEY.md §0: the reference's reductions seed their
     accumulators with 0 and silently return garbage on non-positive input;
     pass ``validate=True`` to check on device and raise instead).
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with a ``"rows"`` axis) runs the
+    row-partitioned multi-chip solve instead of the single-chip one —
+    the one-argument door to `parallel/` (solve_sharded_matvec; use the
+    parallel module directly for the ring/batched variants).
     """
     mat = jnp.asarray(mat)
     if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
         raise ValueError(f"must be a square matrix, got shape {mat.shape}")
+    if mesh is not None:
+        from .parallel.sharded import solve_sharded_matvec
+
+        mat = mat.astype(config.dtype)
+        if validate and not bool(jnp.all(mat > 0)):
+            raise ValueError("similarity-transform method requires all entries > 0")
+        return solve_sharded_matvec(mat, mesh, config=config)
     backend = resolve_backend(config, mat.shape[0])
     prequantized = (
         config.storage_dtype is not None

@@ -154,3 +154,19 @@ def test_float64_without_x64_raises():
         pytest.skip("x64 enabled in this environment")
     with pytest.raises(ValueError, match="x64"):
         SolverConfig(dtype=np_.float64)
+
+
+def test_max_eigenvalue_with_mesh():
+    """The functional API routes to the sharded solver when given a mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from eigen_value_tpu import fixtures
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("rows",))
+    H = fixtures.hilbert_matrix(256)
+    got = max_eigenvalue(H, mesh=mesh)
+    assert bool(got.converged)
+    assert int(got.rounds) == fixtures.HILBERT_ROUNDS[256]
+    want = max_eigenvalue(H)
+    assert abs(float(got.eigenvalue) - float(want.eigenvalue)) < 1e-4
