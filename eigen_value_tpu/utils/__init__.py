@@ -1,5 +1,6 @@
-"""Utilities: timing, table formatting, AOT compilation cache."""
+"""Utilities: timing, AOT compilation cache, profiling, scaling model."""
 
+from . import profiling, scaling_model
 from .aot import disable_persistent_cache, enable_persistent_cache
 from .timing import detect_peak_hbm_gbps, force, roofline_pct, time_call, time_marginal
 

@@ -36,6 +36,13 @@ def test_quickstart_example():
 
 
 @pytest.mark.slow
+def test_autodiff_example():
+    out = _run_example("autodiff.py")
+    assert "target 40.0" in out
+    assert "∂v[0]/∂A" in out
+
+
+@pytest.mark.slow
 def test_distributed_example():
     out = _run_example("distributed.py")
     assert "sharded (8 devices)" in out and "rounds = 13 (expect 13)" in out
