@@ -146,3 +146,22 @@ class TestEigenpair:
         h = 3e-3
         fd = (g(A + h * E) - g(A - h * E)) / (2 * h)
         assert float(jnp.sum(dA * E)) == pytest.approx(fd, rel=2e-2)
+
+    def test_vmap_composition(self):
+        """Both custom VJPs compose with vmap — batched spectral gradients
+        (DP-style) work out of the box."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eigen_value_tpu.ops.autodiff import eigenpair, eigenvalue
+
+        rng = np.random.default_rng(0)
+        As = jnp.asarray(rng.random((3, 32, 32), dtype=np.float32) + 0.1)
+        g = jax.vmap(jax.grad(lambda A: eigenvalue(A)))(As)
+        assert g.shape == (3, 32, 32) and bool(jnp.isfinite(g).all())
+        lam, v = jax.vmap(lambda A: eigenpair(A))(As)
+        assert lam.shape == (3,) and v.shape == (3, 32)
+        # per-matrix gradient equals the vmapped one
+        g0 = jax.grad(lambda A: eigenvalue(A))(As[0])
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g0), rtol=1e-5)
