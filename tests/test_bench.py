@@ -4,6 +4,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 from eigen_value_tpu.bench import suite
 
 
@@ -48,3 +50,36 @@ def test_cli_json(tmp_path):
     assert len(lines) == 1
     row = json.loads(lines[0])
     assert row["dim"] == 128 and row["rounds"] == 9
+
+
+@pytest.mark.slow
+def test_package_main_entry():
+    """`python -m eigen_value_tpu` is the reference ./run analog."""
+    import subprocess
+    import sys
+
+    from conftest import subprocess_env
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "eigen_value_tpu",
+            "--device",
+            "cpu",
+            "--suite",
+            "e2e",
+            "--dims",
+            "128",
+            "--backends",
+            "xla",
+            "--reps",
+            "1",
+        ],
+        capture_output=True,
+        text=True,
+        env=subprocess_env(),
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "9 round(s)" in out.stdout
