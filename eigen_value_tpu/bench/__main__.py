@@ -39,9 +39,10 @@ def _fmt_kernels(rows, size_key="dim") -> str:
         if r["kernel"] != kernel:
             kernel = r["kernel"]
             out.append(f"\n{kernel}\n")
-        gb = f"{r['gbps']:>8.0f} GB/s" if "gbps" in r else " " * 13
+        gbps = r.get("gbps")
+        gb = f"{gbps:>8.0f} GB/s" if gbps is not None and "gbps" in r else " " * 13
         roof = r.get("roofline_pct")
-        roof_s = f"{roof:>6.1f}% roofline" if roof == roof else ""
+        roof_s = f"{roof:>6.1f}% roofline" if roof is not None else ""
         out.append(
             f"{r[size_key]:<10}\t\t{r['ms'] * 1e3:>10.1f} us\t{gb}\t{roof_s}"
         )

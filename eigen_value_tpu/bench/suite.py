@@ -411,14 +411,17 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
         }
         for name, (step, init, nbytes) in cases.items():
             ms = time_marginal(step, init, k=k)
+            # ms == 0 means the marginal vanished into launch jitter —
+            # emit nulls (RFC-safe JSON), not Infinity/NaN
+            pct = roofline_pct(ms, nbytes, peak) if ms > 0 else None
             rows.append(
                 {
                     "bench": "kernel",
                     "kernel": name,
                     "dim": n,
                     "ms": ms,
-                    "gbps": nbytes / (ms * 1e-3) / 1e9 if ms > 0 else float("inf"),
-                    "roofline_pct": roofline_pct(ms, nbytes, peak),
+                    "gbps": nbytes / (ms * 1e-3) / 1e9 if ms > 0 else None,
+                    "roofline_pct": None if pct != pct else pct,
                 }
             )
     return rows
@@ -475,13 +478,15 @@ def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 256) -> List[
         }
         for name, (step, init, nbytes) in cases.items():
             ms = time_marginal(step, init, k=k)
+            pct = roofline_pct(ms, nbytes, peak) if ms > 0 else float("nan")
             rows.append(
                 {
                     "bench": "vector_kernel",
                     "kernel": name,
                     "size": n,
                     "ms": ms,
-                    "roofline_pct": roofline_pct(ms, nbytes, peak),
+                    # NaN (unknown peak / sub-jitter marginal) → JSON null
+                    "roofline_pct": None if pct != pct else pct,
                 }
             )
     return rows
