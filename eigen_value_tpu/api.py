@@ -171,7 +171,9 @@ def max_eigenvalue_batch(
     from .parallel.batched import solve_batched
 
     mats = jnp.asarray(mats, config.dtype)
-    return solve_batched(mats, config.eps, config.max_itr)
+    return solve_batched(
+        mats, config.eps, config.max_itr, storage_dtype=config.storage_dtype
+    )
 
 
 class EigenValue:

@@ -25,17 +25,28 @@ from ..ops.solver import SolveResult
 from ..ops.solver_matvec import solve_matvec
 
 
-@partial(jax.jit, static_argnames=("eps", "max_itr"))
-def solve_batched(As: jax.Array, eps: float, max_itr: int) -> SolveResult:
+@partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))
+def solve_batched(
+    As: jax.Array, eps: float, max_itr: int, storage_dtype=None
+) -> SolveResult:
     """Solve a batch of positive matrices ``As`` of shape (B, n, n).
 
     Returns a SolveResult whose leaves carry a leading batch axis; ``rounds``
     is per-matrix (frozen at each matrix's own convergence round).  Uses the
     matvec-form solver — under vmap the hot op becomes a batched gemv
     against the original matrices, still 1 read of each A per round.
+
+    ``storage_dtype`` (e.g. ``jnp.bfloat16``) enables the reduced-precision
+    fast mode per matrix (see solver_matvec.solve_matvec_storage).
     """
     if As.ndim != 3 or As.shape[1] != As.shape[2]:
         raise ValueError(f"expected (B, n, n), got {As.shape}")
+    if storage_dtype is not None:
+        from ..ops.solver_matvec import solve_matvec_storage
+
+        return jax.vmap(
+            lambda A: solve_matvec_storage(A, eps, max_itr, storage_dtype)
+        )(As)
     return jax.vmap(lambda A: solve_matvec(A, eps, max_itr))(As)
 
 

@@ -247,3 +247,18 @@ class TestBatchedMixedConvergence:
         full = solve_batched(mats, EPS, 1000)
         assert np.asarray(full.converged).all()
         assert (np.asarray(full.rounds) > cap).any()
+
+
+def test_batched_storage_dtype_fast_mode(rng):
+    """max_eigenvalue_batch honors SolverConfig.storage_dtype (bf16 fast
+    mode per matrix; f32 state; near-parity rounds)."""
+    from eigen_value_tpu import SolverConfig, max_eigenvalue_batch
+
+    mats = rng.random((3, 128, 128), dtype=np.float32) + 1e-2
+    got = max_eigenvalue_batch(mats, SolverConfig(storage_dtype=jnp.bfloat16))
+    want = max_eigenvalue_batch(mats)
+    assert got.eigenvalue.dtype == jnp.float32
+    assert np.asarray(got.converged).all()
+    np.testing.assert_allclose(
+        np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), rtol=2e-3
+    )
