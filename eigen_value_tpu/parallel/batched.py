@@ -76,14 +76,20 @@ def solve_batched_sharded(
         NamedSharding(mesh, P(axis_name)),
         NamedSharding(mesh, P(axis_name)),
     )
-    return _batched_sharded_jit(config.eps, config.max_itr, out_sharding)(As)
+    return _batched_sharded_jit(
+        config.eps, config.max_itr, config.storage_dtype, out_sharding
+    )(As)
 
 
 @lru_cache(maxsize=None)
-def _batched_sharded_jit(eps: float, max_itr: int, out_sharding: SolveResult):
-    """Cache the jitted executable per (eps, max_itr, sharding) — a fresh
-    jax.jit wrapper per call would re-trace on every invocation."""
+def _batched_sharded_jit(
+    eps: float, max_itr: int, storage_dtype, out_sharding: SolveResult
+):
+    """Cache the jitted executable per config+sharding — a fresh jax.jit
+    wrapper per call would re-trace on every invocation."""
     return jax.jit(
-        partial(solve_batched, eps=eps, max_itr=max_itr),
+        partial(
+            solve_batched, eps=eps, max_itr=max_itr, storage_dtype=storage_dtype
+        ),
         out_shardings=out_sharding,
     )

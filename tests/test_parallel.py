@@ -262,3 +262,19 @@ def test_batched_storage_dtype_fast_mode(rng):
     np.testing.assert_allclose(
         np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), rtol=2e-3
     )
+
+
+def test_batched_sharded_storage_dtype(rng):
+    from eigen_value_tpu import SolverConfig
+
+    mats = jnp.asarray(rng.random((8, 64, 64), dtype=np.float32) + 1e-2)
+    mesh = cpu_mesh(4, axis="batch")
+    got = solve_batched_sharded(
+        mats, mesh, config=SolverConfig(storage_dtype=jnp.bfloat16)
+    )
+    assert got.eigenvalue.dtype == jnp.float32
+    assert np.asarray(got.converged).all()
+    want = solve_batched(mats, EPS, MAX_ITR)
+    np.testing.assert_allclose(
+        np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), rtol=2e-3
+    )
