@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import EPS, MAX_ITR
 from .solver_matvec import solve_matvec
@@ -67,6 +68,11 @@ def eigenpair(A: jax.Array, eps: float = EPS, max_itr: int = MAX_ITR):
     factorization, no transpose copy) and returns Ā = −w vᵀ.  For v̄ = 0
     this reduces analytically to the Perron adjoint λ̄·u vᵀ/(uᵀv) used by
     :func:`eigenvalue`.
+
+    The GMRES solution is residual-VERIFIED: if restarted GMRES stagnates
+    (near-singular K from a small spectral gap, or large n), the VJP falls
+    back to a direct dense solve of the bordered system rather than
+    returning an unverified gradient (see :func:`_solve_bordered`).
     """
     res = solve_matvec(A, eps, max_itr)
     v = res.eigenvector / jnp.max(res.eigenvector)
@@ -78,11 +84,18 @@ def _pair_fwd(A, eps, max_itr):
     return (lam, v), (A, lam, v)
 
 
-def _pair_bwd(eps, max_itr, residuals, cotangents):
-    A, lam, v = residuals
-    lam_bar, v_bar = cotangents
+def _solve_bordered(A, lam, v, ej, rhs, tol, maxiter=10):
+    """Solve Kᵀ x = rhs for the bordered adjoint system, VERIFIED.
+
+    GMRES first (matvec-only, no factorization); its solution is accepted
+    only if the residual actually meets the tolerance — restarted GMRES can
+    stagnate on a near-singular K (small Perron spectral gap) or large n
+    and silently return garbage.  On failure, falls back to a direct dense
+    solve of the (n+1)² system (one O(n³) factorization — the bordered
+    matrix is formed explicitly only on this branch, and `lax.cond` skips
+    it entirely when GMRES verified).  Returns ``(x, rel_residual)``.
+    """
     n = A.shape[0]
-    ej = jax.nn.one_hot(jnp.argmax(v), n, dtype=A.dtype)
 
     def KT_mv(ws):
         w, s = ws[:n], ws[n]
@@ -90,6 +103,40 @@ def _pair_bwd(eps, max_itr, residuals, cotangents):
         bot = -jnp.dot(v, w)
         return jnp.concatenate([top, bot[None]])
 
+    def rel_resid(x):
+        scale = jnp.linalg.norm(rhs) + jnp.finfo(A.dtype).tiny
+        return jnp.linalg.norm(KT_mv(x) - rhs) / scale
+
+    sol, _ = jax.scipy.sparse.linalg.gmres(
+        KT_mv,
+        rhs,
+        tol=tol,
+        atol=0.0,
+        restart=min(n + 1, 100),
+        maxiter=maxiter,
+        solve_method="batched",
+    )
+
+    # accept with head-room (GMRES's internal criterion is approximate for
+    # the batched solve method); anything worse goes to the direct solve
+    ok = rel_resid(sol) <= 30.0 * tol
+
+    def direct(_):
+        KT = jnp.zeros((n + 1, n + 1), A.dtype)
+        KT = KT.at[:n, :n].set(A.T - lam * jnp.eye(n, dtype=A.dtype))
+        KT = KT.at[:n, n].set(ej)
+        KT = KT.at[n, :n].set(-v)
+        return jnp.linalg.solve(KT, rhs)
+
+    sol = lax.cond(ok, lambda _: sol, direct, None)
+    return sol, rel_resid(sol)
+
+
+def _pair_bwd(eps, max_itr, residuals, cotangents):
+    A, lam, v = residuals
+    lam_bar, v_bar = cotangents
+    n = A.shape[0]
+    ej = jax.nn.one_hot(jnp.argmax(v), n, dtype=A.dtype)
     rhs = jnp.concatenate([v_bar, lam_bar[None]])
     # The tolerance must be REACHABLE or GMRES spins to its iteration cap
     # and returns garbage: floor it at ~50·machine-eps of the compute dtype
@@ -97,15 +144,7 @@ def _pair_bwd(eps, max_itr, residuals, cotangents):
     # tenth of the forward solve's eps — (λ, v) are only eps-accurate, so
     # the bordered system is inconsistent below that level anyway.
     tol = max(50.0 * float(jnp.finfo(A.dtype).eps), 1e-9, 0.1 * float(eps))
-    sol, _ = jax.scipy.sparse.linalg.gmres(
-        KT_mv,
-        rhs,
-        tol=tol,
-        atol=0.0,
-        restart=min(n + 1, 100),
-        maxiter=10,
-        solve_method="batched",
-    )
+    sol, _ = _solve_bordered(A, lam, v, ej, rhs, tol)
     w = sol[:n]
     return (-(w[:, None] * v[None, :]),)
 

@@ -68,6 +68,23 @@ def make_global_row_mesh(
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def _require_host_major(proc_seq) -> None:
+    """Validate the placement precondition of :func:`assemble_rowsharded`:
+    process p's block lands at global rows [p·n/P, (p+1)·n/P) ONLY if the
+    mesh's flat device order is host-major — each process's devices in one
+    contiguous span, spans ordered by process index.  A caller-built mesh
+    that interleaves processes would otherwise place row blocks at wrong
+    global offsets with no error (ADVICE r1) — raise instead of trusting
+    the docstring."""
+    if list(proc_seq) != sorted(proc_seq):
+        raise ValueError(
+            "mesh device order is not host-major (process indices along the "
+            f"flat mesh axis: {list(proc_seq)}) — assemble_rowsharded would "
+            "place row blocks at wrong global offsets; build the mesh with "
+            "make_global_row_mesh or order devices by process"
+        )
+
+
 def assemble_rowsharded(
     local_rows: np.ndarray, mesh: Mesh, axis_name: str = "rows"
 ) -> jax.Array:
@@ -86,6 +103,7 @@ def assemble_rowsharded(
     # default backend (an auxiliary accelerator plugin may be the default
     # and would report its own single-process view).
     flat = list(mesh.devices.flat)
+    _require_host_major([d.process_index for d in flat])
     n_procs = len({d.process_index for d in flat})
     if n_local * n_procs != n:
         raise ValueError(

@@ -134,6 +134,7 @@ def _shard_matvec_body(
     axis_name: str,
     use_pallas: bool = False,
     interpret: bool = False,
+    storage_dtype=None,
 ):
     """Per-shard matvec-form loop (see ops/solver_matvec.py for the algebra):
     each round is one local matvec against the ORIGINAL row shard plus one
@@ -141,15 +142,30 @@ def _shard_matvec_body(
     and A is never written (halves per-shard memory).
 
     ``use_pallas`` switches the local matvec to the Pallas roofline kernel
-    (requires 128-aligned local shard dims)."""
+    (requires 128-aligned local shard dims).
+
+    ``storage_dtype`` (e.g. bf16) casts the local shard ONCE and runs the
+    per-round matvec in reduced precision with float32 accumulation, while
+    all O(n) state (v, ev, stop check, λ) stays float32 — the exact
+    semantics of the single-chip fast mode (solver_matvec.py:145-174).
+    The reduced-precision matvec is plain ``jnp.dot`` regardless of
+    ``use_pallas``: XLA's bf16 gemv is already at the bf16 roofline
+    (measured, docs/BENCH_RESULTS.md negative results)."""
 
     def solve_block(A_blk: jax.Array) -> SolveResult:
         n_loc, n = A_blk.shape
-        dtype = A_blk.dtype
+        Aq_blk = A_blk if storage_dtype is None else A_blk.astype(storage_dtype)
+        dtype = A_blk.dtype if storage_dtype is None else jnp.float32
         p = lax.axis_index(axis_name)
         row0 = p * n_loc
 
         def local_matvec(ev):
+            if storage_dtype is not None:
+                return jnp.dot(
+                    Aq_blk,
+                    ev.astype(storage_dtype),
+                    preferred_element_type=jnp.float32,
+                )
             if use_pallas:
                 from ..ops.pallas import kernels
 
@@ -202,12 +218,29 @@ def _shard_matvec_body(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis_name", "eps", "max_itr", "use_pallas", "interpret"),
+    static_argnames=(
+        "mesh",
+        "axis_name",
+        "eps",
+        "max_itr",
+        "use_pallas",
+        "interpret",
+        "storage_dtype",
+    ),
 )
 def _solve_sharded_matvec_jit(
-    A, mesh, axis_name, eps, max_itr, use_pallas=False, interpret=False
+    A,
+    mesh,
+    axis_name,
+    eps,
+    max_itr,
+    use_pallas=False,
+    interpret=False,
+    storage_dtype=None,
 ):
-    solve_block = _shard_matvec_body(eps, max_itr, axis_name, use_pallas, interpret)
+    solve_block = _shard_matvec_body(
+        eps, max_itr, axis_name, use_pallas, interpret, storage_dtype
+    )
     fn = shard_map(
         solve_block,
         mesh=mesh,
@@ -229,6 +262,12 @@ def solve_sharded_matvec(
 
     ``use_pallas`` (default: auto — on for TPU meshes with 128-aligned
     shards) runs the local matvec as the Pallas roofline kernel.
+
+    ``config.storage_dtype`` (bf16 fast mode) is honored exactly as on the
+    single chip: the shard is cast once, matvecs accumulate in float32, and
+    all O(n) state stays float32.  A may also arrive pre-cast in
+    ``storage_dtype`` (no f32 copy is ever made — how shard-scale dims
+    whose f32 copy would not fit are solved).
     """
     n = A.shape[0]
     n_shards = mesh.shape[axis_name]
@@ -240,11 +279,20 @@ def solve_sharded_matvec(
     interpret = bool(use_pallas) and not mesh_on_tpu
     A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
     return _solve_sharded_matvec_jit(
-        A, mesh, axis_name, config.eps, config.max_itr, use_pallas, interpret
+        A,
+        mesh,
+        axis_name,
+        config.eps,
+        config.max_itr,
+        use_pallas,
+        interpret,
+        config.storage_dtype,
     )
 
 
-def _shard_matvec_ring_body(eps: float, max_itr: int, axis_name: str):
+def _shard_matvec_ring_body(
+    eps: float, max_itr: int, axis_name: str, storage_dtype=None
+):
     """Fully distributed matvec-form loop with RING-pipelined communication.
 
     The plain sharded loop (``_shard_matvec_body``) all_gathers the O(n)
@@ -265,21 +313,33 @@ def _shard_matvec_ring_body(eps: float, max_itr: int, axis_name: str):
 
     def solve_block(A_blk: jax.Array) -> SolveResult:
         n_loc, n = A_blk.shape
-        dtype = A_blk.dtype
+        Aq_blk = A_blk if storage_dtype is None else A_blk.astype(storage_dtype)
+        dtype = A_blk.dtype if storage_dtype is None else jnp.float32
         p = lax.axis_index(axis_name)
         n_shards = n // n_loc
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
         def ring_matvec(ev_loc):
             """(A_blk @ ev_full)[local rows] without materializing ev_full:
-            rotate ev chunks through the ring, one chunk-GEMV per step."""
+            rotate ev chunks through the ring, one chunk-GEMV per step.
+            With ``storage_dtype`` the chunk GEMVs run in reduced precision
+            with f32 accumulation; the rotating chunks stay f32 on the wire
+            (an O(n) exchange — precision is free, bandwidth negligible)."""
 
             def step(s, carry):
                 chunk, parts = carry
                 src = (p - s) % n_shards  # owner of the chunk now held
-                y = lax.dynamic_slice(
-                    A_blk, (jnp.int32(0), src * n_loc), (n_loc, n_loc)
-                ) @ chunk
+                blk = lax.dynamic_slice(
+                    Aq_blk, (jnp.int32(0), src * n_loc), (n_loc, n_loc)
+                )
+                if storage_dtype is None:
+                    y = blk @ chunk
+                else:
+                    y = jnp.dot(
+                        blk,
+                        chunk.astype(storage_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
                 parts = lax.dynamic_update_slice(
                     parts, y[None, :], (src, jnp.int32(0))
                 )
@@ -338,9 +398,12 @@ def _shard_matvec_ring_body(eps: float, max_itr: int, axis_name: str):
     return solve_block
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr"))
-def _solve_sharded_ring_jit(A, mesh, axis_name, eps, max_itr):
-    solve_block = _shard_matvec_ring_body(eps, max_itr, axis_name)
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "eps", "max_itr", "storage_dtype"),
+)
+def _solve_sharded_ring_jit(A, mesh, axis_name, eps, max_itr, storage_dtype=None):
+    solve_block = _shard_matvec_ring_body(eps, max_itr, axis_name, storage_dtype)
     fn = shard_map(
         solve_block,
         mesh=mesh,
@@ -361,18 +424,37 @@ def solve_sharded_matvec_ring(
     (no all_gather; ev chunks rotate via ppermute, overlapped with the
     chunk GEMVs).  Preferred over :func:`solve_sharded_matvec` when the
     per-round gather latency is visible — large meshes or DCN-spanning
-    meshes where O(n) wire time rivals the O(n²/P) local pass."""
+    meshes where O(n) wire time rivals the O(n²/P) local pass.
+
+    ``config.storage_dtype`` (bf16 fast mode) is honored: chunk GEMVs run
+    in reduced precision with f32 accumulation, O(n) state stays f32."""
     n = A.shape[0]
     n_shards = mesh.shape[axis_name]
     if n % n_shards != 0:
         raise ValueError(f"dim {n} not divisible by {n_shards} shards")
     A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
-    return _solve_sharded_ring_jit(A, mesh, axis_name, config.eps, config.max_itr)
+    return _solve_sharded_ring_jit(
+        A, mesh, axis_name, config.eps, config.max_itr, config.storage_dtype
+    )
 
 
-@partial(jax.jit, static_argnames=("mesh", "batch_axis", "row_axis", "eps", "max_itr"))
-def _solve_batched_rowsharded_jit(As, mesh, batch_axis, row_axis, eps, max_itr):
-    solve_block = _shard_matvec_body(eps, max_itr, row_axis)
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "batch_axis",
+        "row_axis",
+        "eps",
+        "max_itr",
+        "storage_dtype",
+    ),
+)
+def _solve_batched_rowsharded_jit(
+    As, mesh, batch_axis, row_axis, eps, max_itr, storage_dtype=None
+):
+    solve_block = _shard_matvec_body(
+        eps, max_itr, row_axis, storage_dtype=storage_dtype
+    )
     fn = shard_map(
         jax.vmap(solve_block),
         mesh=mesh,
@@ -401,6 +483,9 @@ def solve_batched_rowsharded(
     The vmapped while loop runs until every local batch element converges,
     freezing finished ones (per-matrix round counts preserved); done flags
     are replicated across row shards so the loop stays in lockstep.
+
+    ``config.storage_dtype`` (bf16 fast mode) applies per matrix with the
+    single-chip semantics (f32 accumulation, f32 O(n) state).
     """
     B, n, n2 = As.shape
     if n != n2:
@@ -412,7 +497,13 @@ def solve_batched_rowsharded(
         raise ValueError(f"dim {n} not divisible by {pr} shards")
     As = jax.device_put(As, NamedSharding(mesh, P(batch_axis, row_axis, None)))
     return _solve_batched_rowsharded_jit(
-        As, mesh, batch_axis, row_axis, config.eps, config.max_itr
+        As,
+        mesh,
+        batch_axis,
+        row_axis,
+        config.eps,
+        config.max_itr,
+        config.storage_dtype,
     )
 
 

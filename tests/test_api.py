@@ -170,3 +170,19 @@ def test_max_eigenvalue_with_mesh():
     assert int(got.rounds) == fixtures.HILBERT_ROUNDS[256]
     want = max_eigenvalue(H)
     assert abs(float(got.eigenvalue) - float(want.eigenvalue)) < 1e-4
+
+
+def test_ts_ms_is_rtt_corrected(rng):
+    """ts_ms estimates DEVICE time: the per-call launch latency (measured
+    once per instance with a trivial executable) is subtracted from the
+    wall clock (VERDICT r1 item 6 — the reference times only the device
+    loop, similarity_transform.cpp:36-58)."""
+    from eigen_value_tpu.api import EigenValue
+
+    ev = EigenValue()
+    mat = rng.random((256, 256), dtype=np.float32) + 0.5
+    lam, vec, ts_ms, rounds = ev.similarity_transform(mat)
+    assert ev._rtt_ms is not None and ev._rtt_ms >= 0.0
+    assert ev.last_wall_ms is not None
+    assert ts_ms <= ev.last_wall_ms
+    assert ts_ms == pytest.approx(max(ev.last_wall_ms - ev._rtt_ms, 0.0))

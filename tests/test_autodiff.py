@@ -147,6 +147,84 @@ class TestEigenpair:
         fd = (g(A + h * E) - g(A - h * E)) / (2 * h)
         assert float(jnp.sum(dA * E)) == pytest.approx(fd, rel=2e-2)
 
+    def test_hilbert_256_gradient(self):
+        """The repo's own flagship family: Hilbert's spectrum is nearly
+        defective (eigenvalues decay super-exponentially), the classic
+        near-singular-K stress for the bordered solve.  The verified solve
+        must return a finite gradient that matches finite differences."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eigen_value_tpu import fixtures
+        from eigen_value_tpu.ops.autodiff import eigenpair
+
+        H = fixtures.hilbert_matrix(256)
+        rng = np.random.default_rng(11)
+        cot_v = jnp.asarray(rng.standard_normal(256), jnp.float32)
+        E = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+
+        _, vjp_fn = jax.vjp(lambda M: eigenpair(M), H)
+        (dA,) = vjp_fn((jnp.float32(1.0), cot_v))
+        assert bool(jnp.isfinite(dA).all())
+
+        def g(M):
+            l, w = eigenpair(M)
+            return float(l) + float(jnp.dot(cot_v, w))
+
+        h = 1e-3  # entries are O(1e-3..1); λ≈2.08 — keep the step tiny
+        fd = (g(H + h * E) - g(H - h * E)) / (2 * h)
+        assert float(jnp.sum(dA * E)) == pytest.approx(fd, rel=5e-2)
+
+    def test_n1024_random_gradient(self):
+        """Scale check (VERDICT r1 item 4): n=1024 f32 — well past the
+        restart window, where unverified restarted GMRES can stagnate."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eigen_value_tpu.ops.autodiff import eigenpair
+
+        rng = np.random.default_rng(13)
+        A = jnp.asarray(rng.random((1024, 1024), dtype=np.float32) + 0.1)
+        cot_v = jnp.asarray(rng.standard_normal(1024), jnp.float32)
+        E = jnp.asarray(rng.standard_normal((1024, 1024)), jnp.float32)
+
+        _, vjp_fn = jax.vjp(lambda M: eigenpair(M), A)
+        (dA,) = vjp_fn((jnp.float32(1.0), cot_v))
+        assert bool(jnp.isfinite(dA).all())
+
+        def g(M):
+            l, w = eigenpair(M)
+            return float(l) + float(jnp.dot(cot_v, w))
+
+        h = 1e-2
+        fd = (g(A + h * E) - g(A - h * E)) / (2 * h)
+        assert float(jnp.sum(dA * E)) == pytest.approx(fd, rel=2e-2)
+
+    def test_bordered_fallback_on_gmres_failure(self):
+        """Force GMRES to fail (maxiter=0 returns the zero iterate, whose
+        residual is ||rhs||) — the verified solve must detect it and the
+        direct fallback must still produce the correct solution."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eigen_value_tpu.ops.autodiff import _solve_bordered, eigenpair
+
+        rng = np.random.default_rng(5)
+        A = jnp.asarray(rng.random((64, 64), dtype=np.float32) + 0.1)
+        lam, v = eigenpair(A)
+        ej = jax.nn.one_hot(jnp.argmax(v), 64, dtype=A.dtype)
+        rhs = jnp.asarray(rng.standard_normal(65), jnp.float32)
+
+        sol_fb, resid_fb = _solve_bordered(A, lam, v, ej, rhs, tol=1e-4, maxiter=0)
+        sol_ok, resid_ok = _solve_bordered(A, lam, v, ej, rhs, tol=1e-4)
+        assert float(resid_fb) < 1e-3  # fallback actually solved it
+        np.testing.assert_allclose(
+            np.asarray(sol_fb), np.asarray(sol_ok), rtol=1e-2, atol=1e-3
+        )
+
     def test_vmap_composition(self):
         """Both custom VJPs compose with vmap — batched spectral gradients
         (DP-style) work out of the box."""

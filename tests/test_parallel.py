@@ -278,3 +278,144 @@ def test_batched_sharded_storage_dtype(rng):
     np.testing.assert_allclose(
         np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), rtol=2e-3
     )
+
+
+class TestRowShardedStorageDtype:
+    """bf16 fast mode × row sharding (VERDICT r1 item 3): the mode matters
+    most exactly at shard-scale dims.  Semantics mirror the single-chip
+    storage path (solver_matvec.py:145-174): bf16 matvec, f32 accumulation,
+    f32 O(n) state.  λ is compared to the f32 solve at rtol 2e-3 (the bf16
+    accuracy contract) and the round count to the single-chip STORAGE
+    solver, which shares the row-local reduction structure.  (Round count
+    vs the f32 solve is NOT a ±1 contract in general: for a random matrix
+    with λ ≈ n/2 the absolute eps=1e-3 stop is a much tighter RELATIVE
+    tolerance than for Hilbert, so bf16's quantization perturbation takes
+    extra rounds to decay — only the Hilbert family shows ±1 empirically.)
+    """
+
+    def _check(self, got, want_f32, want_storage):
+        assert got.eigenvalue.dtype == jnp.float32
+        assert got.eigenvector.dtype == jnp.float32
+        assert bool(got.converged)
+        assert int(got.rounds) == int(want_storage.rounds)
+        np.testing.assert_allclose(
+            float(got.eigenvalue), float(want_f32.eigenvalue), rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            float(got.eigenvalue), float(want_storage.eigenvalue), rtol=1e-5
+        )
+
+    @staticmethod
+    def _storage_want(mat):
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec_storage
+
+        return solve_matvec_storage(mat, EPS, MAX_ITR)
+
+    def test_sharded_matvec(self, rng):
+        from eigen_value_tpu import SolverConfig
+
+        mat = jnp.asarray(rng.random((256, 256), dtype=np.float32) + 1e-2)
+        want = solve_xla(mat, EPS, MAX_ITR)
+        got = solve_sharded_matvec(
+            mat, cpu_mesh(4), config=SolverConfig(storage_dtype=jnp.bfloat16)
+        )
+        self._check(got, want, self._storage_want(mat))
+
+    def test_sharded_matvec_prequantized_input(self, rng):
+        """A matrix already in bf16 solves without an f32 copy (the
+        shard-scale memory story) and agrees with the cast-from-f32 path."""
+        from eigen_value_tpu import SolverConfig
+
+        cfg = SolverConfig(storage_dtype=jnp.bfloat16)
+        mat = jnp.asarray(rng.random((128, 128), dtype=np.float32) + 1e-2)
+        a = solve_sharded_matvec(mat, cpu_mesh(4), config=cfg)
+        b = solve_sharded_matvec(mat.astype(jnp.bfloat16), cpu_mesh(4), config=cfg)
+        assert int(a.rounds) == int(b.rounds)
+        assert float(a.eigenvalue) == pytest.approx(float(b.eigenvalue), rel=1e-6)
+
+    def test_ring(self, rng):
+        from eigen_value_tpu import SolverConfig
+
+        mat = jnp.asarray(rng.random((256, 256), dtype=np.float32) + 1e-2)
+        want = solve_xla(mat, EPS, MAX_ITR)
+        got = solve_sharded_matvec_ring(
+            mat, cpu_mesh(4), config=SolverConfig(storage_dtype=jnp.bfloat16)
+        )
+        # ring chunk-GEMVs split each row dot into P source-ordered partials
+        # — a different f32 accumulation order than the single-chip storage
+        # solver, so rounds may differ; assert the bf16 accuracy contract
+        # and agreement with the gathered-form sharded storage solve.
+        assert got.eigenvalue.dtype == jnp.float32
+        assert bool(got.converged)
+        np.testing.assert_allclose(
+            float(got.eigenvalue), float(want.eigenvalue), rtol=2e-3
+        )
+        gathered = solve_sharded_matvec(
+            mat, cpu_mesh(4), config=SolverConfig(storage_dtype=jnp.bfloat16)
+        )
+        np.testing.assert_allclose(
+            float(got.eigenvalue), float(gathered.eigenvalue), rtol=1e-4
+        )
+
+    def test_batched_rowsharded(self, rng):
+        from eigen_value_tpu import SolverConfig
+
+        mats = jnp.asarray(rng.random((4, 128, 128), dtype=np.float32) + 1e-2)
+        mesh = Mesh(
+            np.array(jax.devices("cpu")[:8]).reshape(2, 4), ("batch", "rows")
+        )
+        got = solve_batched_rowsharded(
+            mats, mesh, config=SolverConfig(storage_dtype=jnp.bfloat16)
+        )
+        want = solve_batched(mats, EPS, MAX_ITR)
+        assert got.eigenvalue.dtype == jnp.float32
+        assert np.asarray(got.converged).all()
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), rtol=2e-3
+        )
+
+    def test_api_mesh_path_honors_storage_dtype(self, rng):
+        """max_eigenvalue(mesh=...) + SolverConfig(storage_dtype=bf16) runs
+        the reduced-precision sharded solve (ADVICE r1: was silently f32)."""
+        from eigen_value_tpu import SolverConfig, max_eigenvalue
+
+        mat = jnp.asarray(rng.random((128, 128), dtype=np.float32) + 1e-2)
+        cfg = SolverConfig(storage_dtype=jnp.bfloat16)
+        got = max_eigenvalue(mat, cfg, mesh=cpu_mesh(4))
+        direct = solve_sharded_matvec(mat, cpu_mesh(4), config=cfg)
+        assert float(got.eigenvalue) == pytest.approx(
+            float(direct.eigenvalue), rel=1e-6
+        )
+        assert int(got.rounds) == int(direct.rounds)
+
+
+class TestHostMajorValidation:
+    """assemble_rowsharded's placement precondition is validated, not
+    trusted (ADVICE r1): interleaved-process meshes must raise."""
+
+    def test_sorted_sequences_pass(self):
+        from eigen_value_tpu.parallel.multihost import _require_host_major
+
+        _require_host_major([0, 0, 0, 0])
+        _require_host_major([0, 0, 1, 1])
+        _require_host_major([0, 1, 2, 3])
+
+    def test_interleaved_raises(self):
+        from eigen_value_tpu.parallel.multihost import _require_host_major
+
+        with pytest.raises(ValueError, match="host-major"):
+            _require_host_major([0, 1, 0, 1])
+        with pytest.raises(ValueError, match="host-major"):
+            _require_host_major([1, 1, 0, 0])
+
+    def test_assemble_on_valid_single_process_mesh(self):
+        """The real assemble path on the (single-process) CPU mesh still
+        works — every device has process_index 0, trivially host-major."""
+        from eigen_value_tpu.parallel.multihost import assemble_rowsharded
+        from eigen_value_tpu.parallel.sharded import solve_sharded_matvec
+
+        H = np.asarray(fixtures.hilbert_matrix(128))
+        mesh = cpu_mesh(4)
+        A = assemble_rowsharded(H, mesh)
+        got = solve_sharded_matvec(A, mesh)
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[128]

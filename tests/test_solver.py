@@ -73,3 +73,30 @@ def test_eigenvector_max_component_is_one():
     # normalization is implicit: final ev has max element ~1 (SURVEY.md §0)
     res = solve_xla(fixtures.hilbert_matrix(256), EPS, MAX_ITR)
     assert abs(float(jnp.max(res.eigenvector)) - 1.0) < 1e-2
+
+
+def test_f64_end_to_end(rng):
+    """f64 solve under x64 mode (VERDICT r1 item 8): the config guard's
+    happy path.  Rounds must match the f64 parallel oracle exactly; λ must
+    agree with the reference's own f64 path (sequential main.py:63) and
+    with numpy's eigensolver to stop-tolerance accuracy."""
+    import jax
+
+    from eigen_value_tpu import SolverConfig, max_eigenvalue
+    from eigen_value_tpu.reference_impl import parallel_oracle, sequential_oracle
+
+    mat = rng.random((96, 96)) + 0.1  # float64 numpy
+    with jax.enable_x64():
+        cfg = SolverConfig(dtype=jnp.float64)
+        res = max_eigenvalue(jnp.asarray(mat), cfg)
+        assert res.eigenvalue.dtype == jnp.float64
+        assert bool(res.converged)
+
+        want = parallel_oracle(mat, dtype=np.float64)
+        assert int(res.rounds) == want.rounds
+        assert float(res.eigenvalue) == pytest.approx(want.eigenvalue, rel=1e-12)
+
+        seq = sequential_oracle(mat)
+        assert float(res.eigenvalue) == pytest.approx(seq.eigenvalue, abs=2e-3)
+        lam_np = np.max(np.real(np.linalg.eigvals(mat)))
+        assert float(res.eigenvalue) == pytest.approx(lam_np, abs=2e-3)
