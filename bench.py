@@ -81,22 +81,26 @@ def main() -> None:
             def body(i, acc):
                 # 1 + λ·1e-38 is exactly 1.0f at runtime (the iteration is
                 # also scale-invariant in ev regardless), but the runtime
-                # dependence defeats hoisting/CSE of the k solves.
+                # dependence defeats hoisting/CSE of the k solves.  It
+                # enters through ev0 — ONE O(n) op per solve, so the
+                # chained rounds are byte-identical to a bare solve's.
                 s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
 
                 def matvec(ev):
-                    evs = ev * s
                     if use_pallas:
                         from eigen_value_tpu.ops.pallas import kernels
 
                         y = kernels.matvec(
-                            H, evs, block_rows=br, block_cols=bc, interpret=interpret
+                            H, ev, block_rows=br, block_cols=bc, interpret=interpret
                         )
                     else:
-                        y = H @ evs
-                    return y / evs
+                        y = H @ ev
+                    return y / ev
 
-                return solve_matvec_loop(H, matvec, EPS, MAX_ITR).eigenvalue
+                ev0 = jnp.ones((DIM,), jnp.float32) * s
+                return solve_matvec_loop(
+                    H, matvec, EPS, MAX_ITR, ev0=ev0
+                ).eigenvalue
 
             return lax.fori_loop(0, k, body, jnp.float32(0.0))
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DEFAULT_CONFIG, SolverConfig
-from .device import on_tpu as _on_tpu
+from .device import matvec_blocks, on_tpu as _on_tpu
 from .device import pick_block, resolve_interpret
 from .ops.solver import SolveResult, solve_xla
 
@@ -60,12 +60,22 @@ def _resolve_blocks(
 ) -> Tuple[int, int]:
     """Pallas tile shape for a dim-n solve.
 
-    Defaults are the measured-best shapes per backend (512×512 for the
-    matvec kernel, 512×1024 for the fused scale+rowsum kernel — tile sweep
-    at 8192²: 762 vs 705 GB/s for the old 256×512); explicit config values
-    win.  When ``n`` is known, blocks shrink to the largest aligned
-    divisors (384, 640, ... are 128-aligned but not divisible by the
-    defaults)."""
+    Defaults are the measured-best shapes per backend — FULL-ROW stripes
+    for the matvec kernel when they fit the VMEM budget (contiguous HBM
+    reads; device.matvec_blocks), 512×1024 for the fused scale+rowsum
+    kernel (tile sweep at 8192²: 762 vs 705 GB/s for the old 256×512);
+    explicit config values win.  When ``n`` is known, blocks shrink to the
+    largest aligned divisors (384, 640, ... are 128-aligned but not
+    divisible by the defaults)."""
+    if (
+        config.block_rows is None
+        and config.block_cols is None
+        and n is not None
+        and backend.startswith("matvec")
+    ):
+        mb = matvec_blocks(n)
+        if mb is not None:
+            return mb
     rows = config.block_rows or 512
     cols = config.block_cols or (512 if backend.startswith("matvec") else 1024)
     if n is None:

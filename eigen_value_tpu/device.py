@@ -59,3 +59,32 @@ def pick_block(n: int, preferred: int) -> Optional[int]:
         if b <= preferred and n % b == 0:
             return b
     return None
+
+
+#: Per-kernel double-buffered VMEM budget for full-row matvec tiles.
+#: Mosaic's scoped-VMEM limit is 16 MiB on v5e (measured: a 2×16 MiB
+#: allocation is rejected); 4 MiB of A-stripe per buffer leaves head-room
+#: for the x/out operand buffers and was the measured-best shape at 8192²
+#: (64×8192 → contiguous 2 MiB DMAs, see docs/BENCH_RESULTS.md round 2).
+_MATVEC_VMEM_BUDGET = 4 << 20
+
+
+def matvec_blocks(n: int, itemsize: int = 4) -> Optional[tuple]:
+    """Best Pallas matvec tile for an n-column pass: FULL-ROW blocks
+    (bc = n) when the double-buffered stripe fits the VMEM budget.
+
+    Full rows make every A-block DMA one contiguous HBM range and collapse
+    the column-block grid axis — no output-block revisits, no repeated x
+    fetches (measured best-of-sweep at 8192²: 351 µs/pass vs 360 for
+    512×512; the contiguous pattern also produced the best single
+    observations on record, 321 µs).  Falls back to the 512×512 tiling for
+    dims whose smallest row stripe exceeds the budget, and returns None
+    for non-128-aligned dims (caller uses the jnp path)."""
+    if n % 128 != 0:
+        return None
+    max_br = _MATVEC_VMEM_BUDGET // (2 * itemsize * n)
+    for br in (512, 256, 128, 64, 32, 16, 8):
+        if br <= max_br and n % br == 0:
+            return br, n
+    b = pick_block(n, 512)
+    return (b, b) if b else None

@@ -318,6 +318,105 @@ def scale_rowsum(
     return A_out, v_out[:, 0]
 
 
+def _round_matvec_kernel(
+    a_ref,
+    evrow_ref,
+    vrow_ref,
+    evcol_ref,
+    vcol_ref,
+    m_ref,
+    vnext_ref,
+    evnew_ref,
+):
+    i, j = pl.program_id(0), pl.program_id(1)
+    m = m_ref[0, 0]
+    evs_c = evrow_ref[...] * (vrow_ref[...] / m)  # (1, bc): updated ev chunk
+
+    @pl.when(i == 0)
+    def _():
+        evnew_ref[...] = evs_c
+
+    part = jnp.sum(a_ref[...] * evs_c, axis=1, keepdims=True)  # (br, 1)
+
+    @pl.when(j == 0)
+    def _():
+        vnext_ref[...] = part
+
+    @pl.when(j != 0)
+    def _():
+        vnext_ref[...] += part
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        evs_r = evcol_ref[...] * (vcol_ref[...] / m)  # (br, 1)
+        vnext_ref[...] = vnext_ref[...] / evs_r
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "block_cols", "interpret")
+)
+def round_matvec(
+    A: jax.Array,
+    ev: jax.Array,
+    v: jax.Array,
+    m: jax.Array,
+    *,
+    block_rows: int = 512,
+    block_cols: int = 512,
+    interpret: bool = False,
+):
+    """One matvec-form round MINUS the reductions: given the previous
+    round's ``v`` and its (XLA-computed) max ``m``, fuses the eigenvector
+    update, the O(n²) matvec, and the division into ONE kernel —
+    ``ev_new = ev · v/m``; ``v_next = (A @ ev_new) / ev_new`` — returning
+    ``(v_next, ev_new)``.
+
+    Design lesson from :func:`round_fused` (measured slower): the max /
+    stop / λ SCALAR reductions ran serially at grid step (0,0) and stalled
+    the DMA pipeline.  Here they stay in XLA between kernel calls (they
+    reduce the O(n) ``v``, not the O(n²) pass) and every grid step does
+    only elementwise VPU work alongside its tile's DMA — the kernel keeps
+    the plain matvec's pipeline while absorbing the two O(n) elementwise
+    ops the loop body otherwise pays as separate fusions.
+
+    Arithmetic is expression-for-expression identical to the unfused path
+    (solver_matvec.py round body + :func:`matvec`'s tiling), so the float32
+    v-sequence — and therefore the round count — is bit-identical.
+    """
+    n, ncols = A.shape
+    br, bc = min(block_rows, n), min(block_cols, ncols)
+    assert n % br == 0 and ncols % bc == 0, (n, ncols, br, bc)
+
+    m_arr = jnp.asarray(m, A.dtype).reshape(1, 1)
+    vnext, evnew = pl.pallas_call(
+        _round_matvec_kernel,
+        grid=(n // br, ncols // bc),
+        in_specs=[
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1), A.dtype),
+            jax.ShapeDtypeStruct((1, ncols), A.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * ncols,
+            bytes_accessed=n * ncols * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, ev[None, :], v[None, :], ev[:, None], v[:, None], m_arr)
+    return vnext[:, 0], evnew[0, :]
+
+
 def _round_fused_kernel(
     a_ref,
     evrow_ref,

@@ -92,9 +92,8 @@ class _Carry(NamedTuple):
     A: jax.Array
     v: jax.Array
     ev: jax.Array
-    lam: jax.Array
+    lam: jax.Array  # λ snapshot (v[0]) of the last round advanced past
     i: jax.Array
-    done: jax.Array
 
 
 def solve_loop(
@@ -105,34 +104,39 @@ def solve_loop(
     eps: float,
     max_itr: int,
 ) -> SolveResult:
-    """Run the convergence loop with pluggable O(n²) passes (traced; jit me)."""
+    """Run the convergence loop with pluggable O(n²) passes (traced; jit me).
+
+    Round-2 loop structure (see ops/solver_matvec.py for the full
+    semantics argument): the stop check lives in the while COND, so the
+    converging round's O(n²) update is skipped by loop EXIT — exactly the
+    reference's break-before-update (similarity_transform.cpp:45-52) —
+    with no `lax.cond` branch or `where` bookkeeping in the body.  The
+    converging round's ev update runs after the loop; on cap-exhaustion
+    the reported λ is the last CHECKED round's v[0] (the ``lam`` carry).
+    The v-sequence is bit-identical to the round-1 structure.
+    """
     n = A.shape[0]
     dtype = A.dtype
     v0 = rowsum(A)
     ev0 = jnp.ones((n,), dtype)  # initialise_eigen_vector, cpp:267-284
 
     def cond(c: _Carry) -> jax.Array:
-        return jnp.logical_not(c.done) & (c.i < max_itr)
+        return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps))
 
     def body(c: _Carry) -> _Carry:
         v = c.v
         m = jnp.max(v)
         ev = c.ev * (v / m)
-        done = stop_check(v, eps)
-        # λ snapshot at check time: on cap-exhaustion the reference reports
-        # the v[0] of the last *checked* round, not of the post-update matrix.
         lam = v[0]
-        # Skip the O(n²) update on the converging round, exactly like the
-        # reference's break-before-update (similarity_transform.cpp:45-52).
-        A, v = lax.cond(done, lambda ops: ops, lambda ops: scale_rowsum(*ops), (c.A, v))
-        i = jnp.where(done, c.i, c.i + 1)
-        return _Carry(A, v, ev, lam, i, done)
+        A, v = scale_rowsum(c.A, v)
+        return _Carry(A, v, ev, lam, c.i + 1)
 
-    init = _Carry(
-        A, v0, ev0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)
-    )
+    init = _Carry(A, v0, ev0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
     out = lax.while_loop(cond, body, init)
-    return SolveResult(out.lam, out.ev, out.i, out.done)
+    converged = out.i < max_itr
+    ev = jnp.where(converged, out.ev * (out.v / jnp.max(out.v)), out.ev)
+    lam = jnp.where(converged, out.v[0], out.lam)
+    return SolveResult(lam, ev, out.i, converged)
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr"))

@@ -46,53 +46,82 @@ from .solver import SolveResult, stop_check
 class _Carry(NamedTuple):
     ev: jax.Array
     v: jax.Array
-    lam: jax.Array
+    lam: jax.Array  # λ snapshot (v[0]) of the last round advanced past
     i: jax.Array
-    done: jax.Array
 
 
 def _make_cond_body(matvec, eps: float, max_itr: int):
     """The ONE definition of the matvec-form round (shared by the plain
-    and λ-traced loops so their semantics can never diverge)."""
+    and λ-traced loops so their semantics can never diverge).
+
+    Round-2 structure: the stop check lives in the while-loop COND, so the
+    body is branch-free — no `lax.cond` matvec skip, no `where`
+    bookkeeping, no `done` carry (measured ~50 µs/solve of glue at 8192²
+    on v5e).  The converging round's eigenvector update moves to
+    :func:`_finish`; the v-sequence — and hence the float32 round count —
+    is bit-identical to the round-1 structure (same expressions, same
+    order).
+    """
 
     def cond(c: _Carry) -> jax.Array:
-        return jnp.logical_not(c.done) & (c.i < max_itr)
+        return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps))
 
     def body(c: _Carry) -> _Carry:
         v = c.v
         m = jnp.max(v)
         ev = c.ev * (v / m)
-        done = stop_check(v, eps)
         lam = v[0]
-        v = lax.cond(done, lambda e: c.v, matvec, ev)
-        i = jnp.where(done, c.i, c.i + 1)
-        return _Carry(ev, v, lam, i, done)
+        return _Carry(ev, matvec(ev), lam, c.i + 1)
 
     return cond, body
 
 
-def _init_carry(A: jax.Array, matvec, dtype) -> _Carry:
+def _init_carry(A: jax.Array, matvec, dtype, ev0=None) -> _Carry:
     n = A.shape[0]
-    ev0 = jnp.ones((n,), dtype)
+    if ev0 is None:
+        ev0 = jnp.ones((n,), dtype)
     v0 = matvec(ev0)  # == row sums of A_0
-    return _Carry(
-        ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)
-    )
+    return _Carry(ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
+
+
+def _finish(out: _Carry, max_itr: int) -> SolveResult:
+    """Post-loop epilogue shared by every matvec-form solver.
+
+    Exit cases (reference semantics, similarity_transform.cpp:39-54):
+      * converged at round k < max_itr — the loop exited because the stop
+        fired on ``out.v``: apply the converging round's ev update, read
+        λ = v[0], rounds = k.
+      * cap exhaustion (i == max_itr) — rounds v_0..v_{max−1} were checked
+        and advanced past; report the last CHECKED round's λ (the ``lam``
+        carry), ev as updated through round max_itr−1, converged = False.
+        ``out.v`` (= v_max) was computed but never checked — exactly like
+        the reference, whose loop exits before round max_itr's stop.
+    """
+    converged = out.i < max_itr  # early exit ⇔ stop fired on out.v
+    m = jnp.max(out.v)
+    ev = jnp.where(converged, out.ev * (out.v / m), out.ev)
+    lam = jnp.where(converged, out.v[0], out.lam)
+    return SolveResult(lam, ev, out.i, converged)
 
 
 def solve_matvec_loop(
-    A: jax.Array, matvec, eps: float, max_itr: int, state_dtype=None
+    A: jax.Array, matvec, eps: float, max_itr: int, state_dtype=None, ev0=None
 ) -> SolveResult:
     """Convergence loop over a pluggable ``matvec(ev) -> (A @ ev) / ev``.
 
     ``state_dtype`` sets the dtype of the O(n) iteration state (ev, v, λ,
     stop check) independently of the matrix storage — reduced-precision
     storage keeps float32 state (bf16 cannot even represent the 1e-3 stop
-    tolerance at λ-scale values)."""
+    tolerance at λ-scale values).
+
+    ``ev0`` overrides the all-ones start vector (the iteration is
+    scale-invariant in ev, solver_matvec module docstring) — used by the
+    bench harness to thread inter-solve data dependence through one O(n)
+    op per SOLVE instead of one per round."""
     cond, body = _make_cond_body(matvec, eps, max_itr)
-    init = _init_carry(A, matvec, state_dtype or A.dtype)
+    init = _init_carry(A, matvec, state_dtype or A.dtype, ev0)
     out = lax.while_loop(cond, body, init)
-    return SolveResult(out.lam, out.ev, out.i, out.done)
+    return _finish(out, max_itr)
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr"))
@@ -132,14 +161,21 @@ def solve_matvec_traced(A: jax.Array, eps: float, max_itr: int):
     def body_t(ch):
         c, hist = ch
         c2 = body(c)
-        # round c.i just computed λ = c2.lam (index unchanged when done)
+        # the body just advanced past round c.i, whose λ is c2.lam
         return c2, lax.dynamic_update_index_in_dim(hist, c2.lam, c.i, axis=0)
 
     out, hist = lax.while_loop(cond_t, body_t, (init, hist0))
-    # pad the tail with the final λ so downstream plots/deltas are clean
-    # (rounds 0..i each wrote their slot; later slots are untouched zeros)
-    hist = jnp.where(jnp.arange(max_itr) <= out.i, hist, out.lam)
-    return SolveResult(out.lam, out.ev, out.i, out.done), hist
+    res = _finish(out, max_itr)
+    if max_itr > 0:
+        # the converging round never ran a body — write its λ (on cap
+        # exhaustion the clamped index rewrites hist[max-1] with the same
+        # value, a no-op), then pad the tail with the final λ so
+        # downstream plots/deltas are clean
+        hist = lax.dynamic_update_index_in_dim(
+            hist, res.eigenvalue, jnp.minimum(res.rounds, max_itr - 1), axis=0
+        )
+        hist = jnp.where(jnp.arange(max_itr) <= res.rounds, hist, res.eigenvalue)
+    return res, hist
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))
@@ -214,20 +250,79 @@ def solve_fused_round(
     ev0 = jnp.ones((n,), dtype)
     v0 = kernels.matvec(A, ev0, **kw) / ev0
 
-    def cond(c: _Carry) -> jax.Array:
-        return jnp.logical_not(c.done) & (c.i < max_itr)
+    def cond(c):
+        ev, v, lam, i, done = c
+        return jnp.logical_not(done) & (i < max_itr)
 
-    def body(c: _Carry) -> _Carry:
-        vnext, ev, done, lam = kernels.round_fused(A, c.ev, c.v, eps=eps, **kw)
-        v = jnp.where(done, c.v, vnext)
-        i = jnp.where(done, c.i, c.i + 1)
-        return _Carry(ev, v, lam, i, done)
+    def body(c):
+        cev, cv, clam, ci, cdone = c
+        vnext, ev, done, lam = kernels.round_fused(A, cev, cv, eps=eps, **kw)
+        v = jnp.where(done, cv, vnext)
+        i = jnp.where(done, ci, ci + 1)
+        return (ev, v, lam, i, done)
 
-    init = _Carry(
-        ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32), jnp.asarray(False)
+    init = (
+        ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
     )
-    out = lax.while_loop(cond, body, init)
-    return SolveResult(out.lam, out.ev, out.i, out.done)
+    ev, _, lam, i, done = lax.while_loop(cond, body, init)
+    return SolveResult(lam, ev, i, done)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("eps", "max_itr", "block_rows", "block_cols", "interpret"),
+)
+def solve_matvec_pallas_fused(
+    A: jax.Array,
+    eps: float,
+    max_itr: int,
+    block_rows: int = 512,
+    block_cols: int = 512,
+    interpret: bool = False,
+) -> SolveResult:
+    """Matvec-form solve where the eigenvector update, matvec, and division
+    fuse into ONE Pallas kernel (:func:`..pallas.kernels.round_matvec`) and
+    the stop check lives in the loop cond — an intermediate rung of the
+    round-2 optimization ladder between :func:`solve_fused_round` (all
+    scalars in-kernel: slowest) and the production
+    :func:`solve_matvec_pallas` (all O(n) glue in XLA).
+
+    MEASURED OUTCOME (v5e, 8192², interleaved chained A/B): consistently
+    ~0.15 ms/solve SLOWER than the unfused kernel with the same loop
+    structure — the extra operand/result plumbing per grid step costs more
+    than the two XLA fusions it absorbs, completing round 1's finding that
+    XLA already schedules the O(n) glue near-optimally.  Retained for the
+    ladder record (docs/BENCH_RESULTS.md round-2 section); bit-identical
+    results to :func:`solve_matvec_pallas` (verified, incl. cap
+    exhaustion).
+    """
+    from .pallas import kernels
+
+    n = A.shape[0]
+    dtype = A.dtype
+    kw = dict(block_rows=block_rows, block_cols=block_cols, interpret=interpret)
+    ev0 = jnp.ones((n,), dtype)
+    v0 = kernels.matvec(A, ev0, **kw) / ev0
+
+    def cond(c):
+        ev, v, lam, i = c
+        return (i < max_itr) & jnp.logical_not(stop_check(v, eps))
+
+    def body(c):
+        ev, v, lam, i = c
+        m = jnp.max(v)
+        lam = v[0]  # λ snapshot of the round being advanced past
+        v_next, ev_new = kernels.round_matvec(A, ev, v, m, **kw)
+        return (ev_new, v_next, lam, i + 1)
+
+    init = (ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
+    ev, v, lam_prev, i = lax.while_loop(cond, body, init)
+    converged = i < max_itr  # loop exits early ⇔ stop fired on this v
+    m = jnp.max(v)
+    ev = jnp.where(converged, ev * (v / m), ev)
+    lam = jnp.where(converged, v[0], lam_prev)
+    return SolveResult(lam, ev, i, converged)
 
 
 @partial(

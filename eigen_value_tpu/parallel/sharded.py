@@ -58,28 +58,23 @@ def _shard_round_body(eps: float, max_itr: int, axis_name: str):
         v0 = gather_rowsums(A_blk)
         ev0 = jnp.ones((n_loc,), dtype)
 
+        # Round-2 loop structure (ops/solver_matvec.py): stop check in the
+        # COND — the converging round's O(n²) similarity update is skipped
+        # by loop EXIT rather than an in-body lax.cond branch, and its ev
+        # update runs after the loop.  Same v-sequence bit-for-bit.
         def cond(c):
-            A_blk, v, ev, lam, i, done = c
-            return jnp.logical_not(done) & (i < max_itr)
+            A_blk, v, ev, lam, i = c
+            return (i < max_itr) & jnp.logical_not(stop_check(v, eps))
 
         def body(c):
-            A_blk, v, ev, lam, i, done = c
+            A_blk, v, ev, lam, i = c
             m = jnp.max(v)
+            one = jnp.asarray(1.0, dtype)
             v_rows = lax.dynamic_slice(v, (row0,), (n_loc,))
             ev = ev * (v_rows / m)
-            done = stop_check(v, eps)
             lam = v[0]
-
-            def advance(ops):
-                A_blk, v = ops
-                one = jnp.asarray(1.0, dtype)
-                v_rows = lax.dynamic_slice(v, (row0,), (n_loc,))
-                A_blk = A_blk * ((one / v_rows)[:, None] * v[None, :])
-                return A_blk, gather_rowsums(A_blk)
-
-            A_blk, v = lax.cond(done, lambda ops: ops, advance, (A_blk, v))
-            i = jnp.where(done, i, i + 1)
-            return (A_blk, v, ev, lam, i, done)
+            A_blk = A_blk * ((one / v_rows)[:, None] * v[None, :])
+            return (A_blk, gather_rowsums(A_blk), ev, lam, i + 1)
 
         init = (
             A_blk,
@@ -87,10 +82,13 @@ def _shard_round_body(eps: float, max_itr: int, axis_name: str):
             ev0,
             jnp.asarray(0.0, dtype),
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
         )
-        _, v, ev, lam, i, done = lax.while_loop(cond, body, init)
-        return SolveResult(lam, ev, i, done)
+        _, v, ev, lam_prev, i = lax.while_loop(cond, body, init)
+        converged = i < max_itr
+        v_rows = lax.dynamic_slice(v, (row0,), (n_loc,))
+        ev = jnp.where(converged, ev * (v_rows / jnp.max(v)), ev)
+        lam = jnp.where(converged, v[0], lam_prev)
+        return SolveResult(lam, ev, i, converged)
 
     return solve_block
 
@@ -188,30 +186,27 @@ def _shard_matvec_body(
         ev0 = jnp.ones((n,), dtype)
         v0 = next_v(ev0)
 
+        # Round-2 loop structure (see ops/solver_matvec.py): stop check in
+        # the COND (replicated v ⇒ replicated predicate, lockstep exit),
+        # branch-free body, converging round's ev update after the loop.
         def cond(c):
-            ev, v, lam, i, done = c
-            return jnp.logical_not(done) & (i < max_itr)
+            ev, v, lam, i = c
+            return (i < max_itr) & jnp.logical_not(stop_check(v, eps))
 
         def body(c):
-            ev, v, lam, i, done = c
+            ev, v, lam, i = c
             m = jnp.max(v)
             ev = ev * (v / m)  # replicated update (v is replicated)
-            done = stop_check(v, eps)
             lam = v[0]
-            v = lax.cond(done, lambda e: c[1], next_v, ev)
-            i = jnp.where(done, i, i + 1)
-            return (ev, v, lam, i, done)
+            return (ev, next_v(ev), lam, i + 1)
 
-        init = (
-            ev0,
-            v0,
-            jnp.asarray(0.0, dtype),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-        )
-        ev, v, lam, i, done = lax.while_loop(cond, body, init)
+        init = (ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
+        ev, v, lam_prev, i = lax.while_loop(cond, body, init)
+        converged = i < max_itr
+        ev = jnp.where(converged, ev * (v / jnp.max(v)), ev)
+        lam = jnp.where(converged, v[0], lam_prev)
         ev_loc = lax.dynamic_slice(ev, (row0,), (n_loc,))
-        return SolveResult(lam, ev_loc, i, done)
+        return SolveResult(lam, ev_loc, i, converged)
 
     return solve_block
 
@@ -353,47 +348,52 @@ def _shard_matvec_ring_body(
         def next_v(ev_loc):
             return ring_matvec(ev_loc) / ev_loc
 
-        def stop_and_lam(v_loc):
-            """Wraparound stop + λ readout from shard-local slices: the
-            neighbor of the last local element is the NEXT shard's first
-            element (one tiny ppermute), λ = global v[0] (shard 0's first
-            element, broadcast via psum of a masked scalar)."""
+        ev0 = jnp.ones((n_loc,), dtype)
+        v0 = next_v(ev0)
+
+        # Round-2 loop structure: the stop predicate (already a pmin —
+        # replicated) moves into the COND so the body is branch-free; the
+        # converging round's ev update and λ readout run after the loop.
+        def stop_only(v_loc):
+            """Wraparound stop from shard-local slices: the neighbor of the
+            last local element is the NEXT shard's first element (one tiny
+            ppermute); replicated via pmin."""
             e = jnp.asarray(eps, dtype)
             first_of_next = lax.ppermute(
-                v_loc[0], axis_name, [((i + 1) % n_shards, i) for i in range(n_shards)]
+                v_loc[0],
+                axis_name,
+                [((i + 1) % n_shards, i) for i in range(n_shards)],
             )
             ok_local = jnp.all(jnp.abs(v_loc[1:] - v_loc[:-1]) < e) & (
                 jnp.abs(first_of_next - v_loc[-1]) < e
             )
-            done = lax.pmin(ok_local.astype(jnp.int32), axis_name) > 0
-            lam = lax.psum(jnp.where(p == 0, v_loc[0], jnp.zeros((), dtype)), axis_name)
-            return done, lam
+            return lax.pmin(ok_local.astype(jnp.int32), axis_name) > 0
 
-        ev0 = jnp.ones((n_loc,), dtype)
-        v0 = next_v(ev0)
+        def lam_of(v_loc):
+            """λ = global v[0] (shard 0's first element, broadcast via psum
+            of a masked scalar)."""
+            return lax.psum(
+                jnp.where(p == 0, v_loc[0], jnp.zeros((), dtype)), axis_name
+            )
 
         def cond(c):
-            ev, v, lam, i, done = c
-            return jnp.logical_not(done) & (i < max_itr)
+            ev, v, lam, i = c
+            return (i < max_itr) & jnp.logical_not(stop_only(v))
 
         def body(c):
-            ev, v, lam, i, done = c
+            ev, v, lam, i = c
             m = lax.pmax(jnp.max(v), axis_name)
             ev = ev * (v / m)
-            done, lam = stop_and_lam(v)
-            v = lax.cond(done, lambda e: c[1], next_v, ev)
-            i = jnp.where(done, i, i + 1)
-            return (ev, v, lam, i, done)
+            lam = lam_of(v)
+            return (ev, next_v(ev), lam, i + 1)
 
-        init = (
-            ev0,
-            v0,
-            jnp.asarray(0.0, dtype),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-        )
-        ev, v, lam, i, done = lax.while_loop(cond, body, init)
-        return SolveResult(lam, ev, i, done)
+        init = (ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
+        ev, v, lam_prev, i = lax.while_loop(cond, body, init)
+        converged = i < max_itr
+        m = lax.pmax(jnp.max(v), axis_name)
+        ev = jnp.where(converged, ev * (v / m), ev)
+        lam = jnp.where(converged, lam_of(v), lam_prev)
+        return SolveResult(lam, ev, i, converged)
 
     return solve_block
 
