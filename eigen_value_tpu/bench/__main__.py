@@ -61,6 +61,7 @@ def main(argv=None) -> int:
             "multihost",
             "native",
             "model",
+            "calibrate",
             "all",
         ],
         default="all",
@@ -150,10 +151,11 @@ def main(argv=None) -> int:
                     f"eff {r['scaling_efficiency'] * 100:.0f}%"
                 )
     if args.suite == "model":
-        from ..utils.scaling_model import prediction_table
+        from ..utils.scaling_model import prediction_table, sensitivity_table
 
         rows = prediction_table(dims=args.dims or [8192, 32768, 65536])
-        all_rows += rows
+        sens = sensitivity_table()
+        all_rows += rows + sens
         if not args.json:
             print(
                 "Predicted multi-chip scaling (ANALYTICAL MODEL anchored to"
@@ -165,6 +167,35 @@ def main(argv=None) -> int:
                     f"{r['hosts']:>2} host(s): {r['round_us']:>9.1f} us/round, "
                     f"eff {r['efficiency'] * 100:5.1f}%"
                 )
+            print(
+                "\nSensitivity of predicted efficiency to the UNVALIDATED"
+                " ici parameters (bandwidth 100-800 GB/s, latency 0.5-25 us):"
+            )
+            for r in sens:
+                print(
+                    f"[{r['solver']}] {r['dim']}² on {r['chips']:>3} chips: "
+                    f"ici {r['ici_gbps']:>5.0f} GB/s, {r['ici_latency_us']:>4.1f} us"
+                    f" -> eff {r['efficiency'] * 100:5.1f}%"
+                )
+    if args.suite == "calibrate":
+        rows = suite.bench_exchange_calibration(
+            dim=(args.dims or [8192])[0], reps=args.reps
+        )
+        all_rows += rows
+        if not args.json:
+            for r in rows:
+                if r["bench"] == "model_calibration":
+                    print(
+                        f"all_gather n={r['dim']:>7} over {r['chips']} shards: "
+                        f"measured {r['measured_us']:>9.1f} us, "
+                        f"model (gloo-fitted spec) {r['predicted_us']:>9.1f} us, "
+                        f"ratio {r['ratio']:.2f}"
+                    )
+                else:
+                    print(
+                        f"fitted gloo exchange: {r['fit_gbps']:.3f} GB/s, "
+                        f"{r['fit_latency_us']:.1f} us/step"
+                    )
     if args.suite in ("vector", "all"):
         rows = suite.bench_vector_kernels()
         all_rows += rows

@@ -37,6 +37,12 @@ def main() -> int:
         default="gather",
         help="per-round exchange: all_gather vs ring-pipelined ppermute",
     )
+    p.add_argument(
+        "--measure-exchange",
+        action="store_true",
+        help="instead of solving, time the bare per-round all_gather at "
+        "several vector lengths (scaling-model calibration input)",
+    )
     args = p.parse_args()
 
     # Env must be pinned before jax import (same dance as tests/conftest.py).
@@ -64,6 +70,102 @@ def main() -> int:
     # plugin (e.g. a tunneled TPU) may register despite JAX_PLATFORMS and
     # must not join the process group's mesh.
     mesh = multihost.make_global_row_mesh(platform="cpu")
+
+    if args.measure_exchange:
+        # Bare per-round exchange: all_gather of an n-length f32 vector
+        # from n/P-shards, timed marginally (chained k applications minus
+        # one, dispatch cancels) at several n — the calibration input for
+        # utils/scaling_model.fit_exchange.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        try:  # jax >= 0.6
+            shard_map = jax.shard_map
+        except AttributeError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        n_dev = len(mesh.devices.flat)
+        eps32 = jnp.float32(1e-38)
+        k = 16  # gloo gathers are ~ms: a short chain already dominates
+        dims = (args.dim, args.dim * 4, args.dim * 16)
+
+        def gather_chain(m):
+            def body(x_loc):
+                def step(i, xl):
+                    g = jax.lax.all_gather(xl, "rows", tiled=True)
+                    return xl + g[0] * eps32  # dependence, O(n/P)
+
+                return jax.lax.fori_loop(0, m, step, x_loc)
+
+            return shard_map(
+                body, mesh=mesh, in_specs=P("rows"), out_specs=P("rows")
+            )
+
+        # Establish the gloo context FIRST with one tiny gather: context
+        # creation has a ~30 s handshake deadline, and the heavy chain
+        # compiles below can skew the two processes past it (they compete
+        # for the same host CPUs); a cheap collective while the processes
+        # are still in lockstep creates the 8-device context once, and
+        # every later executable reuses it.
+        warm = jax.jit(
+            shard_map(
+                lambda xl: jax.lax.all_gather(xl, "rows", tiled=True),
+                mesh=mesh,
+                in_specs=P("rows"),
+                out_specs=P(),
+                check_vma=False,  # gathered result is replicated by construction
+            )
+        )
+        jax.block_until_ready(
+            warm(
+                jax.device_put(
+                    np.ones((8 * n_dev,), np.float32),
+                    NamedSharding(mesh, P("rows")),
+                )
+            )
+        )
+
+        xs, compiled = {}, {}
+        for n in dims:
+            # a GLOBAL sharded input: every process supplies the full host
+            # array, device_put slices out the local shards (a plain
+            # jnp.ones would be process-local and cannot feed a
+            # cross-process jit)
+            xs[n] = jax.device_put(
+                np.ones((n,), np.float32), NamedSharding(mesh, P("rows"))
+            )
+            compiled[n] = tuple(
+                jax.jit(gather_chain(m)).lower(xs[n]).compile()
+                for m in (1, k + 1)
+            )
+        out = {}
+        for n in dims:
+            x = xs[n]
+            r1, rk = compiled[n]
+            jax.block_until_ready(r1(x))
+            jax.block_until_ready(rk(x))
+            t1 = tk = float("inf")
+            for _ in range(args.reps + 2):
+                t0 = time.perf_counter()
+                jax.block_until_ready(r1(x))
+                t1 = min(t1, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                jax.block_until_ready(rk(x))
+                tk = min(tk, time.perf_counter() - t0)
+            out[n] = max(tk - t1, 0.0) / k * 1e6  # µs per gather
+        print(
+            json.dumps(
+                {
+                    "process_id": args.process_id,
+                    "num_processes": len(
+                        {d.process_index for d in mesh.devices.flat}
+                    ),
+                    "shards": n_dev,
+                    "exchange_us": out,
+                }
+            ),
+            flush=True,
+        )
+        return 0
 
     # This process's row block of the Hilbert matrix, generated locally
     # with the fixture's exact arithmetic (int divisor, f32 reciprocal —

@@ -293,6 +293,99 @@ def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
     return rows
 
 
+def bench_exchange_calibration(dim: int = 8192, reps: int = 5) -> List[dict]:
+    """Measure the REAL per-round all_gather on the 2-process gloo harness
+    at three vector lengths and fit the scaling model's exchange
+    parameters to it (utils/scaling_model.fit_exchange) — the calibration
+    point VERDICT r1 item 7 asked for.
+
+    The fitted (gbps, latency) describe loopback-gloo — orders of
+    magnitude off TPU ICI — but they VALIDATE the model's *functional
+    form*: if the measured exchange is linear in n with the predicted
+    slope/intercept decomposition, the same form anchored to ICI
+    nameplate numbers is credible.  Rows include measured-vs-refitted
+    deltas per dim (a self-consistency bound on the model's error for
+    this transport)."""
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import dataclasses as _dc
+
+    from ..utils.scaling_model import ChipSpec, calibration_rows, fit_exchange
+
+    def _free_port() -> int:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo_parent = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        filter(None, [repo_parent, env.get("PYTHONPATH")])
+    )
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "eigen_value_tpu.bench.mh_worker",
+                "--measure-exchange",
+                "--process-id",
+                str(pid),
+                "--num-processes",
+                "2",
+                "--coordinator",
+                f"127.0.0.1:{port}",
+                "--dim",
+                str(dim),
+                "--local-devices",
+                "4",
+                "--reps",
+                str(reps),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            if p.returncode != 0:
+                raise RuntimeError(f"mh_worker failed:\n{err[-2000:]}")
+            # gloo may interleave its own stdout lines around the JSON
+            json_lines = [
+                l for l in out.strip().splitlines() if l.startswith("{")
+            ]
+            outs.append(_json.loads(json_lines[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+    shards = outs[0]["shards"]
+    # per-dim max over processes: a gather is done when the SLOWEST rank is
+    measured = {}
+    for o in outs:
+        for n, us in o["exchange_us"].items():
+            n = int(n)
+            measured[n] = max(measured.get(n, 0.0), float(us))
+    gbps, lat = fit_exchange(measured, shards)
+    gloo_spec = _dc.replace(
+        ChipSpec(), ici_gbps=gbps, ici_latency_us=lat
+    )
+    return calibration_rows(measured, shards, gloo_spec)
+
+
 def _rowsum_bias_pallas(
     A: jax.Array, bias: jax.Array, *, block_rows: int, block_cols: int, interpret: bool
 ) -> jax.Array:

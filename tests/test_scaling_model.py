@@ -43,3 +43,59 @@ def test_overlap_fully_hides_ici_for_large_chunks():
     """Ring exchange is free when each chunk's GEMV exceeds its wire time
     (the overlap premise) — true for 32768² on a single-host mesh."""
     assert sm.ring_exchange_exposed_us(32768, 8, hosts=1) == 0.0
+
+
+class TestCalibration:
+    """Round-2 calibration machinery (VERDICT r1 item 7)."""
+
+    def test_fit_recovers_synthetic_parameters(self):
+        from eigen_value_tpu.utils.scaling_model import (
+            ChipSpec,
+            fit_exchange,
+            gather_exchange_us,
+        )
+
+        spec = ChipSpec(ici_gbps=123.0, ici_latency_us=7.5)
+        p = 8
+        measured = {
+            n: gather_exchange_us(n, p, 1, spec)
+            for n in (8192, 65536, 524288)
+        }
+        gbps, lat = fit_exchange(measured, p, spec.itemsize)
+        assert gbps == pytest.approx(123.0, rel=1e-6)
+        assert lat == pytest.approx(7.5, rel=1e-6)
+
+    def test_fit_latency_dominated_regime(self):
+        """Flat-in-n measurements (gloo loopback) give an unresolvable
+        bandwidth (inf) and a clean latency estimate."""
+        from eigen_value_tpu.utils.scaling_model import fit_exchange
+
+        gbps, lat = fit_exchange({8192: 5600.0, 32768: 5600.0}, 8)
+        assert gbps == float("inf")
+        assert lat == pytest.approx(5600.0 / 7)
+
+    def test_calibration_rows_rfc_safe(self):
+        import json
+
+        from eigen_value_tpu.utils.scaling_model import calibration_rows
+
+        rows = calibration_rows({8192: 5600.0, 32768: 5600.0}, 8)
+        for r in rows:
+            json.dumps(r, allow_nan=False)  # raises on inf/nan
+        fit = [r for r in rows if r["bench"] == "model_calibration_fit"][0]
+        assert fit["fit_gbps"] is None
+
+    def test_sensitivity_table_covers_grid(self):
+        from eigen_value_tpu.utils.scaling_model import sensitivity_table
+
+        rows = sensitivity_table(chip_counts=(16,))
+        assert len(rows) == 4 * 4 * 2  # gbps x latency x solver form
+        assert {r["solver"] for r in rows} == {"matvec_gather", "matvec_ring"}
+        # efficiency must degrade monotonically with latency at fixed gbps
+        g = [
+            r
+            for r in rows
+            if r["solver"] == "matvec_gather" and r["ici_gbps"] == 400.0
+        ]
+        effs = [r["efficiency"] for r in sorted(g, key=lambda r: r["ici_latency_us"])]
+        assert effs == sorted(effs, reverse=True)

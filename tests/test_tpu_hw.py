@@ -59,3 +59,186 @@ def test_bf16_fast_mode_on_hardware():
         np.asarray(fixtures.hilbert_matrix(1024))
     )
     assert abs(rounds - fixtures.HILBERT_ROUNDS[1024]) <= 1
+
+
+def test_flagship_8192_parity_on_hardware():
+    """The flagship dim itself — parity + λ + eigen-pair property on the
+    chip (VERDICT r1: the hw gate stopped at 4096)."""
+    ev = EigenValue(device=_tpu())
+    H = np.asarray(fixtures.hilbert_matrix(8192))
+    lam, vec, ms, rounds = ev.similarity_transform(H)
+    assert rounds == fixtures.HILBERT_ROUNDS[8192] == 17
+    assert lam == pytest.approx(2.59999, abs=1e-3)
+    assert np.allclose(H @ vec, lam * vec, atol=1e-3)
+
+
+def _tpu_mesh(shape=None, axes=("rows",)):
+    from jax.sharding import Mesh
+
+    devs = np.array([_tpu()])
+    if shape is not None:
+        devs = devs.reshape(shape)
+    return Mesh(devs, axes)
+
+
+class TestCompiledShardedOnHardware:
+    """The production multi-chip code paths COMPILED on real TPU silicon
+    (VERDICT r1 item 2: until round 2 they had only ever run in Pallas
+    interpret mode on the virtual CPU mesh).  A 1-device TPU mesh runs the
+    full shard_map + Mosaic lowering; collective degeneracy (P=1) is
+    irrelevant to what is being de-risked — that the lowering compiles and
+    executes with parity."""
+
+    def test_sharded_matvec_compiled_pallas(self):
+        from eigen_value_tpu.parallel.sharded import solve_sharded_matvec
+
+        H = fixtures.hilbert_matrix(2048)
+        got = jax.block_until_ready(
+            solve_sharded_matvec(H, _tpu_mesh(), use_pallas=True)
+        )
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[2048]
+        assert bool(got.converged)
+        assert float(got.eigenvalue) == pytest.approx(2.50355, abs=1e-3)
+
+    def test_sharded_ring_compiled(self):
+        from eigen_value_tpu.parallel.sharded import solve_sharded_matvec_ring
+
+        H = fixtures.hilbert_matrix(1024)
+        got = jax.block_until_ready(solve_sharded_matvec_ring(H, _tpu_mesh()))
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[1024]
+        assert bool(got.converged)
+
+    def test_sharded_iterated_compiled(self):
+        from eigen_value_tpu.parallel.sharded import solve_sharded
+
+        H = fixtures.hilbert_matrix(512)
+        got = jax.block_until_ready(solve_sharded(H, _tpu_mesh()))
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[512]
+
+    def test_sharded_storage_bf16_compiled(self):
+        import jax.numpy as jnp
+
+        from eigen_value_tpu.parallel.sharded import solve_sharded_matvec
+
+        H = fixtures.hilbert_matrix(1024)
+        got = jax.block_until_ready(
+            solve_sharded_matvec(
+                H, _tpu_mesh(), config=SolverConfig(storage_dtype=jnp.bfloat16)
+            )
+        )
+        assert bool(got.converged)
+        assert abs(int(got.rounds) - fixtures.HILBERT_ROUNDS[1024]) <= 1
+        assert float(got.eigenvalue) == pytest.approx(2.44555, rel=2e-3)
+
+    def test_batched_sharded_compiled(self):
+        from eigen_value_tpu.parallel.batched import solve_batched_sharded
+
+        As = np.stack([np.asarray(fixtures.hilbert_matrix(256))] * 2)
+        got = jax.block_until_ready(
+            solve_batched_sharded(As, _tpu_mesh(axes=("batch",)))
+        )
+        assert (np.asarray(got.rounds) == fixtures.HILBERT_ROUNDS[256]).all()
+
+    def test_batched_rowsharded_2d_compiled(self):
+        from eigen_value_tpu.parallel.sharded import solve_batched_rowsharded
+
+        As = np.stack([np.asarray(fixtures.hilbert_matrix(256))] * 2)
+        got = jax.block_until_ready(
+            solve_batched_rowsharded(
+                As, _tpu_mesh(shape=(1, 1), axes=("batch", "rows"))
+            )
+        )
+        assert (np.asarray(got.rounds) == fixtures.HILBERT_ROUNDS[256]).all()
+
+
+class TestHardwarePerfGate:
+    """Perf REGRESSION gate (VERDICT r1 item 5): a kernel regression must
+    fail a test, not just drift in BENCH_r*.json.  Thresholds allow for
+    the chip's measured state drift (745–930 GB/s across minutes,
+    docs/BENCH_RESULTS.md round 2) while catching structural regressions."""
+
+    DIM = 8192
+
+    def test_matvec_marginal_at_least_80pct_roofline(self):
+        import jax.numpy as jnp
+
+        from eigen_value_tpu.ops.pallas import kernels
+        from eigen_value_tpu.utils.timing import (
+            detect_peak_hbm_gbps,
+            time_marginal,
+        )
+
+        tpu = _tpu()
+        H = jax.device_put(
+            np.asarray(fixtures.hilbert_matrix(self.DIM)), tpu
+        )
+        x = jax.device_put(np.ones(self.DIM, np.float32), tpu)
+        from eigen_value_tpu.device import matvec_blocks
+
+        br, bc = matvec_blocks(self.DIM)
+
+        def step(i, s):
+            Hi, xi = s
+            return (Hi, kernels.matvec(Hi, xi, block_rows=br, block_cols=bc))
+
+        ms = time_marginal(step, (H, x), k=64)
+        peak = detect_peak_hbm_gbps()
+        gbps = self.DIM * self.DIM * 4 / (ms * 1e-3) / 1e9
+        assert gbps >= 0.8 * peak, (
+            f"matvec sustains {gbps:.0f} GB/s < 80% of {peak:.0f} GB/s "
+            f"nominal ({ms*1e3:.0f} us/pass) — kernel regression"
+        )
+
+    def test_headline_chain_within_tolerance(self):
+        """Full-solve chained differencing (bench.py's exact measurement)
+        must stay under 8.0 ms — the recorded best is 6.55 ms and the
+        slow-state floor ~6.8; anything over 8 is a structural regression
+        (e.g. an extra O(n²) pass would land at ~9.8)."""
+        import time as _time
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.device import matvec_blocks
+        from eigen_value_tpu.ops.pallas import kernels
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec_loop
+
+        br, bc = matvec_blocks(self.DIM)
+        H = jax.device_put(
+            np.asarray(fixtures.hilbert_matrix(self.DIM)), _tpu()
+        )
+
+        def chain(k):
+            @jax.jit
+            def run(H):
+                def body(i, acc):
+                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+
+                    def matvec(ev):
+                        return kernels.matvec(
+                            H, ev, block_rows=br, block_cols=bc
+                        ) / ev
+
+                    ev0 = jnp.ones((self.DIM,), jnp.float32) * s
+                    return solve_matvec_loop(
+                        H, matvec, EPS, MAX_ITR, ev0=ev0
+                    ).eigenvalue
+
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            return run
+
+        long, short = chain(9), chain(1)
+        float(np.asarray(long(H)))
+        float(np.asarray(short(H)))
+        best = float("inf")
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            float(np.asarray(long(H)))
+            tl = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            float(np.asarray(short(H)))
+            ts = (_time.perf_counter() - t0) * 1e3
+            best = min(best, (tl - ts) / 8)
+        assert best < 8.0, f"headline chain {best:.2f} ms/solve (> 8.0)"
