@@ -165,15 +165,21 @@ def _shard_matvec_body(
                     preferred_element_type=jnp.float32,
                 )
             if use_pallas:
+                from ..device import matvec_blocks
                 from ..ops.pallas import kernels
 
-                # blocks must exactly divide the local shard dims
+                # same tile policy as the single-chip path: full-row
+                # stripes of the LOCAL shard when the VMEM budget allows
+                # (contiguous DMAs, device.matvec_blocks), rows clamped to
+                # divide the shard's row count
+                mb = matvec_blocks(n)
+                if mb is not None and (pick_block(n_loc, mb[0]) or 0) > 0:
+                    br, bc = pick_block(n_loc, mb[0]), mb[1]
+                else:
+                    br = pick_block(n_loc, 512) or n_loc
+                    bc = pick_block(n, 512) or n
                 return kernels.matvec(
-                    A_blk,
-                    ev,
-                    block_rows=pick_block(n_loc, 512) or n_loc,
-                    block_cols=pick_block(n, 512) or n,
-                    interpret=interpret,
+                    A_blk, ev, block_rows=br, block_cols=bc, interpret=interpret
                 )
             return A_blk @ ev
 
