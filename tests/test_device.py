@@ -49,3 +49,38 @@ def test_profiling_trace_and_annotate(tmp_path, rng):
 def test_device_memory_stats_shape():
     stats = profiling.device_memory_stats()
     assert stats is None or isinstance(stats, dict)
+
+
+class TestMatvecBlocks:
+    """Full-row tile policy (round 2, device.matvec_blocks)."""
+
+    def test_flagship_dim(self):
+        from eigen_value_tpu.device import matvec_blocks
+
+        assert matvec_blocks(8192) == (64, 8192)
+
+    def test_small_dims_whole_rows(self):
+        from eigen_value_tpu.device import matvec_blocks
+
+        assert matvec_blocks(512) == (512, 512)
+        assert matvec_blocks(1024) == (512, 1024)
+
+    def test_large_dim_shrinks_rows(self):
+        from eigen_value_tpu.device import matvec_blocks
+
+        br, bc = matvec_blocks(32768)
+        assert bc == 32768
+        # double-buffered stripe stays inside the budget
+        assert 2 * br * 32768 * 4 <= 8 * (1 << 20)
+
+    def test_nonaligned_dim_returns_none(self):
+        from eigen_value_tpu.device import matvec_blocks
+
+        assert matvec_blocks(100) is None
+        assert matvec_blocks(3) is None
+
+    def test_aligned_but_odd_multiple(self):
+        from eigen_value_tpu.device import matvec_blocks
+
+        br, bc = matvec_blocks(384)  # 3 * 128
+        assert bc == 384 and 384 % br == 0
