@@ -202,15 +202,23 @@ class EigenValue:
     any float dtype are accepted (cast to ``config.dtype``; the reference
     hard-asserts float32).
 
-    ``ts_ms`` is an RTT-CORRECTED device-time estimate: the reference's
+    ``ts_ms`` is an RTT-CORRECTED device-time ESTIMATE: the reference's
     clock brackets only the device loop (similarity_transform.cpp:36-58),
     but on a tunneled/remote device a naive wall clock would include a
     fixed per-call launch latency that can exceed the solve itself (~30 ms
     vs ~6 ms at 8192² on the axon transport).  The launch latency is
     measured once per instance with a trivial executable and subtracted;
     the uncorrected wall time of the last call is kept in
-    ``last_wall_ms``.  For per-solve timing with noise cancellation use
-    the bench suite's chained differencing instead (utils/timing.py).
+    ``last_wall_ms``.
+
+    PRECISION CAVEAT (this is the single-call exception the measurement
+    rules in CLAUDE.md call out): a per-call estimate necessarily carries
+    the transport's per-launch JITTER (~±1.5 ms on the tunnel — ~25% of
+    an 8192² solve, and more than the whole device time at small dims,
+    where the value may clamp to 0.0).  It matches the reference API's
+    best-effort per-call semantics; for numbers you can compare or
+    regress on, use chained differencing (bench.py) or marginal chains
+    (utils/timing.py), which cancel both the latency and its jitter.
     """
 
     def __init__(

@@ -185,15 +185,23 @@ def main(argv=None) -> int:
         if not args.json:
             for r in rows:
                 if r["bench"] == "model_calibration":
+                    ratio = r["ratio"]
+                    ratio_s = f"{ratio:.2f}" if ratio is not None else "n/a"
                     print(
                         f"all_gather n={r['dim']:>7} over {r['chips']} shards: "
                         f"measured {r['measured_us']:>9.1f} us, "
                         f"model (gloo-fitted spec) {r['predicted_us']:>9.1f} us, "
-                        f"ratio {r['ratio']:.2f}"
+                        f"ratio {ratio_s}"
                     )
                 else:
+                    # fit_gbps is None in the latency-dominated regime
+                    # (unresolvable slope) — the common case on loopback gloo
+                    gbps = r["fit_gbps"]
+                    gbps_s = f"{gbps:.3f} GB/s" if gbps is not None else (
+                        "unresolvable (latency-dominated)"
+                    )
                     print(
-                        f"fitted gloo exchange: {r['fit_gbps']:.3f} GB/s, "
+                        f"fitted gloo exchange: {gbps_s}, "
                         f"{r['fit_latency_us']:.1f} us/step"
                     )
     if args.suite in ("vector", "all"):

@@ -312,9 +312,7 @@ def bench_exchange_calibration(dim: int = 8192, reps: int = 5) -> List[dict]:
     import subprocess
     import sys
 
-    import dataclasses as _dc
-
-    from ..utils.scaling_model import ChipSpec, calibration_rows, fit_exchange
+    from ..utils.scaling_model import calibration_rows
 
     def _free_port() -> int:
         with socket.socket() as s:
@@ -379,11 +377,8 @@ def bench_exchange_calibration(dim: int = 8192, reps: int = 5) -> List[dict]:
         for n, us in o["exchange_us"].items():
             n = int(n)
             measured[n] = max(measured.get(n, 0.0), float(us))
-    gbps, lat = fit_exchange(measured, shards)
-    gloo_spec = _dc.replace(
-        ChipSpec(), ici_gbps=gbps, ici_latency_us=lat
-    )
-    return calibration_rows(measured, shards, gloo_spec)
+    # calibration_rows fits the gloo spec from the measurements itself
+    return calibration_rows(measured, shards)
 
 
 def _rowsum_bias_pallas(

@@ -74,16 +74,17 @@ _init_donated = jax.jit(_init_state_impl, donate_argnums=(0,))
 _init_copying = jax.jit(_init_state_impl)
 
 
-def init_state(A: jax.Array, donate: bool = True) -> SolverState:
+def init_state(A: jax.Array, donate: bool = False) -> SolverState:
     """Start a solve: ev = 1, v = row sums of A (initialise_eigen_vector +
     first sum_across_rows of the reference loop).
 
-    By default ``A`` is DONATED (it passes through to ``state.A``
-    unchanged, so the aliasing is exact) — initialization never holds two
-    copies of A, which matters at the 65536²-bf16 scale this module exists
-    for (ADVICE r1: the undonated form transiently held 2×A).  Use
-    ``state.A`` afterwards, not the array you passed in; pass
-    ``donate=False`` to keep your input alive at the cost of a copy."""
+    ``donate=True`` hands A's buffer to ``state.A`` (it passes through
+    unchanged, so the aliasing is exact) — initialization then never holds
+    two copies of A, which matters at the 65536²-bf16 scale this module
+    exists for (ADVICE r1: the undonated form transiently held 2×A).
+    Donation INVALIDATES the caller's array — use ``state.A`` afterwards —
+    so it is opt-in, not the default; the default keeps the caller's
+    input alive at the cost of the transient copy."""
     return (_init_donated if donate else _init_copying)(A)
 
 
@@ -147,7 +148,8 @@ def solve_checkpointed(
     an ``.npz`` snapshot after every chunk (the preemption-tolerant driver
     loop).  Resumes automatically if ``checkpoint_path`` already exists —
     after verifying the snapshot was taken for THIS matrix (shape, dtype,
-    and a deterministic row sample including interior rows) AND under this
+    and a FULL-content device-side digest — one O(n²) read per side, once
+    per resume; :func:`_matrix_digest`) AND under this
     ``eps``; a stale snapshot from a different solve, or one whose stop
     tolerance differs (mixing tolerances across chunks would corrupt the
     round count), raises instead of silently returning the wrong result.

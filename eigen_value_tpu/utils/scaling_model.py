@@ -140,11 +140,18 @@ def fit_exchange(measured_us, p: int, itemsize: int = 4):
     return float(gbps), latency_us
 
 
-def calibration_rows(measured_us, p: int, spec: ChipSpec = DEFAULT_SPEC):
+def calibration_rows(measured_us, p: int, spec: ChipSpec = None):
     """Predicted-vs-measured exchange rows + the fitted parameters.
 
-    ``spec`` should describe the transport the measurement ran on (for the
-    CPU/gloo harness, a gloo-calibrated spec — NOT the TPU defaults)."""
+    ``spec`` describes the transport the measurement ran on; when omitted
+    (the normal calibration flow) it is built from :func:`fit_exchange` on
+    the measurements themselves — ONE fit feeds both the emitted fit row
+    and the predictions, so the two cannot drift apart."""
+    gbps, lat = fit_exchange(measured_us, p, (spec or DEFAULT_SPEC).itemsize)
+    if spec is None:
+        spec = dataclasses.replace(
+            DEFAULT_SPEC, ici_gbps=gbps, ici_latency_us=lat
+        )
     rows = []
     for n in sorted(measured_us):
         pred = gather_exchange_us(n, p, 1, spec)
@@ -159,7 +166,6 @@ def calibration_rows(measured_us, p: int, spec: ChipSpec = DEFAULT_SPEC):
                 "ratio": meas / pred if pred > 0 else None,
             }
         )
-    gbps, lat = fit_exchange(measured_us, p, spec.itemsize)
     rows.append(
         {
             "bench": "model_calibration_fit",
