@@ -175,3 +175,61 @@ class TestTracedSolve:
         np.testing.assert_array_equal(
             np.asarray(a.eigenvector), np.asarray(b.eigenvector)
         )
+
+
+class TestPallasFusedLadderRung:
+    """solve_matvec_pallas_fused (round-2 ladder rung, kept as a measured
+    negative — see its docstring) must stay bit-identical to the
+    production solve_matvec_pallas, including cap exhaustion."""
+
+    def test_bitexact_convergence(self):
+        from eigen_value_tpu.ops.solver_matvec import (
+            solve_matvec_pallas,
+            solve_matvec_pallas_fused,
+        )
+
+        for n in (128, 256):
+            H = fixtures.hilbert_matrix(n)
+            a = solve_matvec_pallas(H, EPS, MAX_ITR, interpret=True)
+            b = solve_matvec_pallas_fused(H, EPS, MAX_ITR, interpret=True)
+            assert int(a.rounds) == int(b.rounds) == fixtures.HILBERT_ROUNDS[n]
+            assert float(a.eigenvalue) == float(b.eigenvalue)
+            np.testing.assert_array_equal(
+                np.asarray(a.eigenvector), np.asarray(b.eigenvector)
+            )
+
+    def test_bitexact_cap_exhaustion(self):
+        from eigen_value_tpu.ops.solver_matvec import (
+            solve_matvec_pallas,
+            solve_matvec_pallas_fused,
+        )
+
+        H = fixtures.hilbert_matrix(256)
+        for cap in (0, 1, 5):
+            a = solve_matvec_pallas(H, EPS, cap, interpret=True)
+            b = solve_matvec_pallas_fused(H, EPS, cap, interpret=True)
+            assert int(a.rounds) == int(b.rounds) == cap
+            assert float(a.eigenvalue) == float(b.eigenvalue)
+            assert not bool(a.converged) and not bool(b.converged)
+            np.testing.assert_array_equal(
+                np.asarray(a.eigenvector), np.asarray(b.eigenvector)
+            )
+
+    def test_round_matvec_kernel_matches_unfused_ops(self, rng):
+        """The round_matvec kernel's outputs equal the unfused expression
+        chain (same ops, same order) bitwise."""
+        import jax.numpy as jnp
+
+        from eigen_value_tpu.ops.pallas import kernels
+
+        A = jnp.asarray(rng.random((128, 128), dtype=np.float32) + 1e-2)
+        v = jnp.sum(A, axis=1)
+        ev = jnp.ones((128,), jnp.float32) * jnp.float32(0.5)
+        m = jnp.max(v)
+        v_next, ev_new = kernels.round_matvec(
+            A, ev, v, m, block_rows=64, block_cols=64, interpret=True
+        )
+        ev_want = ev * (v / m)
+        y = kernels.matvec(A, ev_want, block_rows=64, block_cols=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ev_new), np.asarray(ev_want))
+        np.testing.assert_array_equal(np.asarray(v_next), np.asarray(y / ev_want))
