@@ -9,23 +9,33 @@ block.  No atomics: the grid is executed sequentially per core, so the
 accumulation is a plain read-modify-write of the output block, and XLA/
 Mosaic pipelines the HBM↔VMEM DMAs behind compute.
 
-Three kernels (the "optimization ladder" mirroring the reference's
-benchmark variants, benchmarks/benchmark_similarity_transform.cpp):
+The kernel set is an "optimization ladder" mirroring the reference's
+benchmark variants (benchmarks/benchmark_similarity_transform.cpp) —
+production kernels first, measured-negative rungs retained for the
+record (docs/BENCH_RESULTS.md):
 
+* :func:`matvec` — ``A @ x`` (PRODUCTION hot op): the matvec-form solver
+  reads A once per round; ≈ HBM roofline.
 * :func:`rowsum` — row-sum reduction (reference ``sum_across_rows``,
-  similarity_transform.cpp:77-152).  Used for the pre-loop pass.
+  similarity_transform.cpp:77-152).  Used for the pre-loop pass of the
+  iterated form.
 * :func:`scale` — similarity update ``A[r][c] *= (1/v[r]) * v[c]``
   (reference ``compute_next_matrix``, similarity_transform.cpp:286-330).
   Kept standalone for per-kernel benchmark parity.
-* :func:`scale_rowsum` — THE production kernel: fuses the round-k
-  similarity update with round-(k+1)'s row sums.  Both passes touch every
-  element of A, so fusing halves HBM traffic to 1 read + 1 write of A per
-  round (SURVEY.md §7 "the big opportunity").  A is updated in place via
+* :func:`scale_rowsum` — the iterated form's fused kernel: round-k
+  similarity update + round-(k+1)'s row sums in one pass (1 read + 1
+  write of A; SURVEY.md §7 "the big opportunity"); in-place via
   input/output aliasing.
+* :func:`stop` — a real Pallas wraparound stop check (bench-only: the
+  production stop is the XLA expression fused into the loop predicate).
+* :func:`round_matvec` / :func:`round_fused` — fused-round ladder rungs,
+  both MEASURED SLOWER than the production split (rounds 2 and 1
+  respectively); retained bit-exact for re-testing on future compilers.
 
-The O(n) kernels of the reference (find_max cpp:154-227, eigvec update
-cpp:229-265, stop cpp:332-460) are deliberately NOT Pallas: at n elements
-they are free riders XLA fuses into negligible work between the n² passes.
+The O(n) ops of the reference (find_max cpp:154-227, eigvec update
+cpp:229-265, stop cpp:332-460) are deliberately NOT Pallas in the
+production path: XLA fuses them into negligible work between the n²
+passes — confirmed twice by the fused-rung negatives above.
 """
 
 from __future__ import annotations
