@@ -34,7 +34,8 @@ def test_eigenvalue_device_pinning(rng):
     assert 0 < rounds <= 1000
 
 
-def test_profiling_trace_and_annotate(tmp_path, rng):
+@pytest.mark.slow  # the profiler handshakes with the tunneled TPU backend
+def test_profiling_trace_and_annotate(tmp_path, rng):  # ~2 min wall
     from eigen_value_tpu import max_eigenvalue
 
     mat = rng.random((64, 64), dtype=np.float32)
