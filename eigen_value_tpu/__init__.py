@@ -10,7 +10,7 @@ multi-chip, vmapped batched solves).
 """
 
 from . import checkpoint, fixtures
-from .api import EigenValue, max_eigenvalue, max_eigenvalue_batch
+from .api import EigenValue, eigen_residual, max_eigenvalue, max_eigenvalue_batch
 from .config import DEFAULT_CONFIG, EPS, MAX_ITR, SolverConfig
 from .ops.solver import SolveResult
 
@@ -18,6 +18,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "EigenValue",
+    "eigen_residual",
     "checkpoint",
     "fixtures",
     "max_eigenvalue",

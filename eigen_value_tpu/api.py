@@ -179,6 +179,19 @@ def max_eigenvalue(
     return _solve_fn(config, backend, mat.shape[0])(mat)
 
 
+def eigen_residual(mat: jax.Array, result: SolveResult) -> jax.Array:
+    """``max |A·v − λ·v|`` — the eigen-pair acceptance check of the
+    reference's wrapper test (``wrapper/python/test.py:15-16``, atol 1e-3)
+    as a jittable one-liner.
+
+    Works on sharded inputs unchanged: with a row-sharded ``mat`` and the
+    sharded result's eigenvector, GSPMD partitions the matvec and inserts
+    the gather (this is how the multi-host worker validates its global
+    solve, bench/mh_worker.py)."""
+    v = result.eigenvector
+    return jnp.max(jnp.abs(mat @ v - result.eigenvalue * v))
+
+
 def max_eigenvalue_batch(
     mats: jax.Array, config: SolverConfig = DEFAULT_CONFIG
 ) -> SolveResult:

@@ -186,3 +186,30 @@ def test_ts_ms_is_rtt_corrected(rng):
     assert ev.last_wall_ms is not None
     assert ts_ms <= ev.last_wall_ms
     assert ts_ms == pytest.approx(max(ev.last_wall_ms - ev._rtt_ms, 0.0))
+
+
+def test_eigen_residual_helper(rng):
+    """eigen_residual = the reference wrapper test's acceptance check
+    (wrapper/python/test.py:15-16) as a public jittable helper."""
+    import jax
+
+    from eigen_value_tpu import eigen_residual, max_eigenvalue
+
+    import jax.numpy as jnp
+
+    mat = jnp.asarray(rng.random((128, 128), dtype=np.float32) + 1e-2)
+    res = max_eigenvalue(mat)
+    r = float(eigen_residual(mat, res))
+    assert r < 1e-3
+    # jittable (fusion may round the last ulps differently)
+    r2 = float(jax.jit(eigen_residual)(mat, res))
+    assert r2 == pytest.approx(r, abs=1e-5)
+    # sharded inputs compose via GSPMD
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("rows",))
+    ms = jax.device_put(mat, NamedSharding(mesh, P("rows", None)))
+    from eigen_value_tpu.parallel import solve_sharded_matvec
+
+    res_s = solve_sharded_matvec(ms, mesh)
+    assert float(eigen_residual(ms, res_s)) < 1e-3
