@@ -55,11 +55,30 @@ class SolverState(NamedTuple):
     done: jax.Array
 
 
+def _state_dtype(A: jax.Array):
+    """O(n) state dtype for a matrix of A's storage dtype: reduced-precision
+    storage keeps float32 state, exactly like solve_matvec_storage
+    (solver_matvec.py:145-174) — bf16 cannot even represent the 1e-3 stop
+    tolerance at λ-scale values."""
+    return jnp.float32 if A.dtype.itemsize < 4 else A.dtype
+
+
+def _state_matvec(A: jax.Array, ev: jax.Array) -> jax.Array:
+    """One solver round's v = (A@ev)/ev with the storage-mode contract:
+    reduced-precision A multiplies with f32 ACCUMULATION; f32/f64 A is the
+    plain product.  Matches solve_matvec / solve_matvec_storage exactly so
+    chunked stepping stays bit-identical to the one-shot solvers."""
+    if A.dtype.itemsize < 4:
+        y = jnp.dot(A, ev.astype(A.dtype), preferred_element_type=jnp.float32)
+        return y / ev
+    return (A @ ev) / ev
+
+
 def _init_state_impl(A: jax.Array) -> SolverState:
     n = A.shape[0]
-    dtype = A.dtype
+    dtype = _state_dtype(A)
     ev0 = jnp.ones((n,), dtype)
-    v0 = (A @ ev0) / ev0
+    v0 = _state_matvec(A, ev0)
     return SolverState(
         A,
         ev0,
@@ -106,7 +125,7 @@ def step(
     A = state.A
 
     def matvec(ev):
-        return (A @ ev) / ev
+        return _state_matvec(A, ev)
 
     def cond(c):
         st, j = c

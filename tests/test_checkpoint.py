@@ -158,3 +158,31 @@ def test_sharded_state_steps_identically(hilbert, oneshot):
     assert bool(st.done)
     assert int(st.rounds) == int(oneshot.rounds)
     assert float(st.lam) == float(oneshot.eigenvalue)
+
+
+def test_bf16_storage_stepping_matches_storage_solver():
+    """Chunked stepping of a bf16-storage matrix must match
+    solve_matvec_storage — same rounds, λ/ev to within an ulp (XLA fuses
+    the bf16 dot differently across the two programs, so exact bitwise
+    equality is not guaranteed the way it is for f32).  Round-2 fix: step
+    previously ran the matvec without f32 accumulation and kept bf16 O(n)
+    state, silently diverging from the storage-mode contract."""
+    import jax.numpy as jnp
+
+    from eigen_value_tpu.ops.solver_matvec import solve_matvec_storage
+
+    H = fixtures.hilbert_matrix(256)
+    want = solve_matvec_storage(H, EPS, MAX_ITR)
+
+    Hq = H.astype(jnp.bfloat16)  # pre-quantized storage input
+    state = checkpoint.init_state(Hq, donate=False)
+    assert state.v.dtype == jnp.float32  # f32 O(n) state
+    for _ in range(6):
+        state = checkpoint.step(state, 3)
+    res = checkpoint.to_result(state)
+    assert bool(res.converged)
+    assert int(res.rounds) == int(want.rounds)
+    assert float(res.eigenvalue) == pytest.approx(float(want.eigenvalue), rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvector), np.asarray(want.eigenvector), rtol=1e-5
+    )
