@@ -62,3 +62,45 @@ def test_differential_vs_oracle(backend, rng):
         assert np.allclose(
             mat @ v, float(got.eigenvalue) * v, atol=5 * tol
         ), (backend, kind)
+
+
+class TestShardedDifferentialFuzz:
+    """Round-2: the sharded solvers fuzzed against the single-chip matvec
+    solver across random matrix families, dims, and mesh sizes — catches
+    sharding bugs (offset slips, reduction-order drift, replication
+    mistakes) that fixed-dim tests can miss."""
+
+    @pytest.mark.parametrize("solver_name", ["gather", "ring", "iterated"])
+    def test_matches_single_chip(self, solver_name, rng):
+        import jax
+        from jax.sharding import Mesh
+
+        from eigen_value_tpu.parallel import (
+            solve_sharded,
+            solve_sharded_matvec,
+            solve_sharded_matvec_ring,
+        )
+
+        solver = {
+            "gather": solve_sharded_matvec,
+            "ring": solve_sharded_matvec_ring,
+            "iterated": solve_sharded,
+        }[solver_name]
+        single = {
+            "gather": solve_matvec,
+            "ring": solve_matvec,
+            "iterated": solve_xla,
+        }[solver_name]
+
+        for n, p in ((64, 2), (96, 4), (128, 8), (160, 2)):
+            mesh = Mesh(np.array(jax.devices("cpu")[:p]), ("rows",))
+            for kind, mat in list(_cases(rng, n=n, count=2))[:5]:
+                want = single(jnp.asarray(mat), EPS, MAX_ITR)
+                got = solver(jnp.asarray(mat), mesh)
+                assert int(got.rounds) == int(want.rounds), (
+                    solver_name, n, p, kind,
+                )
+                assert float(got.eigenvalue) == pytest.approx(
+                    float(want.eigenvalue), rel=1e-5
+                ), (solver_name, n, p, kind)
+                assert bool(got.converged) == bool(want.converged)
