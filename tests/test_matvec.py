@@ -233,3 +233,27 @@ class TestPallasFusedLadderRung:
         y = kernels.matvec(A, ev_want, block_rows=64, block_cols=64, interpret=True)
         np.testing.assert_array_equal(np.asarray(ev_new), np.asarray(ev_want))
         np.testing.assert_array_equal(np.asarray(v_next), np.asarray(y / ev_want))
+
+
+def test_f16_storage_mode():
+    """storage_dtype=float16: same bytes as bf16 with ~5x less lambda error
+    (more mantissa) — valid when entries stay above f16's normal range
+    (see solve_matvec_storage docstring for the underflow caveat)."""
+    import jax.numpy as jnp
+
+    from eigen_value_tpu.ops.solver_matvec import (
+        solve_matvec,
+        solve_matvec_storage,
+    )
+
+    H = fixtures.hilbert_matrix(1024)
+    want = solve_matvec(H, EPS, MAX_ITR)
+    f16 = solve_matvec_storage(H, EPS, MAX_ITR, jnp.float16)
+    bf16 = solve_matvec_storage(H, EPS, MAX_ITR, jnp.bfloat16)
+    assert f16.eigenvalue.dtype == jnp.float32
+    assert bool(f16.converged)
+    assert abs(int(f16.rounds) - int(want.rounds)) <= 1
+    err_f16 = abs(float(f16.eigenvalue) - float(want.eigenvalue))
+    err_bf16 = abs(float(bf16.eigenvalue) - float(want.eigenvalue))
+    assert err_f16 < 2e-4 * float(want.eigenvalue)
+    assert err_f16 < err_bf16  # the mantissa advantage is real
