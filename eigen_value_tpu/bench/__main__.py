@@ -62,9 +62,22 @@ def main(argv=None) -> int:
             "native",
             "model",
             "calibrate",
+            "drift",
             "all",
         ],
         default="all",
+    )
+    p.add_argument(
+        "--windows",
+        type=int,
+        default=10,
+        help="measurement windows for --suite drift",
+    )
+    p.add_argument(
+        "--gap-s",
+        type=float,
+        default=20.0,
+        help="seconds between drift windows",
     )
     p.add_argument("--dims", type=int, nargs="*", help="matrix dims to sweep")
     p.add_argument("--backends", nargs="*", help="e2e backends to run")
@@ -203,6 +216,28 @@ def main(argv=None) -> int:
                     print(
                         f"fitted gloo exchange: {gbps_s}, "
                         f"{r['fit_latency_us']:.1f} us/step"
+                    )
+    if args.suite == "drift":
+        rows = suite.bench_drift(
+            dim=(args.dims or [8192])[0], windows=args.windows, gap_s=args.gap_s
+        )
+        all_rows += rows
+        if not args.json:
+            for r in rows:
+                if r["bench"] == "drift":
+                    gbps = r["gbps"]
+                    gbps_s = f"{gbps:>7.0f} GB/s" if gbps is not None else "   n/a"
+                    print(
+                        f"t+{r['t_s']:>6.1f}s  window {r['window']:>2}: "
+                        f"{r['ms'] * 1e3:>8.1f} us/pass  {gbps_s}"
+                    )
+                else:
+                    sp = r["spread_pct"]
+                    sp_s = f"{sp:.1f}%" if sp is not None else "n/a"
+                    print(
+                        f"spread over {r['windows']} windows: {sp_s} "
+                        f"(>5% = chip state drifted; cross-run absolute"
+                        f" comparisons invalid)"
                     )
     if args.suite in ("vector", "all"):
         rows = suite.bench_vector_kernels()

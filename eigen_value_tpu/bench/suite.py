@@ -515,6 +515,77 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
     return rows
 
 
+def bench_drift(
+    dim: int = 8192,
+    windows: int = 10,
+    gap_s: float = 20.0,
+    k: int = 64,
+) -> List[dict]:
+    """Chip-state drift timeline: the production matvec's per-pass marginal
+    measured in spaced windows.
+
+    The tunneled v5e drifts between ~745 and ~930 GB/s sustained-HBM
+    states on a minutes timescale, and the state is otherwise unobservable
+    from this side (docs/BENCH_RESULTS.md round 2).  This suite makes it
+    visible: one row per window (per-pass ms, achieved GB/s, roofline %,
+    seconds since the first window) plus a summary row with the spread.
+    Use it before trusting any cross-run absolute comparison — a >5%
+    window spread means the runs straddled states and only the
+    interleaved protocol (scratch/exp_roundrobin.py) is valid.
+    """
+    import time as _time
+
+    peak = detect_peak_hbm_gbps()
+    A = fixtures.hilbert_matrix(dim)
+    ones = jnp.ones((dim,), jnp.float32)
+    pk = dict(
+        block_rows=min(512, dim), block_cols=min(512, dim), interpret=auto_interpret()
+    )
+
+    def matvec_step(i, s, _pk=pk):
+        Ai, xi = s
+        return (Ai, kernels.matvec(Ai, xi, **_pk) / xi)
+
+    nbytes = dim * dim * 4
+    rows: List[dict] = []
+    vals: List[float] = []
+    t0 = None
+    for w in range(windows):
+        if w:
+            _time.sleep(gap_s)
+        ms = time_marginal(matvec_step, (A, ones), k=k)
+        t0 = _time.perf_counter() if t0 is None else t0
+        t_rel = _time.perf_counter() - t0
+        pct = roofline_pct(ms, nbytes, peak) if ms > 0 else None
+        vals.append(ms)
+        rows.append(
+            {
+                "bench": "drift",
+                "kernel": "matvec_pallas",
+                "dim": dim,
+                "window": w,
+                "t_s": round(t_rel, 1),
+                "ms": ms,
+                "gbps": nbytes / (ms * 1e-3) / 1e9 if ms > 0 else None,
+                "roofline_pct": None if pct != pct else pct,
+            }
+        )
+    finite = [v for v in vals if v > 0]
+    spread = (max(finite) / min(finite) - 1.0) if finite else None
+    rows.append(
+        {
+            "bench": "drift_summary",
+            "dim": dim,
+            "windows": windows,
+            "gap_s": gap_s,
+            "min_ms": min(finite) if finite else None,
+            "max_ms": max(finite) if finite else None,
+            "spread_pct": round(spread * 100, 1) if spread is not None else None,
+        }
+    )
+    return rows
+
+
 def bench_vector_kernels(sizes: List[int] = VECTOR_SIZES, k: int = 256) -> List[dict]:
     """The O(n) kernels (find_max, eigvec update, stop) at vector sizes
     2^16..2^25 (reference main.cpp:78).  Marginal chained timings; each

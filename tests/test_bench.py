@@ -24,6 +24,22 @@ def test_vector_kernel_rows():
     assert all(r["ms"] >= 0 for r in rows)
 
 
+def test_drift_rows():
+    rows = suite.bench_drift(dim=128, windows=2, gap_s=0.0, k=5)
+    timeline = [r for r in rows if r["bench"] == "drift"]
+    assert len(timeline) == 2
+    assert [r["window"] for r in timeline] == [0, 1]
+    assert timeline[0]["t_s"] <= timeline[1]["t_s"]
+    summary = rows[-1]
+    assert summary["bench"] == "drift_summary"
+    if summary["min_ms"] is not None:
+        assert summary["min_ms"] <= summary["max_ms"]
+        assert summary["spread_pct"] >= 0
+    # every row must be RFC-valid JSON (nulls, never NaN/Infinity)
+    for r in rows:
+        json.loads(json.dumps(r))
+
+
 def test_cli_json(tmp_path):
     out = subprocess.run(
         [
