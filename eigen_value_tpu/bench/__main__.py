@@ -80,6 +80,13 @@ def main(argv=None) -> int:
         help="seconds between drift windows",
     )
     p.add_argument("--dims", type=int, nargs="*", help="matrix dims to sweep")
+    p.add_argument(
+        "--sizes",
+        type=int,
+        nargs="*",
+        help="vector sizes for --suite vector (default 2^16..2^25; on CPU "
+        "the interpret-mode 2^25 rows take minutes — pass smaller sizes)",
+    )
     p.add_argument("--backends", nargs="*", help="e2e backends to run")
     p.add_argument("--json", action="store_true", help="emit JSON lines")
     p.add_argument("--reps", type=int, default=5)
@@ -240,7 +247,7 @@ def main(argv=None) -> int:
                         f" comparisons invalid)"
                     )
     if args.suite in ("vector", "all"):
-        rows = suite.bench_vector_kernels()
+        rows = suite.bench_vector_kernels(sizes=args.sizes or suite.VECTOR_SIZES)
         all_rows += rows
         if not args.json:
             print(_fmt_kernels(rows, size_key="size"))
