@@ -207,6 +207,15 @@ def supervise() -> int:
         text=True,
         env=env,
     )
+
+    # If the SUPERVISOR is timed out (e.g. the driver wraps bench.py in
+    # `timeout`), forward the TERM so the worker can emit its best-so-far
+    # record before we read the pipe.
+    def _forward_term(signum, frame):
+        proc.terminate()
+
+    signal.signal(signal.SIGTERM, _forward_term)
+    signal.signal(signal.SIGINT, _forward_term)
     try:
         out, _ = proc.communicate(timeout=DEADLINE_S)
     except subprocess.TimeoutExpired:
