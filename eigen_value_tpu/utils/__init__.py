@@ -1,6 +1,7 @@
-"""Utilities: timing, AOT compilation cache, profiling, scaling model."""
+"""Utilities: timing, AOT compilation cache, profiling, scaling model,
+device health diagnostics."""
 
-from . import profiling, scaling_model
+from . import health, profiling, scaling_model
 from .aot import disable_persistent_cache, enable_persistent_cache
 from .timing import detect_peak_hbm_gbps, force, roofline_pct, time_call, time_marginal
 
