@@ -242,3 +242,19 @@ class TestHardwarePerfGate:
             ts = (_time.perf_counter() - t0) * 1e3
             best = min(best, (tl - ts) / 8)
         assert best < 8.0, f"headline chain {best:.2f} ms/solve (> 8.0)"
+
+    def test_drift_suite_on_hardware(self):
+        """`--suite drift` must produce sane hardware rows: the matvec
+        marginal in every window inside the chip's known state envelope
+        (745–930 GB/s, widened to 500–1200 for tolerance)."""
+        from eigen_value_tpu.bench.suite import bench_drift
+
+        rows = bench_drift(dim=4096, windows=2, gap_s=1.0, k=32)
+        timeline = [r for r in rows if r["bench"] == "drift"]
+        assert len(timeline) == 2
+        for r in timeline:
+            assert r["gbps"] is not None and 500 < r["gbps"] < 1200, (
+                f"window {r['window']}: {r['gbps']} GB/s outside the "
+                f"chip's plausible envelope"
+            )
+        assert rows[-1]["bench"] == "drift_summary"
