@@ -234,9 +234,10 @@ def main(argv=None) -> int:
                 if r["bench"] == "drift":
                     gbps = r["gbps"]
                     gbps_s = f"{gbps:>7.0f} GB/s" if gbps is not None else "   n/a"
+                    sus = "  [SUSPECT: transport artifact]" if r["suspect"] else ""
                     print(
                         f"t+{r['t_s']:>6.1f}s  window {r['window']:>2}: "
-                        f"{r['ms'] * 1e3:>8.1f} us/pass  {gbps_s}"
+                        f"{r['ms'] * 1e3:>8.1f} us/pass  {gbps_s}{sus}"
                     )
                 else:
                     sp = r["spread_pct"]

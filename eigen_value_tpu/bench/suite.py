@@ -532,6 +532,12 @@ def bench_drift(
     Use it before trusting any cross-run absolute comparison — a >5%
     window spread means the runs straddled states and only the
     interleaved protocol (scratch/exp_roundrobin.py) is valid.
+
+    Rows with roofline_pct > 110 are physically impossible for an
+    HBM-bound pass and are marked ``suspect: true`` — a transport-jitter
+    artifact of the differencing (an inflated short-chain reading shrinks
+    the diff), observed on the tunnel during unstable periods.  Suspect
+    windows are excluded from the summary spread.
     """
     import time as _time
 
@@ -557,7 +563,10 @@ def bench_drift(
         t0 = _time.perf_counter() if t0 is None else t0
         t_rel = _time.perf_counter() - t0
         pct = roofline_pct(ms, nbytes, peak) if ms > 0 else None
-        vals.append(ms)
+        pct = None if pct != pct else pct
+        suspect = pct is not None and pct > 110.0
+        if not suspect:
+            vals.append(ms)
         rows.append(
             {
                 "bench": "drift",
@@ -567,7 +576,8 @@ def bench_drift(
                 "t_s": round(t_rel, 1),
                 "ms": ms,
                 "gbps": nbytes / (ms * 1e-3) / 1e9 if ms > 0 else None,
-                "roofline_pct": None if pct != pct else pct,
+                "roofline_pct": pct,
+                "suspect": suspect,
             }
         )
     finite = [v for v in vals if v > 0]
@@ -578,6 +588,7 @@ def bench_drift(
             "dim": dim,
             "windows": windows,
             "gap_s": gap_s,
+            "suspect_windows": sum(1 for r in rows if r.get("suspect")),
             "min_ms": min(finite) if finite else None,
             "max_ms": max(finite) if finite else None,
             "spread_pct": round(spread * 100, 1) if spread is not None else None,

@@ -93,7 +93,11 @@ def chip_state(dim: int = 4096, windows: int = 2, gap_s: float = 1.0) -> dict:
     from ..bench.suite import bench_drift
 
     rows = bench_drift(dim=dim, windows=windows, gap_s=gap_s, k=32)
-    gbps = [r["gbps"] for r in rows if r["bench"] == "drift" and r["gbps"]]
+    gbps = [
+        r["gbps"]
+        for r in rows
+        if r["bench"] == "drift" and r["gbps"] and not r["suspect"]
+    ]
     summary = rows[-1]
     return {
         "dim": dim,
@@ -101,6 +105,7 @@ def chip_state(dim: int = 4096, windows: int = 2, gap_s: float = 1.0) -> dict:
         "gbps_min": round(min(gbps)) if gbps else None,
         "gbps_max": round(max(gbps)) if gbps else None,
         "spread_pct": summary.get("spread_pct"),
+        "suspect_windows": summary.get("suspect_windows"),
     }
 
 
