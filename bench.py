@@ -74,7 +74,10 @@ def summarize(windows, rounds, backend):
     """
     device_ms, t_long, t_short = min(windows)
     window_vals = sorted(round(wv[0], 3) for wv in windows)
-    median_ms = window_vals[len(window_vals) // 2]
+    n = len(window_vals)
+    median_ms = round(
+        (window_vals[(n - 1) // 2] + window_vals[n // 2]) / 2, 3
+    )
     return {
         "metric": f"hilbert_{DIM}_e2e_device",
         "value": round(device_ms, 3),
@@ -191,7 +194,9 @@ def main() -> None:
         print(f"window {w}: {dev_ms:.3f} ms/solve", file=sys.stderr)
 
     emitted = True
-    print(json.dumps(summarize(windows, rounds, backend)))
+    # flush=True: os._exit in the TERM handler skips interpreter-exit
+    # buffer flushing, so an unflushed final line could be silently lost.
+    print(json.dumps(summarize(windows, rounds, backend)), flush=True)
 
 
 def supervise() -> int:

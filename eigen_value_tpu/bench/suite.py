@@ -422,6 +422,21 @@ def _rowsum_bias_pallas(
     return out[:, 0]
 
 
+def _matvec_pallas_step(n: int):
+    """The production matvec's marginal-chain step — ONE definition shared
+    by bench_kernels and bench_drift so their rows stay comparable (same
+    kernel, same block policy, same data-dependence threading)."""
+    pk = dict(
+        block_rows=min(512, n), block_cols=min(512, n), interpret=auto_interpret()
+    )
+
+    def step(i, s, _pk=pk):
+        Ai, xi = s
+        return (Ai, kernels.matvec(Ai, xi, **_pk) / xi)
+
+    return step
+
+
 def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
     """Per-kernel marginal timings for the O(n²) passes.
 
@@ -476,9 +491,7 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
             Ai, xi = s
             return (Ai, (Ai @ xi) / xi)
 
-        def matvec_pallas_step(i, s, _pk=pk):
-            Ai, xi = s
-            return (Ai, kernels.matvec(Ai, xi, **_pk) / xi)
+        matvec_pallas_step = _matvec_pallas_step(n)
 
         cases = {
             "rowsum_xla": (rowsum_xla_step, (A, v), n * n * itemsize),
@@ -533,25 +546,21 @@ def bench_drift(
     window spread means the runs straddled states and only the
     interleaved protocol (scratch/exp_roundrobin.py) is valid.
 
-    Rows with roofline_pct > 110 are physically impossible for an
-    HBM-bound pass and are marked ``suspect: true`` — a transport-jitter
-    artifact of the differencing (an inflated short-chain reading shrinks
-    the diff), observed on the tunnel during unstable periods.  Suspect
-    windows are excluded from the summary spread.
+    Rows with roofline_pct > 120 are marked ``suspect: true`` — a
+    transport-jitter artifact of the differencing (an inflated
+    short-chain reading shrinks the diff), observed at 131%/179% on the
+    tunnel during unstable periods.  The threshold sits above the chip's
+    REAL measured fast state (~930 GB/s = 113.6% of the 819 GB/s
+    nameplate — sustained HBM can exceed nameplate slightly), so genuine
+    fast-state windows are never misflagged.  Suspect windows are
+    excluded from the summary spread.
     """
     import time as _time
 
     peak = detect_peak_hbm_gbps()
     A = fixtures.hilbert_matrix(dim)
     ones = jnp.ones((dim,), jnp.float32)
-    pk = dict(
-        block_rows=min(512, dim), block_cols=min(512, dim), interpret=auto_interpret()
-    )
-
-    def matvec_step(i, s, _pk=pk):
-        Ai, xi = s
-        return (Ai, kernels.matvec(Ai, xi, **_pk) / xi)
-
+    matvec_step = _matvec_pallas_step(dim)
     nbytes = dim * dim * 4
     rows: List[dict] = []
     vals: List[float] = []
@@ -564,7 +573,7 @@ def bench_drift(
         t_rel = _time.perf_counter() - t0
         pct = roofline_pct(ms, nbytes, peak) if ms > 0 else None
         pct = None if pct != pct else pct
-        suspect = pct is not None and pct > 110.0
+        suspect = pct is not None and pct > 120.0
         if not suspect:
             vals.append(ms)
         rows.append(

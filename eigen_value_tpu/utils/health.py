@@ -109,26 +109,63 @@ def chip_state(dim: int = 4096, windows: int = 2, gap_s: float = 1.0) -> dict:
     }
 
 
+def _state_subprocess(
+    state_dim: int, deadline_s: float, device: Optional[str]
+) -> tuple:
+    """chip_state() in a deadline-bounded subprocess (the tunnel can wedge
+    BETWEEN the liveness probe and the state reading — an in-process
+    reading would hang the caller forever).  Returns (state|None, error|None)."""
+    cmd = [
+        sys.executable,
+        "-m",
+        "eigen_value_tpu.utils.health",
+        "--state-only",
+        "--state-dim",
+        str(state_dim),
+    ]
+    if device == "cpu":
+        cmd += ["--device", "cpu"]
+    env = dict(os.environ)
+    # The child must import this package even when the caller added it to
+    # sys.path at runtime (e.g. a checkout, no install).
+    env["PYTHONPATH"] = os.pathsep.join(
+        [p for p in sys.path if p] + [env.get("PYTHONPATH", "")]
+    ).strip(os.pathsep)
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=deadline_s, env=env
+        )
+        if out.returncode != 0:
+            return None, f"state reader exited {out.returncode}"
+        return json.loads(out.stdout.strip().splitlines()[-1]), None
+    except subprocess.TimeoutExpired:
+        return None, f"state deadline {deadline_s:.0f}s exceeded (wedged?)"
+    except (ValueError, IndexError) as e:
+        return None, f"unparseable state output: {e}"
+
+
 def check(
     deadline_s: float = 60.0,
     state_dim: Optional[int] = 4096,
     device: Optional[str] = None,
+    state_deadline_s: float = 240.0,
 ) -> dict:
-    """Full health report: liveness (always, subprocess-isolated) plus the
-    chip-state reading (in-process, only when alive; pass
-    ``state_dim=None`` to skip).  Shape::
+    """Full health report: liveness plus the chip-state reading, each in
+    its own deadline-bounded subprocess (pass ``state_dim=None`` to skip
+    the state).  Shape::
 
-        {"alive": bool, "rtt_ms": ..., "probe_s": ...,
-         "state": {...} | None}
-    """
+        {"alive": bool, "platform": ..., "rtt_ms": ..., "probe_s": ...,
+         "state": {...} | None, "state_error": str | None}
+
+    ``state_error`` is set when the state reading failed or missed its
+    deadline — e.g. the tunnel wedged between probe and reading."""
     rep = probe(deadline_s, device=device)
     rep["state"] = None
+    rep["state_error"] = None
     if rep["alive"] and state_dim:
-        if device == "cpu":
-            import jax
-
-            jax.config.update("jax_default_device", jax.devices("cpu")[0])
-        rep["state"] = chip_state(dim=state_dim)
+        rep["state"], rep["state_error"] = _state_subprocess(
+            state_dim, state_deadline_s, device
+        )
     return rep
 
 
@@ -144,7 +181,19 @@ def main(argv=None) -> int:
         help="matrix dim for the chip-state reading (0 = liveness only)",
     )
     p.add_argument("--device", choices=["cpu"], help="probe the CPU instead")
+    p.add_argument(
+        "--state-only",
+        action="store_true",
+        help="internal worker mode: print the in-process chip_state JSON",
+    )
     args = p.parse_args(argv)
+    if args.state_only:
+        if args.device == "cpu":
+            import jax
+
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        print(json.dumps(chip_state(dim=args.state_dim or 4096)))
+        return 0
     rep = check(args.deadline_s, args.state_dim or None, device=args.device)
     print(json.dumps(rep))
     return 0 if rep["alive"] else 1

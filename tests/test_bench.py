@@ -35,9 +35,10 @@ def test_drift_rows():
     if summary["min_ms"] is not None:
         assert summary["min_ms"] <= summary["max_ms"]
         assert summary["spread_pct"] >= 0
-    # every row must be RFC-valid JSON (nulls, never NaN/Infinity)
+    # every row must be RFC-valid JSON (nulls, never NaN/Infinity —
+    # allow_nan=False makes json.dumps raise on either)
     for r in rows:
-        json.loads(json.dumps(r))
+        json.loads(json.dumps(r, allow_nan=False))
 
 
 def test_cli_json(tmp_path):

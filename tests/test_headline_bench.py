@@ -41,6 +41,12 @@ def test_summarize_spread_fields(bench):
     assert rec["backend"] == "matvec_pallas"
 
 
+def test_summarize_even_window_median_is_averaged(bench):
+    windows = [(6.0, 80.0, 30.0), (6.0, 80.0, 30.0), (6.6, 88.0, 36.0), (6.6, 88.0, 36.0)]
+    rec = bench.summarize(windows, rounds=17, backend="matvec_pallas")
+    assert rec["median_ms"] == 6.3
+
+
 def test_summarize_single_window(bench):
     rec = bench.summarize([(6.55, 89.0, 36.0)], rounds=17, backend="xla")
     assert rec["value"] == 6.55
@@ -51,7 +57,7 @@ def test_summarize_single_window(bench):
 def test_summarize_json_contract(bench):
     """The record must round-trip as one RFC-valid JSON line."""
     rec = bench.summarize([(6.55, 89.0, 36.0)], rounds=17, backend="xla")
-    line = json.dumps(rec)
+    line = json.dumps(rec, allow_nan=False)  # NaN/Infinity must raise here
     assert "\n" not in line
     back = json.loads(line)
     for key in ("metric", "value", "unit", "vs_baseline", "rounds"):

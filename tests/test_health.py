@@ -31,8 +31,8 @@ def test_check_cpu_with_state():
     assert rep["alive"] is True
     assert rep["state"] is not None
     assert rep["state"]["dim"] == 128
-    # RFC-valid JSON end to end
-    json.loads(json.dumps(rep))
+    # RFC-valid JSON end to end (allow_nan=False raises on NaN/Infinity)
+    json.loads(json.dumps(rep, allow_nan=False))
 
 
 def test_cli_liveness_only():
