@@ -11,7 +11,12 @@ observed in practice on this deployment:
 - ``jax.devices()`` may still answer (cached registry) while every
   compute call hangs — device *listing* is not a health check;
 - the chip's sustained-HBM state drifts between ~745 and ~930 GB/s on a
-  minutes timescale, silently changing solve latency by ±10%.
+  minutes timescale, silently changing solve latency by ±10%;
+- the tunnel SERIALIZES clients: while another process runs a long job,
+  this process's calls queue — a busy tunnel is indistinguishable from a
+  wedged one to a short-deadline probe.  Probe from an otherwise-idle
+  client, or size ``deadline_s`` to cover the longest job that could be
+  ahead in the queue.
 
 ``check()`` turns those into one structured, deadline-bounded report a
 serving layer can act on (route away, retry later, re-baseline SLOs).
