@@ -111,6 +111,15 @@ def main(argv=None) -> int:
             os.environ["XLA_FLAGS"] = (
                 flags + f" --xla_force_host_platform_device_count={args.cpu_devices}"
             ).strip()
+        # CPU runs must work while the remote-TPU tunnel is wedged or busy
+        # (and must not serialize against a concurrent TPU bench through
+        # the tunnel): make this interpreter CPU-only before backend init.
+        from ..device import unregister_remote_tpu_plugin
+
+        unregister_remote_tpu_plugin()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.device:
         import jax
 

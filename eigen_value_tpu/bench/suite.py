@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .. import fixtures
 from ..config import EPS, MAX_ITR
-from ..device import auto_interpret
+from ..device import auto_interpret, hermetic_cpu_env
 from ..ops.pallas import kernels
 from ..ops.solver import solve_xla, stop_check
 from ..ops.solver_matvec import solve_matvec, solve_matvec_pallas, solve_matvec_storage
@@ -223,7 +223,10 @@ def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
             s.bind(("127.0.0.1", 0))
             return s.getsockname()[1]
 
-    env = dict(os.environ)
+    # Workers are CPU/gloo processes: hermetic_cpu_env keeps them from
+    # initializing the remote-TPU plugin (which would serialize them
+    # against the tunnel, or hang them outright if it is wedged).
+    env = hermetic_cpu_env()
     env.pop("XLA_FLAGS", None)
     repo_parent = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     env["PYTHONPATH"] = os.pathsep.join(
@@ -319,7 +322,10 @@ def bench_exchange_calibration(dim: int = 8192, reps: int = 5) -> List[dict]:
             s.bind(("127.0.0.1", 0))
             return s.getsockname()[1]
 
-    env = dict(os.environ)
+    # Workers are CPU/gloo processes: hermetic_cpu_env keeps them from
+    # initializing the remote-TPU plugin (which would serialize them
+    # against the tunnel, or hang them outright if it is wedged).
+    env = hermetic_cpu_env()
     env.pop("XLA_FLAGS", None)
     repo_parent = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     env["PYTHONPATH"] = os.pathsep.join(

@@ -1,6 +1,6 @@
-"""Device-platform detection and tile-size selection.
+"""Device-platform detection, tile-size selection, and CPU hermeticity.
 
-Single home for the two decisions every backend shares:
+Single home for the decisions every backend shares:
 
   * *are we on a real TPU?* — drives both auto-backend routing (api.py)
     and the default for Pallas ``interpret`` mode (solver_pallas.py,
@@ -9,13 +9,65 @@ Single home for the two decisions every backend shares:
     reference's work-group-size policy (wrapper/similarity_transform.cpp:
     24-33 picks ``min(dim/2, device_max)``); here tiles must both respect
     the (8,128) f32 register tiling and exactly divide the array dims.
+  * *how does CPU-only work avoid the remote-TPU tunnel?* — a tunneled
+    accelerator plugin (registered by a sitecustomize hook) is initialized
+    by jax on first backend use regardless of JAX_PLATFORMS, so CPU work
+    hangs whenever the tunnel wedges unless the plugin is removed first
+    (``unregister_remote_tpu_plugin`` in-process,
+    ``hermetic_cpu_env`` for child interpreters).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
+
+#: Name the tunneled-TPU PJRT plugin registers under, and the marker in
+#: its sitecustomize directory's basename on PYTHONPATH.
+_REMOTE_PLUGIN = "axon"
+
+
+def unregister_remote_tpu_plugin() -> None:
+    """Drop the tunneled-TPU backend factory from THIS interpreter's jax
+    registry so no later backend init dials the tunnel.
+
+    jax initializes every registered platform on first backend use even
+    when ``jax_platforms`` excludes it, and the tunnel's wedge failure
+    mode blocks that init inside a C call forever (utils/health.py).
+    Call before any jax backend is touched, then set
+    ``jax.config.update("jax_platforms", "cpu")`` — the env var may have
+    been read into the config as the plugin's name at import time.
+    ``_backend_factories`` is private jax API: acceptable because the
+    image pins jax 0.9.0 and a changed internal degrades to a no-op
+    (the default-device pin still applies).
+    """
+    try:
+        from jax._src import xla_bridge
+
+        xla_bridge._backend_factories.pop(_REMOTE_PLUGIN, None)
+    except Exception:
+        pass
+
+
+def hermetic_cpu_env(base: Optional[dict] = None) -> dict:
+    """A copy of ``base`` (default ``os.environ``) from which a FRESH
+    interpreter cannot reach the remote-TPU tunnel: the plugin's
+    sitecustomize dir is stripped from PYTHONPATH (a child re-runs
+    sitecustomize, and JAX_PLATFORMS alone does not stop an
+    already-registered plugin from initializing) and JAX_PLATFORMS is
+    pinned to cpu.  Use for every subprocess that must work while the
+    tunnel is wedged or busy (health CPU probes, CPU bench workers, the
+    CPU test suite's children)."""
+    env = dict(os.environ if base is None else base)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and _REMOTE_PLUGIN not in os.path.basename(p)
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
 
 
 def on_tpu() -> bool:

@@ -32,6 +32,8 @@ import sys
 import time
 from typing import Optional
 
+from ..device import hermetic_cpu_env
+
 # Runs in a fresh interpreter: must be self-contained and print one float
 # (the per-call wall ms of a trivial device round-trip, warm).
 _PROBE_SRC = """
@@ -66,7 +68,11 @@ def probe(deadline_s: float = 60.0, device: Optional[str] = None) -> dict:
     ~30 ms; scheduling estimates should use the large-program figure,
     e.g. ``EigenValue``'s per-instance launch measurement)."""
     t0 = time.perf_counter()
-    env = dict(os.environ)
+    # A CPU probe answers "is the HOST healthy" and must not depend on
+    # tunnel health — hermetic_cpu_env keeps the child from initializing
+    # the (possibly wedged) remote-TPU plugin, which jax would otherwise
+    # do regardless of the default-device pin.
+    env = hermetic_cpu_env() if device == "cpu" else dict(os.environ)
     if device:
         env["EVT_HEALTH_DEVICE"] = device
     try:
@@ -130,7 +136,7 @@ def _state_subprocess(
     ]
     if device == "cpu":
         cmd += ["--device", "cpu"]
-    env = dict(os.environ)
+    env = hermetic_cpu_env() if device == "cpu" else dict(os.environ)
     # The child must import this package even when the caller added it to
     # sys.path at runtime (e.g. a checkout, no install).
     env["PYTHONPATH"] = os.pathsep.join(
@@ -194,8 +200,14 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.state_only:
         if args.device == "cpu":
+            from ..device import unregister_remote_tpu_plugin
+
+            # Direct CLI use without a hermetic parent env: make this
+            # interpreter CPU-only before the first backend init.
+            unregister_remote_tpu_plugin()
             import jax
 
+            jax.config.update("jax_platforms", "cpu")
             jax.config.update("jax_default_device", jax.devices("cpu")[0])
         print(json.dumps(chip_state(dim=args.state_dim or 4096)))
         return 0

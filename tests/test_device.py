@@ -85,3 +85,45 @@ class TestMatvecBlocks:
 
         br, bc = matvec_blocks(384)  # 3 * 128
         assert bc == 384 and 384 % br == 0
+
+
+def test_hermetic_cpu_env_strips_plugin_path():
+    from eigen_value_tpu.device import hermetic_cpu_env
+
+    base = {
+        "PYTHONPATH": "/root/.axon_site:/some/lib:/opt/axon_site_x",
+        "JAX_PLATFORMS": "axon",
+        "OTHER": "kept",
+    }
+    env = hermetic_cpu_env(base)
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["OTHER"] == "kept"
+    parts = [p for p in env["PYTHONPATH"].split(":") if p]
+    # plugin sitecustomize dirs (basename contains the plugin name) gone,
+    # unrelated entries kept
+    assert "/some/lib" in parts
+    assert all("axon" not in p.rsplit("/", 1)[-1] for p in parts)
+    # input mapping untouched (it returns a copy)
+    assert base["JAX_PLATFORMS"] == "axon"
+
+
+def test_hermetic_cpu_env_defaults_to_os_environ(monkeypatch):
+    from eigen_value_tpu.device import hermetic_cpu_env
+
+    monkeypatch.setenv("PYTHONPATH", "/a/b:/x/.axon_site")
+    env = hermetic_cpu_env()
+    assert env["PYTHONPATH"] == "/a/b"
+    assert env["JAX_PLATFORMS"] == "cpu"
+
+
+def test_unregister_remote_tpu_plugin_idempotent():
+    from eigen_value_tpu.device import unregister_remote_tpu_plugin
+
+    # conftest already called it for this interpreter; calling again (and
+    # with the factory absent) must be a silent no-op.
+    unregister_remote_tpu_plugin()
+    unregister_remote_tpu_plugin()
+    from jax._src import xla_bridge
+
+    assert "axon" not in xla_bridge._backend_factories
+    assert jax.default_backend() == "cpu"
