@@ -64,3 +64,75 @@ def test_summarize_json_contract(bench):
         assert key in back
     assert back["unit"] == "ms"
     assert all(math.isfinite(v) for v in back["windows_ms"])
+
+
+def test_should_extend_stops_on_fast_window(bench):
+    # A window at/below the fast-state target ends the extension: the min
+    # already hit the target, more sampling is wasted driver time.
+    windows = [(6.5, 90.0, 36.0), (6.05, 88.0, 35.0)]
+    assert bench.should_extend(windows, elapsed_s=100.0) is False
+
+
+def test_should_extend_continues_while_slow_and_in_budget(bench):
+    windows = [(6.5, 90.0, 36.0), (6.6, 88.0, 35.0)]
+    assert bench.should_extend(windows, elapsed_s=100.0) is True
+
+
+def test_should_extend_respects_budget(bench):
+    windows = [(6.5, 90.0, 36.0)]
+    # elapsed + gap + measurement headroom would overrun the budget
+    assert (
+        bench.should_extend(windows, elapsed_s=880.0, budget_s=900.0) is False
+    )
+    assert (
+        bench.should_extend(windows, elapsed_s=10.0, budget_s=900.0) is True
+    )
+
+
+def test_should_extend_empty_windows(bench):
+    assert bench.should_extend([], elapsed_s=0.0) is False
+
+
+def test_should_extend_custom_target(bench):
+    windows = [(6.5, 90.0, 36.0)]
+    assert (
+        bench.should_extend(windows, elapsed_s=0.0, target_ms=6.5) is False
+    )
+    assert (
+        bench.should_extend(windows, elapsed_s=0.0, target_ms=6.4) is True
+    )
+
+
+@pytest.mark.slow
+def test_bench_py_end_to_end_cpu_with_extension():
+    """Run bench.py itself off-TPU (BENCH_DEVICE=cpu, 128²) with the
+    extension forced on (impossible fast target, ~12 s budget): the JSON
+    record must be valid, round parity must hold (9 @ 128²), and the
+    window list must show beyond-base sampling."""
+    import subprocess
+    import sys
+
+    from conftest import subprocess_env
+
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve().parent.parent / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=subprocess_env(
+            BENCH_DEVICE="cpu",
+            BENCH_DIM="128",
+            BENCH_WINDOWS="2",
+            BENCH_WINDOW_GAP_S="0.1",
+            BENCH_FAST_TARGET_MS="0",  # unreachable: always "slow"
+            BENCH_EXTEND_S="12",  # ~2 s of extra windows, then stop
+            BENCH_DEADLINE_S="240",
+        ),
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "parity broken" not in out.stderr
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["rounds"] == 9
+    assert rec["unit"] == "ms"
+    assert len(rec["windows_ms"]) > 2  # extension sampled past the base
+    assert rec["value"] == rec["windows_ms"][0]
