@@ -276,7 +276,29 @@ def supervise() -> int:
             out, _ = proc.communicate()
     if out:
         sys.stdout.write(out)
-    return proc.returncode if not out else 0
+        return 0
+    # No window ever completed (tunnel wedged from the start, or the worker
+    # died before measuring).  Emit an explicit diagnostic record rather
+    # than nothing, so the round's bench artifact explains itself.
+    print(json.dumps(failure_record(proc.returncode)), flush=True)
+    return proc.returncode or 1
+
+
+def failure_record(worker_rc) -> dict:
+    """The JSON record emitted when no measurement window completed."""
+    return {
+        "metric": f"hilbert_{DIM}_e2e_device",
+        "value": None,
+        "unit": "ms",
+        "vs_baseline": None,
+        "error": (
+            "no measurement window completed within "
+            f"{DEADLINE_S:.0f}s (worker rc={worker_rc}); the remote-TPU "
+            "tunnel was unresponsive — see docs/BENCH_RESULTS.md "
+            "(chip-state drift / tunnel wedge notes) and "
+            "`python -m eigen_value_tpu.utils.health`"
+        ),
+    }
 
 
 if __name__ == "__main__":

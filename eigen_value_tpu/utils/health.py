@@ -188,8 +188,10 @@ def main(argv=None) -> int:
     p.add_argument(
         "--state-dim",
         type=int,
-        default=4096,
-        help="matrix dim for the chip-state reading (0 = liveness only)",
+        default=None,
+        help="matrix dim for the chip-state reading (0 = liveness only; "
+        "default 4096 on the device, 0 for --device cpu where the "
+        "drift reading is meaningless and interpret-mode slow)",
     )
     p.add_argument("--device", choices=["cpu"], help="probe the CPU instead")
     p.add_argument(
@@ -198,6 +200,8 @@ def main(argv=None) -> int:
         help="internal worker mode: print the in-process chip_state JSON",
     )
     args = p.parse_args(argv)
+    if args.state_dim is None:
+        args.state_dim = 0 if args.device == "cpu" else 4096
     if args.state_only:
         if args.device == "cpu":
             from ..device import unregister_remote_tpu_plugin

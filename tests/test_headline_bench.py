@@ -103,6 +103,42 @@ def test_should_extend_custom_target(bench):
     )
 
 
+def test_failure_record_shape(bench):
+    rec = bench.failure_record(worker_rc=-9)
+    line = json.dumps(rec, allow_nan=False)
+    back = json.loads(line)
+    assert back["value"] is None
+    assert back["vs_baseline"] is None
+    assert back["unit"] == "ms"
+    assert "error" in back and "rc=-9" in back["error"]
+
+
+def test_bench_py_emits_diagnostic_when_no_window_completes():
+    """A deadline so short the worker dies before any window must still
+    produce one parseable JSON line explaining the failure (the driver
+    records bench stdout verbatim — an empty artifact is uninterpretable)."""
+    import subprocess
+    import sys
+
+    from conftest import subprocess_env
+
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve().parent.parent / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=subprocess_env(
+            BENCH_DEVICE="cpu",
+            BENCH_DIM="128",
+            BENCH_DEADLINE_S="0.2",  # worker is killed mid-startup
+        ),
+        timeout=120,
+    )
+    assert out.returncode != 0  # a failure record is still a failure
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["value"] is None
+    assert "error" in rec
+
+
 @pytest.mark.slow
 def test_bench_py_end_to_end_cpu_with_extension():
     """Run bench.py itself off-TPU (BENCH_DEVICE=cpu, 128²) with the
