@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .. import fixtures
 from ..config import EPS, MAX_ITR
-from ..device import auto_interpret, hermetic_cpu_env
+from ..device import auto_interpret, hermetic_cpu_env, matvec_blocks
 from ..ops.pallas import kernels
 from ..ops.solver import solve_xla, stop_check
 from ..ops.solver_matvec import solve_matvec, solve_matvec_pallas, solve_matvec_storage
@@ -431,10 +431,12 @@ def _rowsum_bias_pallas(
 def _matvec_pallas_step(n: int):
     """The production matvec's marginal-chain step — ONE definition shared
     by bench_kernels and bench_drift so their rows stay comparable (same
-    kernel, same block policy, same data-dependence threading)."""
-    pk = dict(
-        block_rows=min(512, n), block_cols=min(512, n), interpret=auto_interpret()
-    )
+    kernel, same block policy, same data-dependence threading).  The block
+    policy is the PRODUCTION one (device.matvec_blocks full-row stripes —
+    what api._resolve_blocks and the headline bench run), so drift /
+    chip-state GB/s readings are comparable to the headline record."""
+    mb = matvec_blocks(n) or (min(512, n), min(512, n))
+    pk = dict(block_rows=mb[0], block_cols=mb[1], interpret=auto_interpret())
 
     def step(i, s, _pk=pk):
         Ai, xi = s

@@ -71,8 +71,11 @@ def eigenpair(A: jax.Array, eps: float = EPS, max_itr: int = MAX_ITR):
 
     The GMRES solution is residual-VERIFIED: if restarted GMRES stagnates
     (near-singular K from a small spectral gap, or large n), the VJP falls
-    back to a direct dense solve of the bordered system rather than
-    returning an unverified gradient (see :func:`_solve_bordered`).
+    back to a direct dense solve (n ≤ 1024) or a longer matvec-only GMRES
+    (larger n — keeps `vmap`-ped backward passes affordable, since vmap
+    executes both `lax.cond` branches) rather than returning an unverified
+    gradient; a fallback that still misses its bound prints a runtime
+    warning (see :func:`_solve_bordered`).
     """
     res = solve_matvec(A, eps, max_itr)
     v = res.eigenvector / jnp.max(res.eigenvector)
@@ -84,16 +87,31 @@ def _pair_fwd(A, eps, max_itr):
     return (lam, v), (A, lam, v)
 
 
+#: Largest n for which the verified-GMRES fallback is a DENSE direct solve.
+#: Under `jax.vmap` a `lax.cond` lowers to `select_n` and BOTH branches
+#: execute for every batch element, so the fallback must stay affordable
+#: even when it isn't taken: at n ≤ this bound the (n+1)² bordered matrix
+#: is ≤ ~4 MB and the factorization cheap; above it the fallback is a
+#: longer matvec-only GMRES instead (O(n²) per iteration, no (n+1)²
+#: materialization).
+_DENSE_FALLBACK_MAX_N = 1024
+
+
 def _solve_bordered(A, lam, v, ej, rhs, tol, maxiter=10):
     """Solve Kᵀ x = rhs for the bordered adjoint system, VERIFIED.
 
     GMRES first (matvec-only, no factorization); its solution is accepted
     only if the residual actually meets the tolerance — restarted GMRES can
     stagnate on a near-singular K (small Perron spectral gap) or large n
-    and silently return garbage.  On failure, falls back to a direct dense
-    solve of the (n+1)² system (one O(n³) factorization — the bordered
-    matrix is formed explicitly only on this branch, and `lax.cond` skips
-    it entirely when GMRES verified).  Returns ``(x, rel_residual)``.
+    and silently return garbage.  On failure, falls back under `lax.cond`
+    to a direct dense solve of the (n+1)² system for
+    n ≤ ``_DENSE_FALLBACK_MAX_N`` (exact, one O(n³) factorization — skipped
+    entirely when GMRES verified, except under vmap where both branches
+    run, hence the size gate), or to a 4×-longer restarted GMRES for
+    larger n (matvec-only, so batched backward passes stay O(n²)-per-step
+    even though vmap executes the fallback unconditionally).  If even the
+    fallback misses the tolerance, a runtime warning is printed rather
+    than failing silently.  Returns ``(x, rel_residual)``.
     """
     n = A.shape[0]
 
@@ -128,8 +146,39 @@ def _solve_bordered(A, lam, v, ej, rhs, tol, maxiter=10):
         KT = KT.at[n, :n].set(-v)
         return jnp.linalg.solve(KT, rhs)
 
-    sol = lax.cond(ok, lambda _: sol, direct, None)
-    return sol, rel_resid(sol)
+    def retry_gmres(_):
+        sol2, _ = jax.scipy.sparse.linalg.gmres(
+            KT_mv,
+            rhs,
+            tol=tol,
+            atol=0.0,
+            restart=min(n + 1, 150),
+            maxiter=4 * max(maxiter, 10),
+            solve_method="batched",
+        )
+        return sol2
+
+    fallback = direct if n <= _DENSE_FALLBACK_MAX_N else retry_gmres
+    sol = lax.cond(ok, lambda _: sol, fallback, None)
+    resid = rel_resid(sol)
+    _warn_if_unconverged(resid, 30.0 * tol)
+    return sol, resid
+
+
+def _warn_if_unconverged(resid, bound):
+    """Runtime (traced) warning when even the fallback solve missed its
+    residual bound — the gradient is then best-effort, never silent."""
+    lax.cond(
+        resid > bound,
+        lambda: jax.debug.print(
+            "eigen_value_tpu: eigenpair VJP bordered solve residual {r:.3e} "
+            "exceeds its bound {b:.3e}; the returned gradient may be "
+            "inaccurate (near-defective spectrum?)",
+            r=resid,
+            b=bound,
+        ),
+        lambda: None,
+    )
 
 
 def _pair_bwd(eps, max_itr, residuals, cotangents):

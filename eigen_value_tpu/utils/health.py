@@ -136,12 +136,18 @@ def _state_subprocess(
     ]
     if device == "cpu":
         cmd += ["--device", "cpu"]
-    env = hermetic_cpu_env() if device == "cpu" else dict(os.environ)
+    env = dict(os.environ)
     # The child must import this package even when the caller added it to
     # sys.path at runtime (e.g. a checkout, no install).
     env["PYTHONPATH"] = os.pathsep.join(
         [p for p in sys.path if p] + [env.get("PYTHONPATH", "")]
     ).strip(os.pathsep)
+    if device == "cpu":
+        # AFTER the sys.path merge: sys.path contains the plugin's
+        # sitecustomize dir whenever the parent runs under the tunnel, and
+        # re-exporting it would re-register the backend the hermetic env
+        # exists to keep out of the child.
+        env = hermetic_cpu_env(env)
     try:
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=deadline_s, env=env

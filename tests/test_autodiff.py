@@ -243,3 +243,53 @@ class TestEigenpair:
         # per-matrix gradient equals the vmapped one
         g0 = jax.grad(lambda A: eigenvalue(A))(As[0])
         np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g0), rtol=1e-5)
+
+    def test_vmap_eigenpair_grad(self):
+        """Batched eigenPAIR gradients: under vmap lax.cond runs BOTH
+        fallback branches, so this pins that the batched backward pass
+        works and matches the unbatched gradient."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eigen_value_tpu.ops.autodiff import eigenpair
+
+        rng = np.random.default_rng(7)
+        As = jnp.asarray(rng.random((3, 32, 32), dtype=np.float32) + 0.1)
+
+        def loss(A):
+            lam, v = eigenpair(A)
+            return lam + jnp.sum(v**2)
+
+        g = jax.vmap(jax.grad(loss))(As)
+        assert g.shape == (3, 32, 32) and bool(jnp.isfinite(g).all())
+        g0 = jax.grad(loss)(As[0])
+        np.testing.assert_allclose(
+            np.asarray(g[0]), np.asarray(g0), rtol=1e-4, atol=1e-5
+        )
+
+    def test_large_n_fallback_is_matvec_only(self, monkeypatch):
+        """Above _DENSE_FALLBACK_MAX_N the fallback must be the longer
+        GMRES (vmap-affordable), and it must still rescue a forced GMRES
+        failure.  Exercised by shrinking the gate rather than paying a
+        real n>1024 dense solve in CI."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eigen_value_tpu.ops import autodiff
+
+        monkeypatch.setattr(autodiff, "_DENSE_FALLBACK_MAX_N", 4)
+        rng = np.random.default_rng(11)
+        A = jnp.asarray(rng.random((64, 64), dtype=np.float32) + 0.1)
+        lam, v = autodiff.eigenpair(A)
+        ej = jax.nn.one_hot(jnp.argmax(v), 64, dtype=A.dtype)
+        rhs = jnp.asarray(rng.standard_normal(65), jnp.float32)
+        sol, resid = autodiff._solve_bordered(
+            A, lam, v, ej, rhs, tol=1e-4, maxiter=0
+        )
+        assert float(resid) < 3e-3  # the GMRES retry converged
+        # and the batched backward pass still works through the retry path
+        As = jnp.asarray(rng.random((2, 32, 32), dtype=np.float32) + 0.1)
+        g = jax.vmap(jax.grad(lambda A: autodiff.eigenpair(A)[0]))(As)
+        assert bool(jnp.isfinite(g).all())

@@ -103,6 +103,53 @@ def test_should_extend_custom_target(bench):
     )
 
 
+def test_physical_floor(bench):
+    # 18 passes × 8192² × 4 B at 819·1.2 GB/s ≈ 4.9 ms (8192 is the
+    # module default DIM in the test env unless BENCH_DIM overrides)
+    f = bench.physical_floor_ms(17, 819.0, dim=8192)
+    assert 4.5 < f < 5.3
+    # NaN / unknown peak disables the guard
+    assert bench.physical_floor_ms(17, float("nan"), dim=8192) == 0.0
+    assert bench.physical_floor_ms(17, None, dim=8192) == 0.0
+
+
+def test_summarize_excludes_suspect_windows(bench):
+    # A transport artifact (5.0 ms < 5.2 ms floor) must not become the
+    # record: min/median/walls come from the clean pool only.
+    windows = [(6.7, 90.0, 36.0), (5.0, 70.0, 40.0), (6.4, 88.0, 35.0)]
+    rec = bench.summarize(windows, rounds=17, backend="matvec_pallas", floor_ms=5.2)
+    assert rec["value"] == 6.4
+    assert rec["windows_ms"] == [6.4, 6.7]
+    assert rec["suspect_windows_ms"] == [5.0]
+    assert rec["floor_ms"] == 5.2
+    assert "suspect" not in rec
+
+
+def test_summarize_all_suspect_flags_record(bench):
+    rec = bench.summarize(
+        [(4.0, 70.0, 40.0), (4.5, 72.0, 41.0)],
+        rounds=17,
+        backend="matvec_pallas",
+        floor_ms=5.2,
+    )
+    assert rec["suspect"] is True
+    assert rec["value"] == 4.0  # still reported, but flagged
+
+
+def test_should_extend_ignores_suspect_fast_window(bench):
+    # A sub-floor "fast" artifact must not stop the hunt for a REAL fast
+    # window.
+    windows = [(6.5, 90.0, 36.0), (5.0, 70.0, 40.0)]
+    assert (
+        bench.should_extend(windows, elapsed_s=100.0, floor_ms=5.2) is True
+    )
+    # ...but a real fast window still stops it.
+    windows.append((6.05, 88.0, 35.0))
+    assert (
+        bench.should_extend(windows, elapsed_s=100.0, floor_ms=5.2) is False
+    )
+
+
 def test_failure_record_shape(bench):
     rec = bench.failure_record(worker_rc=-9)
     line = json.dumps(rec, allow_nan=False)
