@@ -92,6 +92,13 @@ def _solve_fn(
     """Build the solve callable for ``backend``; ``n`` (when known) adapts
     the Pallas tile shape to the dim so every 128-aligned dim works;
     ``device`` (when pinned) decides the Pallas interpret default."""
+    if config.storage_dtype is not None and backend in ("xla", "pallas"):
+        raise ValueError(
+            f"storage_dtype={config.storage_dtype} requires a matvec-family "
+            f"backend (the reduced-precision storage contract lives in "
+            f"solver_matvec.py); got backend={backend!r}. Use backend='auto' "
+            f"or 'matvec'/'matvec_pallas'."
+        )
     block_rows, block_cols = _resolve_blocks(config, n, backend)
     if backend == "pallas":
         from .ops.solver_pallas import solve_pallas
@@ -200,7 +207,16 @@ def max_eigenvalue_batch(
     parallel/batched.py for the masked-loop semantics)."""
     from .parallel.batched import solve_batched
 
-    mats = jnp.asarray(mats, config.dtype)
+    mats = jnp.asarray(mats)
+    # honor storage_dtype exactly like the single-chip and mesh paths: a
+    # batch already in storage_dtype is solved as-is — materializing a
+    # transient f32 copy would double memory at exactly the scale the
+    # reduced-precision mode exists for
+    if not (
+        config.storage_dtype is not None
+        and mats.dtype == jnp.dtype(config.storage_dtype)
+    ):
+        mats = mats.astype(config.dtype)
     return solve_batched(
         mats, config.eps, config.max_itr, storage_dtype=config.storage_dtype
     )

@@ -178,6 +178,9 @@ def solve_checkpointed(
     solves, at the price of invalidating the caller's array.  The default
     keeps the caller's A alive (this convenience driver is also used at
     small dims where the copy is free)."""
+    if chunk_rounds < 1:
+        # a 0-round step would be a no-op and spin this driver loop forever
+        raise ValueError(f"chunk_rounds must be >= 1, got {chunk_rounds}")
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         state, saved_eps = load_state(checkpoint_path, with_eps=True)
         _check_same_matrix(state.A, A, checkpoint_path)

@@ -106,7 +106,12 @@ def resolve_interpret(
 def pick_block(n: int, preferred: int) -> Optional[int]:
     """Largest hardware-aligned tile size ≤ ``preferred`` dividing ``n``,
     or None if n is not 128-aligned (f32 lane width — see pallas_guide
-    tiling constraints)."""
+    tiling constraints).  The alignment gate is on ``n`` itself: a
+    ``preferred`` that happens to divide an unaligned n (e.g. 64 | 192)
+    must still return None so callers fall back to the jnp path instead
+    of handing Mosaic an unliftable lane dimension."""
+    if n % 128 != 0:
+        return None
     for b in (preferred, 1024, 512, 256, 128):
         if b <= preferred and n % b == 0:
             return b

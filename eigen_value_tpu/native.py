@@ -26,10 +26,16 @@ _SO_PATH = _NATIVE_DIR / "libeigen_native.so"
 
 
 def build(force: bool = False) -> Path:
-    """Build libeigen_native.so if missing. Returns its path."""
-    if _SO_PATH.exists() and not force:
-        return _SO_PATH
+    """Build libeigen_native.so if missing or older than its source.
+    Returns its path."""
     src = _NATIVE_DIR / "eigen_native.cpp"
+    if (
+        _SO_PATH.exists()
+        and not force
+        and (not src.exists() or _SO_PATH.stat().st_mtime >= src.stat().st_mtime)
+    ):
+        # up to date (or source-less install: trust the shipped binary)
+        return _SO_PATH
     if not src.exists():
         raise FileNotFoundError(f"native source not found: {src}")
     subprocess.run(

@@ -14,6 +14,7 @@ all; it falls out of the TPU-first functional design.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 
 import jax
@@ -166,19 +167,24 @@ def _solve_bordered(A, lam, v, ej, rhs, tol, maxiter=10):
 
 
 def _warn_if_unconverged(resid, bound):
-    """Runtime (traced) warning when even the fallback solve missed its
-    residual bound — the gradient is then best-effort, never silent."""
-    lax.cond(
-        resid > bound,
-        lambda: jax.debug.print(
-            "eigen_value_tpu: eigenpair VJP bordered solve residual {r:.3e} "
-            "exceeds its bound {b:.3e}; the returned gradient may be "
-            "inaccurate (near-defective spectrum?)",
-            r=resid,
-            b=bound,
-        ),
-        lambda: None,
-    )
+    """Runtime warning when even the fallback solve missed its residual
+    bound — the gradient is then best-effort, never silent.  The
+    comparison happens HOST-side inside a debug callback: a traced
+    `lax.cond` around `debug.print` would execute the print for every
+    batch element under vmap (both cond branches run), spamming spurious
+    warnings on perfectly converged batched solves."""
+
+    def _cb(r, b):
+        if r > b:
+            print(
+                f"eigen_value_tpu: eigenpair VJP bordered solve residual "
+                f"{float(r):.3e} exceeds its bound {float(b):.3e}; the "
+                f"returned gradient may be inaccurate (near-defective "
+                f"spectrum?)",
+                file=sys.stderr,
+            )
+
+    jax.debug.callback(_cb, resid, bound)
 
 
 def _pair_bwd(eps, max_itr, residuals, cotangents):

@@ -144,8 +144,10 @@ def stop(
     eps_arr = jnp.asarray(eps, v.dtype).reshape(1, 1)
     L = lanes if n % lanes == 0 and n >= lanes else n
     rows = n // L
-    R = min(block_rows, rows)
-    assert rows % R == 0, (n, L, R)
+    # Largest block-row count ≤ block_rows that divides rows (rows need
+    # not be a power of two — e.g. n = 1024·768 gives rows = 768, where
+    # min(block_rows, rows) = 512 is not a divisor; shrink to 256).
+    R = next(b for b in range(min(block_rows, rows), 0, -1) if rows % b == 0)
     g = rows // R
     v2 = v.reshape(rows, L)
     # bnd[i] = first element of block i+1 (wrapping): v[((i+1)·R·L) % n]

@@ -58,12 +58,14 @@ def solve_batched_sharded(
 ) -> SolveResult:
     """Batched solve with the batch axis sharded across ``mesh`` (DP-like).
 
-    Each device runs the masked vmapped loop on its local slice; there is no
-    cross-device communication at all (solves are independent), so scaling
-    is embarrassingly parallel — but convergence stragglers only gate their
-    own device's slice, not the whole mesh, because the while-loop predicate
-    is per-shard under shard_map-of-vmap semantics (GSPMD partitions the
-    batched loop by batch).
+    Each device runs the masked vmapped loop on its local slice; the solves
+    are independent, so the per-round compute is embarrassingly parallel.
+    One caveat on stragglers: under jit+GSPMD the batched while-loop's
+    predicate is a GLOBAL any-not-converged reduce, so every device iterates
+    until the slowest matrix anywhere converges (finished matrices are
+    frozen by the mask, costing bandwidth but not correctness).  Wall time
+    therefore scales with max-rounds over the whole batch, not per-shard
+    max — plan capacity accordingly.
     """
     B = As.shape[0]
     n_shards = mesh.shape[axis_name]

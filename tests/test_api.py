@@ -129,21 +129,43 @@ def test_resolve_backend_honors_pinned_device_platform():
     assert resolve_backend(cfg, 256, device=cpu) == "matvec"
 
 
-def test_storage_dtype_with_non_storage_backend_still_casts():
-    """bf16 input + storage_dtype but an iterated backend (which ignores
-    storage_dtype) must cast to the compute dtype — an all-bf16 iteration
-    cannot represent the 1e-3 stop tolerance and never converges."""
+def test_storage_dtype_with_non_storage_backend_raises():
+    """storage_dtype + an iterated backend (xla/pallas) is a contradictory
+    config: those solvers mutate A and cannot honor the reduced-precision
+    storage contract (an all-bf16 iteration can't represent the 1e-3 stop
+    tolerance).  Silently running full-f32 misled memory budgeting — the
+    API now refuses instead."""
     import jax.numpy as jnp
+    import pytest
 
     from eigen_value_tpu import fixtures, max_eigenvalue
 
     Hq = fixtures.hilbert_matrix(128, dtype=jnp.bfloat16)
-    res = max_eigenvalue(
-        Hq, SolverConfig(backend="xla", storage_dtype=jnp.bfloat16)
-    )
+    with pytest.raises(ValueError, match="matvec-family"):
+        max_eigenvalue(Hq, SolverConfig(backend="xla", storage_dtype=jnp.bfloat16))
+    # the default auto backend resolves to a matvec family and honors it
+    res = max_eigenvalue(Hq, SolverConfig(storage_dtype=jnp.bfloat16))
     assert bool(res.converged)
     assert res.eigenvalue.dtype == jnp.float32
     assert int(res.rounds) <= fixtures.HILBERT_ROUNDS[128] + 1
+
+
+def test_max_eigenvalue_batch_prequantized_no_f32_copy():
+    """A batch already in storage_dtype must be solved as-is (the f32
+    round-trip would double memory at exactly the scale the fast mode
+    exists for)."""
+    import jax.numpy as jnp
+
+    from eigen_value_tpu import fixtures, max_eigenvalue_batch
+
+    Hq = fixtures.hilbert_matrix(128, dtype=jnp.bfloat16)
+    mats = jnp.stack([Hq, Hq * jnp.bfloat16(2.0)])
+    res = max_eigenvalue_batch(mats, SolverConfig(storage_dtype=jnp.bfloat16))
+    assert res.eigenvalue.shape == (2,)
+    assert bool(jnp.all(res.converged))
+    # λ(2A) = 2λ(A): the scaled copy really was solved independently
+    ratio = float(res.eigenvalue[1] / res.eigenvalue[0])
+    assert abs(ratio - 2.0) < 0.05
 
 
 def test_float64_without_x64_raises():

@@ -268,6 +268,24 @@ class TestEigenpair:
             np.asarray(g[0]), np.asarray(g0), rtol=1e-4, atol=1e-5
         )
 
+    def test_no_spurious_warning_on_converged_vmap(self, capfd):
+        """The unconverged-residual warning must not fire for converged
+        batched solves (a traced cond around debug.print would print for
+        every element under vmap — both branches run)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eigen_value_tpu.ops.autodiff import eigenpair
+
+        rng = np.random.default_rng(3)
+        As = jnp.asarray(rng.random((3, 16, 16), dtype=np.float32) + 0.1)
+        g = jax.vmap(jax.grad(lambda A: eigenpair(A)[0]))(As)
+        jax.effects_barrier()
+        assert bool(jnp.isfinite(g).all())
+        captured = capfd.readouterr()
+        assert "exceeds its bound" not in captured.err
+
     def test_large_n_fallback_is_matvec_only(self, monkeypatch):
         """Above _DENSE_FALLBACK_MAX_N the fallback must be the longer
         GMRES (vmap-affordable), and it must still rescue a forced GMRES

@@ -125,6 +125,12 @@ def test_init_state_donation():
             _ = np.asarray(H)
 
 
+def test_chunk_rounds_zero_raises(hilbert):
+    # a 0-round step is a no-op; the driver loop would spin forever
+    with pytest.raises(ValueError, match="chunk_rounds"):
+        checkpoint.solve_checkpointed(hilbert, chunk_rounds=0)
+
+
 def test_max_itr_cap(hilbert):
     res = checkpoint.to_result(
         checkpoint.step(init_keep(hilbert), 1000, max_itr=3)

@@ -17,6 +17,10 @@ def test_pick_block_table():
     assert pick_block(1024, 1024) == 1024
     assert pick_block(130, 512) is None
     assert pick_block(3, 256) is None
+    # n must itself be 128-aligned: a preferred that divides an unaligned
+    # n (64 | 192) must NOT produce a Pallas tile (Mosaic lane constraint)
+    assert pick_block(192, 64) is None
+    assert pick_block(8192, 64) == 64
 
 
 def test_on_tpu_respects_default_device_pin():

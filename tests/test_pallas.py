@@ -77,6 +77,23 @@ class TestStopKernel:
         got = kernels.stop(jnp.asarray(v), 1e-3, lanes=256, block_rows=8, interpret=True)
         assert not bool(got)
 
+    def test_rows_not_divisible_by_block_rows(self):
+        # rows = n/lanes = 12 is not divisible by block_rows=8; the kernel
+        # must shrink the block to a divisor (6) instead of asserting
+        from eigen_value_tpu.ops.solver import stop_check
+
+        v = fixtures.stop_fail_vector(12 * 256)
+        got = kernels.stop(v, 1e-3, lanes=256, block_rows=8, interpret=True)
+        assert bool(got) == bool(stop_check(v, 1e-3))
+        ok = kernels.stop(
+            fixtures.stop_success_vector(12 * 256),
+            1e-3,
+            lanes=256,
+            block_rows=8,
+            interpret=True,
+        )
+        assert bool(ok)
+
     def test_fuzz_matches_stop_check(self, rng):
         from eigen_value_tpu.ops.solver import stop_check
 
