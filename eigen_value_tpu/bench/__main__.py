@@ -21,12 +21,10 @@ def _fmt_e2e(rows) -> str:
             backend = r["backend"]
             out.append(f"\nSimilarity Transform (backend: {backend})\n")
         parity = "" if r["rounds_ok"] else "   [PARITY BREAK]"
-        dev = r["device_ms_est"]
-        dev_s = f"{dev:.3f} ms" if dev is not None else "below transport noise"
         out.append(
             f"{r['dim']:<5} x {r['dim']:>5}\t\t{r['ms']:>10.3f} ms"
             f"\t\t{r['rounds']:>6} round(s)"
-            f"\t\t(device est {dev_s}){parity}"
+            f"\t\t(device {r['device_ms']:.3f} ms, chained){parity}"
         )
     return "\n".join(out)
 
@@ -163,7 +161,7 @@ def main(argv=None) -> int:
                 print(
                     f"[{r['solver']}] {r['dim']} x {r['dim']} on "
                     f"{r['shards']} shard(s): "
-                    f"{r['device_ms_est']:.2f} ms dev, {r['rounds']} round(s), "
+                    f"{r['device_ms']:.2f} ms dev, {r['rounds']} round(s), "
                     f"{r['elems_per_s_per_chip']:.2e} elems/s/chip, "
                     f"eff {r['scaling_efficiency'] * 100:.0f}%"
                 )

@@ -52,6 +52,13 @@ def main() -> int:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={args.local_devices}"
         ).strip()
+    # Standalone hermeticity: when invoked directly (not via the suite's
+    # hermetic_cpu_env) a registered remote-TPU plugin would still be
+    # initialized on first backend use regardless of JAX_PLATFORMS — drop
+    # its factory so a wedged tunnel can never hang a CPU/gloo worker.
+    from eigen_value_tpu.device import unregister_remote_tpu_plugin
+
+    unregister_remote_tpu_plugin()
 
     import jax
     import jax.numpy as jnp

@@ -31,7 +31,6 @@ from ..ops.solver_matvec import solve_matvec, solve_matvec_pallas, solve_matvec_
 from ..ops.solver_pallas import solve_pallas
 from ..utils.timing import (
     detect_peak_hbm_gbps,
-    force,
     roofline_pct,
     time_call,
     time_marginal,
@@ -43,23 +42,56 @@ VECTOR_SIZES = [1 << p for p in range(16, 26, 3)]  # 2^16..2^25 (main.cpp:78)
 # Pallas backends resolve interpret mode per-device at call time so the
 # CLI's --device cpu (and any non-TPU host) runs the full ladder.
 E2E_BACKENDS: Dict[str, Callable] = {
-    "xla": lambda A: solve_xla(A, EPS, MAX_ITR),
-    "pallas_fused": lambda A: solve_pallas(
-        A, EPS, MAX_ITR, min(512, A.shape[0]), min(1024, A.shape[0]), None
+    "xla": lambda A, ev0=None: solve_xla(A, EPS, MAX_ITR, ev0=ev0),
+    "pallas_fused": lambda A, ev0=None: solve_pallas(
+        A, EPS, MAX_ITR, min(512, A.shape[0]), min(1024, A.shape[0]), None, ev0=ev0
     ),
-    "matvec": lambda A: solve_matvec(A, EPS, MAX_ITR),
-    "matvec_pallas": lambda A: solve_matvec_pallas(
-        A, EPS, MAX_ITR, 512, 512, auto_interpret()
+    "matvec": lambda A, ev0=None: solve_matvec(A, EPS, MAX_ITR, ev0=ev0),
+    "matvec_pallas": lambda A, ev0=None: solve_matvec_pallas(
+        A, EPS, MAX_ITR, 512, 512, auto_interpret(), ev0=ev0
     ),
-    "matvec_bf16": lambda A: solve_matvec_storage(A, EPS, MAX_ITR),
+    "matvec_bf16": lambda A, ev0=None: solve_matvec_storage(A, EPS, MAX_ITR, ev0=ev0),
 }
 
 
 def measure_rtt_ms() -> float:
-    """Per-executable launch+fetch latency: the fixed cost every timed call
-    pays; subtracted to estimate pure device time of e2e solves."""
+    """TINY-executable launch+fetch latency — a transport liveness floor
+    for diagnostics only.  NOT a correction term: launch cost scales with
+    program/payload size (a tiny op round-trips in ~0.1-0.3 ms on the
+    tunnel while an 8192² solve launch pays ~30 ms), so wall-minus-this
+    over-reports device time ~5×.  All device times in this suite use
+    chained/marginal differencing instead (time_marginal)."""
     f = jax.jit(lambda x: x + 1.0)
     return time_call(lambda: f(jnp.float32(1.0)), reps=10)
+
+
+def _e2e_chain_step(fn):
+    """Chain step for marginal e2e timing: solve k+1 depends on solve k
+    through the ev0 start vector (1 + λ·1e-38 is exactly 1.0f at runtime —
+    the iteration is also scale-invariant in ev — but the data dependence
+    defeats hoisting/CSE of the chained solves).  A travels in the chain
+    STATE so it is a jit argument, never a closure capture (a captured
+    8192² matrix would be serialized into the remote-compile payload)."""
+
+    def step(i, state):
+        A, acc = state
+        s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+        ev0 = jnp.ones((A.shape[0],), jnp.float32) * s
+        return (A, fn(A, ev0).eigenvalue.astype(jnp.float32))
+
+    return step
+
+
+def _e2e_chain_len(n: int) -> int:
+    """Longer chains at smaller dims so per-launch jitter (±1.5 ms on the
+    tunnel) divided by k stays well under the per-solve device time."""
+    if n <= 256:
+        return 32
+    if n <= 1024:
+        return 16
+    if n <= 2048:
+        return 8
+    return 4
 
 
 def bench_e2e(
@@ -68,8 +100,13 @@ def bench_e2e(
     reps: int = 5,
 ) -> List[dict]:
     """End-to-end Hilbert solves (reference benchmark_similarity_transform,
-    benchmarks/...cpp:3-22; table format of README.md:70-76)."""
-    rtt = measure_rtt_ms()
+    benchmarks/...cpp:3-22; table format of README.md:70-76).
+
+    ``device_ms`` is measured by CHAINED differencing (time_marginal over
+    a k-solve data-dependent chain) — the per-executable launch latency
+    of the remote transport cancels, per the repo measurement rules.  The
+    raw single-call wall (``ms``, launch latency included) is kept for
+    transparency."""
     rows = []
     for name in backends or list(E2E_BACKENDS):
         fn = E2E_BACKENDS[name]
@@ -78,25 +115,23 @@ def bench_e2e(
             res = fn(A)  # compile + warm
             rounds = int(res.rounds)
             ms = time_call(lambda: fn(A), reps=reps)
-            # transport jitter is ~±1.5 ms: an estimate below that is
-            # indistinguishable from zero — report None (JSON null, RFC-
-            # safe) instead of a fake number; bench.py's chained
-            # differencing is the reliable method for sub-jitter times
-            below_noise = ms - rtt <= 1.5
-            dev_ms = None if below_noise else ms - rtt
+            dev_ms = time_marginal(
+                _e2e_chain_step(fn),
+                (A, jnp.float32(0.0)),
+                k=_e2e_chain_len(n),
+                reps=reps,
+            )
             rows.append(
                 {
                     "bench": "e2e",
                     "backend": name,
                     "dim": n,
                     "ms": ms,
-                    "device_ms_est": dev_ms,
-                    "ms_per_round": None if below_noise else dev_ms / max(rounds, 1),
+                    "device_ms": dev_ms,
+                    "ms_per_round": dev_ms / max(rounds, 1),
                     # north-star metric: elements touched per second per chip
                     # (matvec form touches n² once per round)
-                    "elems_per_s": (
-                        None if below_noise else rounds * n * n / (dev_ms * 1e-3)
-                    ),
+                    "elems_per_s": rounds * n * n / max(dev_ms * 1e-3, 1e-9),
                     "rounds": rounds,
                     "eigenvalue": float(res.eigenvalue),
                     "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),
@@ -151,11 +186,12 @@ def bench_sharded(
     reps: int = 5,
 ) -> List[dict]:
     """Row-sharded strong-scaling sweep: same dim solved on meshes of
-    increasing size; reports elems/s and scaling efficiency vs the 1-shard
-    baseline (north-star: ≥80% weak-scaling at ≥2 hosts — this is the
-    single-host/strong-scaling analog runnable on any device set)."""
+    increasing size; reports elems/s and scaling efficiency vs the first
+    measured shard count (1 with the default counts; north-star: ≥80%
+    weak-scaling at ≥2 hosts — this is the single-host/strong-scaling
+    analog runnable on any device set)."""
     import numpy as np
-    from jax.sharding import Mesh
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from ..config import DEFAULT_CONFIG
     from ..parallel.sharded import solve_sharded_matvec, solve_sharded_matvec_ring
@@ -163,7 +199,6 @@ def bench_sharded(
     d = jax.config.jax_default_device
     devs = jax.devices(d.platform) if d is not None else jax.devices()
     counts = shard_counts or [p for p in (1, 2, 4, 8) if p <= len(devs)]
-    rtt = measure_rtt_ms()
     A = fixtures.hilbert_matrix(dim)
     rows = []
     for solver_name, solver in (
@@ -177,10 +212,27 @@ def bench_sharded(
             res = fn()
             rounds = int(res.rounds)
             ms = time_call(fn, reps=reps)
-            dev_ms = max(ms - rtt, 1e-6)
-            eps_chip = rounds * dim * dim / (dev_ms * 1e-3) / p
+
+            # chained differencing (launch latency cancels): solve k+1
+            # depends on solve k through ev0_scale = 1 + λ·1e-38, exactly
+            # 1.0f at runtime; A rides the chain state as a jit argument.
+            def step(i, state, _solver=solver, _mesh=mesh):
+                A_, acc = state
+                scale = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+                r = _solver(A_, _mesh, config=DEFAULT_CONFIG, ev0_scale=scale)
+                return (A_, r.eigenvalue.astype(jnp.float32))
+
+            A_sh = jax.device_put(A, NamedSharding(mesh, P("rows", None)))
+            dev_ms = time_marginal(
+                step, (A_sh, jnp.float32(0.0)), k=4, reps=reps
+            )
+            eps_chip = rounds * dim * dim / max(dev_ms * 1e-3, 1e-9) / p
             if base_eps is None:
-                base_eps = eps_chip  # per-chip throughput at 1 shard
+                # baseline = FIRST measured shard count (1 with the default
+                # counts; when a caller passes counts without 1, efficiency
+                # is relative to the smallest measured mesh, and the
+                # "shards" column says which)
+                base_eps = eps_chip
             rows.append(
                 {
                     "bench": "sharded",
@@ -188,7 +240,7 @@ def bench_sharded(
                     "dim": dim,
                     "shards": p,
                     "ms": ms,
-                    "device_ms_est": dev_ms,
+                    "device_ms": dev_ms,
                     "rounds": rounds,
                     "elems_per_s_per_chip": eps_chip,
                     # ideal scaling keeps per-chip throughput flat
@@ -198,20 +250,19 @@ def bench_sharded(
     return rows
 
 
-def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
-    """Multi-process scaling report (BASELINE north star: elems/s at 1 host
-    and N≥2 hosts).  Spawns the same total device count as 1 process × 8
-    devices and as 2 processes × 4 devices (a simulated 2-host slice with
-    a real jax.distributed process group + gloo cross-process collectives);
-    efficiency = multi-process throughput / single-process throughput,
-    isolating the cross-"host" exchange overhead of the per-round gather.
-
-    NOTE: on the CPU harness the cross-process collective backend is gloo
-    over loopback (~ms per round) — the efficiency column here validates
-    the multi-host FLOW and exposes the exchange count; it does not model
-    TPU DCN latency (~10 µs/hop), where the same exchange is invisible
-    next to the O(n²/P) per-round compute.
-    """
+def _run_mh_workers(
+    num_processes: int,
+    local_devices: int,
+    dim: int,
+    reps: int,
+    extra_args: List[str] | None = None,
+    timeout_s: float = 600.0,
+) -> List[dict]:
+    """Spawn ``num_processes`` hermetic CPU/gloo mh_worker processes and
+    return each worker's JSON record.  One definition for the multihost
+    and calibration suites so the env dance and the gloo-interleaving-
+    tolerant parser (gloo writes its own diagnostics to stdout) cannot
+    diverge between them."""
     import json as _json
     import os
     import socket
@@ -232,53 +283,74 @@ def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
     env["PYTHONPATH"] = os.pathsep.join(
         filter(None, [repo_parent, env.get("PYTHONPATH")])
     )
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "eigen_value_tpu.bench.mh_worker",
+                *(extra_args or []),
+                "--process-id",
+                str(pid),
+                "--num-processes",
+                str(num_processes),
+                "--coordinator",
+                f"127.0.0.1:{port}",
+                "--dim",
+                str(dim),
+                "--local-devices",
+                str(local_devices),
+                "--reps",
+                str(reps),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in range(num_processes)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout_s)
+            if p.returncode != 0:
+                raise RuntimeError(f"mh_worker failed:\n{err[-2000:]}")
+            json_lines = [
+                l for l in out.strip().splitlines() if l.startswith("{")
+            ]
+            if not json_lines:
+                raise RuntimeError(
+                    f"mh_worker produced no JSON line:\n{out[-2000:]}"
+                )
+            outs.append(_json.loads(json_lines[-1]))
+    finally:
+        # a failed/timed-out worker must not leave siblings blocked
+        # forever in jax.distributed.initialize
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return outs
 
-    def run(num_processes: int, local_devices: int) -> List[dict]:
-        port = _free_port()
-        procs = [
-            subprocess.Popen(
-                [
-                    sys.executable,
-                    "-m",
-                    "eigen_value_tpu.bench.mh_worker",
-                    "--process-id",
-                    str(pid),
-                    "--num-processes",
-                    str(num_processes),
-                    "--coordinator",
-                    f"127.0.0.1:{port}",
-                    "--dim",
-                    str(dim),
-                    "--local-devices",
-                    str(local_devices),
-                    "--reps",
-                    str(reps),
-                ],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
-                env=env,
-            )
-            for pid in range(num_processes)
-        ]
-        outs = []
-        try:
-            for p in procs:
-                out, err = p.communicate(timeout=600)
-                if p.returncode != 0:
-                    raise RuntimeError(f"mh_worker failed:\n{err[-2000:]}")
-                outs.append(_json.loads(out.strip().splitlines()[-1]))
-        finally:
-            # a failed/timed-out worker must not leave siblings blocked
-            # forever in jax.distributed.initialize
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
-                    p.wait()
-        return outs
 
-    single = run(1, 8)[0]
-    multi = run(2, 4)[0]
+def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
+    """Multi-process scaling report (BASELINE north star: elems/s at 1 host
+    and N≥2 hosts).  Spawns the same total device count as 1 process × 8
+    devices and as 2 processes × 4 devices (a simulated 2-host slice with
+    a real jax.distributed process group + gloo cross-process collectives);
+    efficiency = multi-process throughput / single-process throughput,
+    isolating the cross-"host" exchange overhead of the per-round gather.
+
+    NOTE: on the CPU harness the cross-process collective backend is gloo
+    over loopback (~ms per round) — the efficiency column here validates
+    the multi-host FLOW and exposes the exchange count; it does not model
+    TPU DCN latency (~10 µs/hop), where the same exchange is invisible
+    next to the O(n²/P) per-round compute.
+    """
+    single = _run_mh_workers(1, 8, dim, reps)[0]
+    multi = _run_mh_workers(2, 4, dim, reps)[0]
     rows = []
     for r in (single, multi):
         rows.append(
@@ -309,73 +381,9 @@ def bench_exchange_calibration(dim: int = 8192, reps: int = 5) -> List[dict]:
     nameplate numbers is credible.  Rows include measured-vs-refitted
     deltas per dim (a self-consistency bound on the model's error for
     this transport)."""
-    import json as _json
-    import os
-    import socket
-    import subprocess
-    import sys
-
     from ..utils.scaling_model import calibration_rows
 
-    def _free_port() -> int:
-        with socket.socket() as s:
-            s.bind(("127.0.0.1", 0))
-            return s.getsockname()[1]
-
-    # Workers are CPU/gloo processes: hermetic_cpu_env keeps them from
-    # initializing the remote-TPU plugin (which would serialize them
-    # against the tunnel, or hang them outright if it is wedged).
-    env = hermetic_cpu_env()
-    env.pop("XLA_FLAGS", None)
-    repo_parent = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    env["PYTHONPATH"] = os.pathsep.join(
-        filter(None, [repo_parent, env.get("PYTHONPATH")])
-    )
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                "-m",
-                "eigen_value_tpu.bench.mh_worker",
-                "--measure-exchange",
-                "--process-id",
-                str(pid),
-                "--num-processes",
-                "2",
-                "--coordinator",
-                f"127.0.0.1:{port}",
-                "--dim",
-                str(dim),
-                "--local-devices",
-                "4",
-                "--reps",
-                str(reps),
-            ],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-            env=env,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=600)
-            if p.returncode != 0:
-                raise RuntimeError(f"mh_worker failed:\n{err[-2000:]}")
-            # gloo may interleave its own stdout lines around the JSON
-            json_lines = [
-                l for l in out.strip().splitlines() if l.startswith("{")
-            ]
-            outs.append(_json.loads(json_lines[-1]))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-                p.wait()
-
+    outs = _run_mh_workers(2, 4, dim, reps, extra_args=["--measure-exchange"])
     shards = outs[0]["shards"]
     # per-dim max over processes: a gather is done when the SLOWEST rank is
     measured = {}
@@ -399,6 +407,7 @@ def _rowsum_bias_pallas(
 
     n, m = A.shape
     br, bc = min(block_rows, n), min(block_cols, m)
+    assert n % br == 0 and m % bc == 0, (n, m, br, bc)
 
     def kernel(bias_ref, a_ref, out_ref):
         part = jnp.sum(a_ref[...] + bias_ref[0, 0], axis=1, keepdims=True)

@@ -75,6 +75,20 @@ class SolverConfig:
             raise ValueError("max_itr must be >= 0")
         if self.eps <= 0:
             raise ValueError("eps must be > 0")
+        # Mosaic tiling constraints (pallas_guide): lane (last) dim blocks
+        # must be multiples of 128, sublane (row) blocks multiples of 8.
+        # Validate here so a bad explicit tile fails fast with a clear
+        # message instead of a Mosaic lowering error at solve time.
+        if self.block_cols is not None and self.block_cols % 128 != 0:
+            raise ValueError(
+                f"block_cols must be a multiple of 128 (f32 lane width), "
+                f"got {self.block_cols}"
+            )
+        if self.block_rows is not None and self.block_rows % 8 != 0:
+            raise ValueError(
+                f"block_rows must be a multiple of 8 (f32 sublane width), "
+                f"got {self.block_rows}"
+            )
         if jnp.dtype(self.dtype) == jnp.dtype("float64"):
             import jax
 

@@ -103,6 +103,7 @@ def solve_loop(
     scale_rowsum: ScaleRowsumFn,
     eps: float,
     max_itr: int,
+    ev0: jax.Array | None = None,
 ) -> SolveResult:
     """Run the convergence loop with pluggable O(n²) passes (traced; jit me).
 
@@ -114,11 +115,18 @@ def solve_loop(
     converging round's ev update runs after the loop; on cap-exhaustion
     the reported λ is the last CHECKED round's v[0] (the ``lam`` carry).
     The v-sequence is bit-identical to the round-1 structure.
+
+    ``ev0`` overrides the all-ones start vector (the iteration is
+    scale-invariant in ev — the accumulated products cancel in the
+    normalized eigenvector; λ and round counts are read from v, which
+    ev never feeds).  Used by bench chains to thread inter-solve data
+    dependence at O(n) cost.
     """
     n = A.shape[0]
     dtype = A.dtype
     v0 = rowsum(A)
-    ev0 = jnp.ones((n,), dtype)  # initialise_eigen_vector, cpp:267-284
+    if ev0 is None:
+        ev0 = jnp.ones((n,), dtype)  # initialise_eigen_vector, cpp:267-284
 
     def cond(c: _Carry) -> jax.Array:
         return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps))
@@ -140,8 +148,15 @@ def solve_loop(
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr"))
-def solve_xla(A: jax.Array, eps: float, max_itr: int) -> SolveResult:
+def solve_xla(
+    A: jax.Array, eps: float, max_itr: int, ev0: jax.Array | None = None
+) -> SolveResult:
     """Pure-XLA solver (no Pallas): the minimum end-to-end slice."""
     return solve_loop(
-        A, rowsum=rowsum_xla, scale_rowsum=scale_rowsum_xla, eps=eps, max_itr=max_itr
+        A,
+        rowsum=rowsum_xla,
+        scale_rowsum=scale_rowsum_xla,
+        eps=eps,
+        max_itr=max_itr,
+        ev0=ev0,
     )

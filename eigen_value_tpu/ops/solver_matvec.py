@@ -125,13 +125,18 @@ def solve_matvec_loop(
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr"))
-def solve_matvec(A: jax.Array, eps: float, max_itr: int) -> SolveResult:
-    """Single-chip matvec-form solve (works for any n, no tile alignment)."""
+def solve_matvec(
+    A: jax.Array, eps: float, max_itr: int, ev0: jax.Array | None = None
+) -> SolveResult:
+    """Single-chip matvec-form solve (works for any n, no tile alignment).
+
+    ``ev0`` overrides the all-ones start vector (scale-invariant in ev;
+    see :func:`solve_matvec_loop`)."""
 
     def matvec(ev):
         return (A @ ev) / ev
 
-    return solve_matvec_loop(A, matvec, eps, max_itr)
+    return solve_matvec_loop(A, matvec, eps, max_itr, ev0=ev0)
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr"))
@@ -180,7 +185,11 @@ def solve_matvec_traced(A: jax.Array, eps: float, max_itr: int):
 
 @partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))
 def solve_matvec_storage(
-    A: jax.Array, eps: float, max_itr: int, storage_dtype=jnp.bfloat16
+    A: jax.Array,
+    eps: float,
+    max_itr: int,
+    storage_dtype=jnp.bfloat16,
+    ev0: jax.Array | None = None,
 ) -> SolveResult:
     """Matvec-form solve with reduced-precision matrix STORAGE.
 
@@ -214,7 +223,9 @@ def solve_matvec_storage(
         y = jnp.dot(Aq, ev.astype(storage_dtype), preferred_element_type=jnp.float32)
         return y / ev
 
-    return solve_matvec_loop(Aq, matvec, eps, max_itr, state_dtype=jnp.float32)
+    return solve_matvec_loop(
+        Aq, matvec, eps, max_itr, state_dtype=jnp.float32, ev0=ev0
+    )
 
 
 @partial(
@@ -343,8 +354,12 @@ def solve_matvec_pallas(
     block_rows: int = 512,
     block_cols: int = 512,
     interpret: bool = False,
+    ev0: jax.Array | None = None,
 ) -> SolveResult:
-    """Matvec-form solve with the Pallas matvec kernel (≈ HBM roofline)."""
+    """Matvec-form solve with the Pallas matvec kernel (≈ HBM roofline).
+
+    ``ev0`` overrides the all-ones start vector (scale-invariant in ev;
+    see :func:`solve_matvec_loop`)."""
     from .pallas import kernels
 
     def matvec(ev):
@@ -353,4 +368,4 @@ def solve_matvec_pallas(
         )
         return y / ev
 
-    return solve_matvec_loop(A, matvec, eps, max_itr)
+    return solve_matvec_loop(A, matvec, eps, max_itr, ev0=ev0)

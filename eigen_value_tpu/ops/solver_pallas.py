@@ -31,8 +31,12 @@ def solve_pallas(
     block_rows: int = 256,
     block_cols: int = 512,
     interpret: Optional[bool] = None,
+    ev0: jax.Array | None = None,
 ) -> SolveResult:
-    """Similarity-transform solve with the fused Pallas round body."""
+    """Similarity-transform solve with the fused Pallas round body.
+
+    ``ev0`` overrides the all-ones start vector (scale-invariant in ev;
+    see :func:`..solver.solve_loop`)."""
     if interpret is None:
         interpret = _auto_interpret()
     kw = dict(block_rows=block_rows, block_cols=block_cols, interpret=interpret)
@@ -42,4 +46,5 @@ def solve_pallas(
         scale_rowsum=partial(kernels.scale_rowsum, **kw),
         eps=eps,
         max_itr=max_itr,
+        ev0=ev0,
     )

@@ -150,7 +150,7 @@ def _shard_matvec_body(
     ``use_pallas``: XLA's bf16 gemv is already at the bf16 roofline
     (measured, docs/BENCH_RESULTS.md negative results)."""
 
-    def solve_block(A_blk: jax.Array) -> SolveResult:
+    def solve_block(A_blk: jax.Array, ev0_scale: jax.Array) -> SolveResult:
         n_loc, n = A_blk.shape
         Aq_blk = A_blk if storage_dtype is None else A_blk.astype(storage_dtype)
         dtype = A_blk.dtype if storage_dtype is None else jnp.float32
@@ -189,7 +189,7 @@ def _shard_matvec_body(
             v_loc = local_matvec(ev) / ev_rows
             return lax.all_gather(v_loc, axis_name, tiled=True)
 
-        ev0 = jnp.ones((n,), dtype)
+        ev0 = jnp.ones((n,), dtype) * ev0_scale.astype(dtype)
         v0 = next_v(ev0)
 
         # Round-2 loop structure (see ops/solver_matvec.py): stop check in
@@ -238,6 +238,7 @@ def _solve_sharded_matvec_jit(
     use_pallas=False,
     interpret=False,
     storage_dtype=None,
+    ev0_scale=None,
 ):
     solve_block = _shard_matvec_body(
         eps, max_itr, axis_name, use_pallas, interpret, storage_dtype
@@ -245,11 +246,13 @@ def _solve_sharded_matvec_jit(
     fn = shard_map(
         solve_block,
         mesh=mesh,
-        in_specs=P(axis_name, None),
+        in_specs=(P(axis_name, None), P()),
         out_specs=SolveResult(P(), P(axis_name), P(), P()),
         check_vma=False,  # λ/rounds/done are replicated by construction
     )
-    return fn(A)
+    if ev0_scale is None:
+        ev0_scale = jnp.float32(1.0)
+    return fn(A, jnp.asarray(ev0_scale, jnp.float32))
 
 
 def solve_sharded_matvec(
@@ -258,6 +261,7 @@ def solve_sharded_matvec(
     axis_name: str = "rows",
     config: SolverConfig = DEFAULT_CONFIG,
     use_pallas: Optional[bool] = None,
+    ev0_scale: jax.Array | float = 1.0,
 ) -> SolveResult:
     """Row-partitioned matvec-form solve — the production multi-chip path.
 
@@ -288,6 +292,7 @@ def solve_sharded_matvec(
         use_pallas,
         interpret,
         config.storage_dtype,
+        ev0_scale,
     )
 
 
@@ -312,7 +317,7 @@ def _shard_matvec_ring_body(
     is identical on every shard and independent of P.
     """
 
-    def solve_block(A_blk: jax.Array) -> SolveResult:
+    def solve_block(A_blk: jax.Array, ev0_scale: jax.Array) -> SolveResult:
         n_loc, n = A_blk.shape
         Aq_blk = A_blk if storage_dtype is None else A_blk.astype(storage_dtype)
         dtype = A_blk.dtype if storage_dtype is None else jnp.float32
@@ -354,7 +359,7 @@ def _shard_matvec_ring_body(
         def next_v(ev_loc):
             return ring_matvec(ev_loc) / ev_loc
 
-        ev0 = jnp.ones((n_loc,), dtype)
+        ev0 = jnp.ones((n_loc,), dtype) * ev0_scale.astype(dtype)
         v0 = next_v(ev0)
 
         # Round-2 loop structure: the stop predicate (already a pmin —
@@ -408,16 +413,20 @@ def _shard_matvec_ring_body(
     jax.jit,
     static_argnames=("mesh", "axis_name", "eps", "max_itr", "storage_dtype"),
 )
-def _solve_sharded_ring_jit(A, mesh, axis_name, eps, max_itr, storage_dtype=None):
+def _solve_sharded_ring_jit(
+    A, mesh, axis_name, eps, max_itr, storage_dtype=None, ev0_scale=None
+):
     solve_block = _shard_matvec_ring_body(eps, max_itr, axis_name, storage_dtype)
     fn = shard_map(
         solve_block,
         mesh=mesh,
-        in_specs=P(axis_name, None),
+        in_specs=(P(axis_name, None), P()),
         out_specs=SolveResult(P(), P(axis_name), P(), P()),
         check_vma=False,  # λ/rounds/done are replicated by construction
     )
-    return fn(A)
+    if ev0_scale is None:
+        ev0_scale = jnp.float32(1.0)
+    return fn(A, jnp.asarray(ev0_scale, jnp.float32))
 
 
 def solve_sharded_matvec_ring(
@@ -425,6 +434,7 @@ def solve_sharded_matvec_ring(
     mesh: Mesh,
     axis_name: str = "rows",
     config: SolverConfig = DEFAULT_CONFIG,
+    ev0_scale: jax.Array | float = 1.0,
 ) -> SolveResult:
     """Row-partitioned matvec-form solve with ring-pipelined communication
     (no all_gather; ev chunks rotate via ppermute, overlapped with the
@@ -440,7 +450,13 @@ def solve_sharded_matvec_ring(
         raise ValueError(f"dim {n} not divisible by {n_shards} shards")
     A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
     return _solve_sharded_ring_jit(
-        A, mesh, axis_name, config.eps, config.max_itr, config.storage_dtype
+        A,
+        mesh,
+        axis_name,
+        config.eps,
+        config.max_itr,
+        config.storage_dtype,
+        ev0_scale,
     )
 
 
@@ -462,15 +478,15 @@ def _solve_batched_rowsharded_jit(
         eps, max_itr, row_axis, storage_dtype=storage_dtype
     )
     fn = shard_map(
-        jax.vmap(solve_block),
+        jax.vmap(solve_block, in_axes=(0, None)),
         mesh=mesh,
-        in_specs=P(batch_axis, row_axis, None),
+        in_specs=(P(batch_axis, row_axis, None), P()),
         out_specs=SolveResult(
             P(batch_axis), P(batch_axis, row_axis), P(batch_axis), P(batch_axis)
         ),
         check_vma=False,
     )
-    return fn(As)
+    return fn(As, jnp.float32(1.0))
 
 
 def solve_batched_rowsharded(

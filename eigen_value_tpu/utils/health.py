@@ -163,19 +163,23 @@ def _state_subprocess(
 
 def check(
     deadline_s: float = 60.0,
-    state_dim: Optional[int] = 4096,
+    state_dim: Optional[int] = "auto",
     device: Optional[str] = None,
     state_deadline_s: float = 240.0,
 ) -> dict:
     """Full health report: liveness plus the chip-state reading, each in
     its own deadline-bounded subprocess (pass ``state_dim=None`` to skip
-    the state).  Shape::
+    the state; the default "auto" reads the state at 4096 on the device
+    and SKIPS it for ``device="cpu"`` — a host-health probe has no chip
+    state, and the interpret-mode reading grinds for minutes).  Shape::
 
         {"alive": bool, "platform": ..., "rtt_ms": ..., "probe_s": ...,
          "state": {...} | None, "state_error": str | None}
 
     ``state_error`` is set when the state reading failed or missed its
     deadline — e.g. the tunnel wedged between probe and reading."""
+    if state_dim == "auto":
+        state_dim = None if device == "cpu" else 4096
     rep = probe(deadline_s, device=device)
     rep["state"] = None
     rep["state_error"] = None
@@ -209,6 +213,8 @@ def main(argv=None) -> int:
     if args.state_dim is None:
         args.state_dim = 0 if args.device == "cpu" else 4096
     if args.state_only:
+        if args.state_dim < 1:
+            p.error("--state-only requires --state-dim >= 1")
         if args.device == "cpu":
             from ..device import unregister_remote_tpu_plugin
 
@@ -219,7 +225,7 @@ def main(argv=None) -> int:
 
             jax.config.update("jax_platforms", "cpu")
             jax.config.update("jax_default_device", jax.devices("cpu")[0])
-        print(json.dumps(chip_state(dim=args.state_dim or 4096)))
+        print(json.dumps(chip_state(dim=args.state_dim)))
         return 0
     rep = check(args.deadline_s, args.state_dim or None, device=args.device)
     print(json.dumps(rep))

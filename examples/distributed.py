@@ -14,9 +14,19 @@ import os as _os, sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# This example demos the multi-chip FLOW on a virtual CPU mesh, so make it
+# hermetic: a registered remote-TPU plugin would be initialized on first
+# backend use even under JAX_PLATFORMS=cpu (and hang if the tunnel is
+# wedged) — drop its factory before jax touches any backend.
+from eigen_value_tpu.device import unregister_remote_tpu_plugin
+
+unregister_remote_tpu_plugin()
+
 import numpy as np
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 from eigen_value_tpu import checkpoint, fixtures
 from eigen_value_tpu.parallel import (
