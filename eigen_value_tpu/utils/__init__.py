@@ -2,7 +2,13 @@
 device health diagnostics."""
 
 from . import profiling, scaling_model
-from .aot import disable_persistent_cache, enable_persistent_cache
+from .aot import (
+    disable_persistent_cache,
+    enable_persistent_cache,
+    export_solver,
+    load_exported,
+    save_exported,
+)
 from .timing import detect_peak_hbm_gbps, force, roofline_pct, time_call, time_marginal
 
 
@@ -19,8 +25,11 @@ __all__ = [
     "detect_peak_hbm_gbps",
     "disable_persistent_cache",
     "enable_persistent_cache",
+    "export_solver",
     "force",
+    "load_exported",
     "roofline_pct",
+    "save_exported",
     "time_call",
     "time_marginal",
 ]

@@ -39,3 +39,80 @@ def enable_persistent_cache(path: Optional[str] = None) -> str:
 def disable_persistent_cache() -> None:
     """Turn the on-disk compilation cache back off."""
     jax.config.update("jax_compilation_cache_dir", None)
+
+
+# ---------------------------------------------------------------------------
+# Shippable AOT artifacts (jax.export / StableHLO)
+#
+# The closest TPU-native analog of the reference's AOT *binaries*
+# (``make aot_cpu`` builds a spir64_x86_64 executable you can ship,
+# reference Makefile:44-58): a serialized, versioned StableHLO program a
+# serving process loads and calls with ZERO Python-side tracing or
+# compile-time solver code — only jax + the artifact bytes.  Artifacts can
+# be cross-lowered (e.g. a TPU+CPU artifact produced on a CPU-only build
+# machine), mirroring how the reference cross-compiles AOT targets for
+# devices the build host lacks.
+# ---------------------------------------------------------------------------
+
+_SERIALIZATION_REGISTERED = False
+
+
+def _register_solve_result() -> None:
+    """Register SolveResult for jax.export serialization (idempotent)."""
+    global _SERIALIZATION_REGISTERED
+    if _SERIALIZATION_REGISTERED:
+        return
+    from jax import export as jexport
+
+    from ..ops.solver import SolveResult
+
+    jexport.register_namedtuple_serialization(
+        SolveResult, serialized_name="eigen_value_tpu.SolveResult"
+    )
+    _SERIALIZATION_REGISTERED = True
+
+
+def export_solver(n: int, config=None, platforms=None):
+    """AOT-export the dim-``n`` solver as a ``jax.export.Exported``.
+
+    ``platforms`` (e.g. ``("tpu", "cpu")``) cross-lowers for devices the
+    exporting host need not have; default is the host's platform.  The
+    artifact pins shape (n, n), dtype, eps/max_itr, and the backend —
+    the same things the reference bakes into its AOT binary.  Serialize
+    with :func:`save_exported`; a server calls
+    ``load_exported(path).call(A)`` and gets the usual ``SolveResult``.
+
+    Interpret-mode Pallas cannot be serialized (it runs through a Python
+    callback); export Pallas backends with ``config.interpret=False`` (the
+    compiled TPU path) or use the jnp backends.
+    """
+    from jax import export as jexport
+
+    from ..api import _solve_fn, resolve_backend
+    from ..config import DEFAULT_CONFIG
+
+    config = config or DEFAULT_CONFIG
+    _register_solve_result()
+    backend = resolve_backend(config, n)
+    fn = _solve_fn(config, backend, n)
+    jf = jax.jit(lambda A: fn(A))
+    args = jax.ShapeDtypeStruct((n, n), config.dtype)
+    plats = list(platforms) if platforms is not None else None
+    return jexport.export(jf, platforms=plats)(args)
+
+
+def save_exported(exported, path: str) -> str:
+    """Write a serialized export artifact; returns ``path``."""
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    return path
+
+
+def load_exported(path: str):
+    """Load an artifact written by :func:`save_exported`.  Call it with
+    ``.call(A)`` — runs the embedded program for the current platform."""
+    from jax import export as jexport
+
+    _register_solve_result()
+    with open(path, "rb") as f:
+        return jexport.deserialize(f.read())
