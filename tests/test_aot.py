@@ -45,6 +45,20 @@ class TestExportArtifact:
         got = loaded.call(fixtures.hilbert_matrix(128))
         assert int(got.rounds) == fixtures.HILBERT_ROUNDS[128]
 
+    def test_pallas_production_backend_cross_lowers_to_tpu(self):
+        """The compiled-Mosaic production solver (matvec_pallas,
+        interpret=False) exports as a TPU artifact from this CPU-only
+        host — serving artifacts for the chip can be built anywhere."""
+        from eigen_value_tpu.config import SolverConfig
+
+        cfg = SolverConfig(backend="matvec_pallas", interpret=False)
+        exp = aot.export_solver(1024, cfg, platforms=("tpu",))
+        assert tuple(exp.platforms) == ("tpu",)
+        assert len(exp.serialize()) > 0
+        # mosaic kernels are embedded as custom calls; the artifact is
+        # only runnable on a real TPU, so execution is covered by the
+        # hardware suite, not here.
+
     def test_artifact_pins_shape(self):
         import pytest
 

@@ -43,6 +43,14 @@ def test_autodiff_example():
 
 
 @pytest.mark.slow
+def test_serving_example():
+    out = _run_example("serving.py")
+    assert "artifact: solver_1024.bin" in out
+    assert "served solve" in out and "rounds = 13" in out
+    assert "residual check passed" in out
+
+
+@pytest.mark.slow
 def test_distributed_example():
     out = _run_example("distributed.py")
     assert "sharded (8 devices)" in out and "rounds = 13 (expect 13)" in out

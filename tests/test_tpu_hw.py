@@ -81,6 +81,22 @@ def _tpu_mesh(shape=None, axes=("rows",)):
     return Mesh(devs, axes)
 
 
+def test_exported_artifact_runs_on_hardware(tmp_path):
+    """The serving contract on silicon: a cross-lowered TPU artifact
+    (production matvec_pallas backend, exportable from any host) loads
+    and solves with round parity on the chip."""
+    from eigen_value_tpu.utils import aot
+
+    _tpu()
+    cfg = SolverConfig(backend="matvec_pallas", interpret=False)
+    path = aot.save_exported(
+        aot.export_solver(1024, cfg, platforms=("tpu",)),
+        str(tmp_path / "solver_tpu.bin"),
+    )
+    res = aot.load_exported(path).call(np.asarray(fixtures.hilbert_matrix(1024)))
+    assert int(res.rounds) == fixtures.HILBERT_ROUNDS[1024]
+
+
 class TestCompiledShardedOnHardware:
     """The production multi-chip code paths COMPILED on real TPU silicon
     (VERDICT r1 item 2: until round 2 they had only ever run in Pallas
