@@ -5,6 +5,7 @@ from . import profiling, scaling_model
 from .aot import (
     disable_persistent_cache,
     enable_persistent_cache,
+    export_sharded_solver,
     export_solver,
     load_exported,
     save_exported,
@@ -25,6 +26,7 @@ __all__ = [
     "detect_peak_hbm_gbps",
     "disable_persistent_cache",
     "enable_persistent_cache",
+    "export_sharded_solver",
     "export_solver",
     "force",
     "load_exported",

@@ -101,6 +101,32 @@ def export_solver(n: int, config=None, platforms=None):
     return jexport.export(jf, platforms=plats)(args)
 
 
+def export_sharded_solver(n: int, mesh, config=None, axis_name: str = "rows"):
+    """AOT-export the row-partitioned multi-chip solve for ``mesh``.
+
+    The artifact embeds the sharding layout (``exported.nr_devices`` =
+    mesh size); a serving process with an identically-shaped mesh loads
+    it and calls with an A sharded ``P(axis_name, None)`` — the
+    multi-chip serving analog of :func:`export_solver`.  Cross-lowering
+    works the same way (export a TPU-slice artifact from any host).
+    """
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..config import DEFAULT_CONFIG
+    from ..parallel.sharded import solve_sharded_matvec
+
+    config = config or DEFAULT_CONFIG
+    _register_solve_result()
+    jf = jax.jit(
+        lambda A: solve_sharded_matvec(A, mesh, axis_name=axis_name, config=config)
+    )
+    sharding = NamedSharding(mesh, P(axis_name, None))
+    arg = jax.ShapeDtypeStruct((n, n), config.dtype, sharding=sharding)
+    return jexport.export(jf)(arg)
+
+
 def save_exported(exported, path: str) -> str:
     """Write a serialized export artifact; returns ``path``."""
     with open(path, "wb") as f:

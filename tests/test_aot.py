@@ -59,6 +59,28 @@ class TestExportArtifact:
         # only runnable on a real TPU, so execution is covered by the
         # hardware suite, not here.
 
+    def test_sharded_artifact_roundtrip(self, tmp_path):
+        """Multi-chip serving: an 8-device row-sharded solver artifact
+        round-trips and solves with round parity on the virtual mesh."""
+        import numpy as np
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from eigen_value_tpu import fixtures
+
+        devs = jax.devices("cpu")[:8]
+        mesh = Mesh(np.array(devs), ("rows",))
+        exp = aot.export_sharded_solver(1024, mesh)
+        assert exp.nr_devices == 8
+        loaded = aot.load_exported(
+            aot.save_exported(exp, str(tmp_path / "solver_sharded.bin"))
+        )
+        H = jax.device_put(
+            fixtures.hilbert_matrix(1024), NamedSharding(mesh, P("rows", None))
+        )
+        got = loaded.call(H)
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[1024]
+
     def test_artifact_pins_shape(self):
         import pytest
 
