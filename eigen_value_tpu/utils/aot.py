@@ -101,16 +101,30 @@ def export_solver(n: int, config=None, platforms=None):
     return jexport.export(jf, platforms=plats)(args)
 
 
-def export_sharded_solver(n: int, mesh, config=None, axis_name: str = "rows"):
+def export_sharded_solver(
+    n: int,
+    mesh,
+    config=None,
+    axis_name: str = "rows",
+    platforms=None,
+    use_pallas=None,
+):
     """AOT-export the row-partitioned multi-chip solve for ``mesh``.
 
     The artifact embeds the sharding layout (``exported.nr_devices`` =
     mesh size); a serving process with an identically-shaped mesh loads
     it and calls with an A sharded ``P(axis_name, None)`` — the
-    multi-chip serving analog of :func:`export_solver`.  Cross-lowering
-    works the same way (export a TPU-slice artifact from any host).
+    multi-chip serving analog of :func:`export_solver`.
+
+    ``platforms`` cross-lowers like :func:`export_solver`.  One caveat:
+    the local-matvec implementation choice (``use_pallas``, default:
+    auto-detected from the MESH's devices) must suit the TARGET platform
+    — when cross-lowering for a platform the mesh's devices don't have,
+    pass ``use_pallas=False`` (the jnp local matvec, correct and
+    near-roofline everywhere; the auto-detection would otherwise bake
+    the exporting host's choice, including interpret-mode Pallas, which
+    cannot be serialized).
     """
-    import jax.numpy as jnp
     from jax import export as jexport
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -120,11 +134,14 @@ def export_sharded_solver(n: int, mesh, config=None, axis_name: str = "rows"):
     config = config or DEFAULT_CONFIG
     _register_solve_result()
     jf = jax.jit(
-        lambda A: solve_sharded_matvec(A, mesh, axis_name=axis_name, config=config)
+        lambda A: solve_sharded_matvec(
+            A, mesh, axis_name=axis_name, config=config, use_pallas=use_pallas
+        )
     )
     sharding = NamedSharding(mesh, P(axis_name, None))
     arg = jax.ShapeDtypeStruct((n, n), config.dtype, sharding=sharding)
-    return jexport.export(jf)(arg)
+    plats = list(platforms) if platforms is not None else None
+    return jexport.export(jf, platforms=plats)(arg)
 
 
 def save_exported(exported, path: str) -> str:

@@ -68,6 +68,8 @@ class TestExportArtifact:
 
         from eigen_value_tpu import fixtures
 
+        from eigen_value_tpu import max_eigenvalue
+
         devs = jax.devices("cpu")[:8]
         mesh = Mesh(np.array(devs), ("rows",))
         exp = aot.export_sharded_solver(1024, mesh)
@@ -75,11 +77,33 @@ class TestExportArtifact:
         loaded = aot.load_exported(
             aot.save_exported(exp, str(tmp_path / "solver_sharded.bin"))
         )
-        H = jax.device_put(
-            fixtures.hilbert_matrix(1024), NamedSharding(mesh, P("rows", None))
+        H = fixtures.hilbert_matrix(1024)
+        got = loaded.call(
+            jax.device_put(H, NamedSharding(mesh, P("rows", None)))
         )
-        got = loaded.call(H)
-        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[1024]
+        want = max_eigenvalue(H)
+        assert int(got.rounds) == int(want.rounds) == fixtures.HILBERT_ROUNDS[1024]
+        np.testing.assert_allclose(
+            float(got.eigenvalue), float(want.eigenvalue), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvector), np.asarray(want.eigenvector), rtol=1e-4
+        )
+
+    def test_sharded_cross_platform_artifact(self):
+        """A TPU+CPU sharded artifact from the CPU-only host: pass
+        use_pallas=False so the local matvec suits both target platforms
+        (auto-detection would bake interpret-mode Pallas, unserializable)."""
+        import numpy as np
+
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("rows",))
+        exp = aot.export_sharded_solver(
+            1024, mesh, platforms=("tpu", "cpu"), use_pallas=False
+        )
+        assert tuple(exp.platforms) == ("tpu", "cpu")
+        assert exp.nr_devices == 8
 
     def test_artifact_pins_shape(self):
         import pytest
