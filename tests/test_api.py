@@ -55,7 +55,11 @@ def test_validate_rejects_nonpositive(rng):
     m[3, 5] = -1.0
     with pytest.raises(ValueError, match="entries > 0"):
         max_eigenvalue(m, validate=True)
-    # without validate the check is skipped (jittable path)
+    # without validate the check is skipped (jittable path): the same
+    # nonpositive matrix must NOT raise (result is unchecked garbage —
+    # that's the documented contract)
+    max_eigenvalue(m)
+    # and a positive matrix passes validation
     max_eigenvalue(np.abs(m) + 1e-3, validate=True)
 
 
@@ -108,6 +112,12 @@ def test_auto_backend_nonpow2_aligned_dims(rng):
     640, ...) must route through matvec_pallas with an adapted tile shape
     instead of crashing on the kernel's divisibility assert."""
     mat = rng.random((384, 384), dtype=np.float32) + 1e-4
+    # pin the routing itself: if auto stopped resolving to the Pallas
+    # backend here, the adapted-tile path would silently go untested
+    assert (
+        resolve_backend(SolverConfig(backend="auto", interpret=True), 384)
+        == "matvec_pallas"
+    )
     res = max_eigenvalue(mat, SolverConfig(backend="auto", interpret=True))
     ref = max_eigenvalue(mat, SolverConfig(backend="matvec"))
     assert int(res.rounds) == int(ref.rounds)
@@ -204,7 +214,10 @@ def test_ts_ms_is_rtt_corrected(rng):
     ev = EigenValue()
     mat = rng.random((256, 256), dtype=np.float32) + 0.5
     lam, vec, ts_ms, rounds = ev.similarity_transform(mat)
-    assert ev._rtt_ms is not None and ev._rtt_ms >= 0.0
+    # the subtracted launch latency is a real measured wall time of a
+    # trivial executable: strictly positive (a regression to 0.0 would
+    # silently turn ts_ms back into the uncorrected wall clock)
+    assert ev._rtt_ms is not None and ev._rtt_ms > 0.0
     assert ev.last_wall_ms is not None
     assert ts_ms <= ev.last_wall_ms
     assert ts_ms == pytest.approx(max(ev.last_wall_ms - ev._rtt_ms, 0.0))

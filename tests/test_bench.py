@@ -42,6 +42,8 @@ def test_drift_rows():
 
 
 def test_cli_json(tmp_path):
+    from conftest import subprocess_env
+
     out = subprocess.run(
         [
             sys.executable,
@@ -62,6 +64,7 @@ def test_cli_json(tmp_path):
         capture_output=True,
         text=True,
         check=True,
+        env=subprocess_env(),
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert len(lines) == 1

@@ -28,8 +28,7 @@ def test_matches_oracle_at_odd_dims(n, rng):
 
 
 def test_class_api_odd_dim(rng):
-    lam, vec, ms, rounds = EigenValue().similarity_transform(
-        rng.random((100, 100), dtype=np.float32) + np.float32(1e-3)
-    )
+    mat = rng.random((100, 100), dtype=np.float32) + np.float32(1e-3)
+    lam, vec, ms, rounds = EigenValue().similarity_transform(mat)
     assert vec.shape == (100,)
-    assert np.allclose(np.asarray(lam), lam)
+    assert np.allclose(mat @ vec, lam * vec, atol=1e-3)

@@ -94,7 +94,15 @@ class TestShardedDifferentialFuzz:
 
         for n, p in ((64, 2), (96, 4), (128, 8), (160, 2)):
             mesh = Mesh(np.array(jax.devices("cpu")[:p]), ("rows",))
-            for kind, mat in list(_cases(rng, n=n, count=2))[:5]:
+            # one case per family (uniform / rank1ish / wide /
+            # uniformish) so every matrix family really is fuzzed
+            seen = set()
+            cases = [
+                (k, m)
+                for k, m in _cases(rng, n=n, count=2)
+                if not (k in seen or seen.add(k))
+            ]
+            for kind, mat in cases:
                 want = single(jnp.asarray(mat), EPS, MAX_ITR)
                 got = solver(jnp.asarray(mat), mesh)
                 assert int(got.rounds) == int(want.rounds), (

@@ -157,12 +157,24 @@ class TestTracedSolve:
         np.testing.assert_array_equal(
             np.asarray(hist[int(res.rounds):]), float(res.eigenvalue)
         )
-        # the recorded per-round λ sequence monotonically approaches the
-        # oracle value (row sums equalize toward λ)
+        # the recorded per-round λ sequence approaches the oracle value
+        # (row sums equalize toward λ)
         want = parallel_oracle(np.asarray(H)).eigenvalue
         errs = np.abs(np.asarray(hist) - want)
         assert errs[int(res.rounds)] < 1e-3
         assert errs[0] > errs[int(res.rounds)]
+        # and the INTERIOR entries are the true per-round v[0] sequence:
+        # reproduce the matvec recurrence in numpy f32 (reduction order
+        # differs from XLA's, hence the tolerance — but a wrong round
+        # index or wrong recorded quantity lands far outside it)
+        A = np.asarray(H, np.float64)
+        pvec = np.ones(A.shape[0], np.float64)
+        for k in range(int(res.rounds) + 1):
+            v = (A @ pvec) / pvec
+            np.testing.assert_allclose(
+                float(hist[k]), v[0], rtol=1e-4, err_msg=f"round {k}"
+            )
+            pvec = pvec * (v / v.max())
 
     def test_result_matches_untraced(self):
         from eigen_value_tpu.ops.solver_matvec import solve_matvec_traced

@@ -74,3 +74,4 @@ class TestParallelOracle:
         """With max_itr=0 the loop body never runs: not converged, λ=0."""
         res = parallel_oracle(_hilbert(64), max_itr=0)
         assert not res.converged and res.rounds == 0
+        assert res.eigenvalue == 0.0  # the documented cap-exhaustion λ

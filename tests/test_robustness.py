@@ -25,7 +25,9 @@ def test_awkward_dims_eigen_pair(rng, n):
 def test_n_equals_1():
     res = max_eigenvalue(np.array([[4.0]], dtype=np.float32))
     assert float(res.eigenvalue) == pytest.approx(4.0)
-    assert int(res.rounds) == 0 or bool(res.converged)
+    # a constant-row-sum 1x1 matrix converges at round 0 (stop check
+    # passes before any update — the reference's 0-based counting)
+    assert int(res.rounds) == 0 and bool(res.converged)
 
 
 def test_float64_input_is_cast(rng):
