@@ -248,6 +248,14 @@ class EigenValue:
     best-effort per-call semantics; for numbers you can compare or
     regress on, use chained differencing (bench.py) or marginal chains
     (utils/timing.py), which cancel both the latency and its jitter.
+
+    THREAD SAFETY: the compilation cache is guarded, so concurrent
+    ``similarity_transform`` calls on one instance compute correctly and
+    compile each (shape, dtype, backend) once — but ``ts_ms`` /
+    ``last_wall_ms`` are per-instance fields and interleave under
+    concurrency.  For per-call timings in a threaded server, use one
+    instance per thread (solves themselves serialize on a single device
+    anyway).
     """
 
     def __init__(
@@ -259,9 +267,12 @@ class EigenValue:
         reference's SYCL device selection at queue construction
         (wrapper/similarity_transform.cpp:4-12, default_selector in
         main.cpp:10).  None = the platform default."""
+        import threading
+
         self.config = config
         self.device = device
         self._compiled = {}
+        self._compile_lock = threading.Lock()
         self._rtt_ms: Optional[float] = None
         self.last_wall_ms: Optional[float] = None
 
@@ -288,18 +299,23 @@ class EigenValue:
         key = (n, jnp.dtype(dtype).name, backend)
         fn = self._compiled.get(key)
         if fn is None:
-            solve = _solve_fn(self.config, backend, n, self.device)
-            aval = jax.ShapeDtypeStruct(
-                (n, n),
-                dtype,
-                sharding=(
-                    jax.sharding.SingleDeviceSharding(self.device)
-                    if self.device is not None
-                    else None
-                ),
-            )
-            fn = jax.jit(solve).lower(aval).compile()
-            self._compiled[key] = fn
+            # lock so concurrent servers compile each key once (the race
+            # would be correct but wastes a multi-second compile per racer)
+            with self._compile_lock:
+                fn = self._compiled.get(key)
+                if fn is None:
+                    solve = _solve_fn(self.config, backend, n, self.device)
+                    aval = jax.ShapeDtypeStruct(
+                        (n, n),
+                        dtype,
+                        sharding=(
+                            jax.sharding.SingleDeviceSharding(self.device)
+                            if self.device is not None
+                            else None
+                        ),
+                    )
+                    fn = jax.jit(solve).lower(aval).compile()
+                    self._compiled[key] = fn
         return fn
 
     def warmup(self, dims, dtype=None) -> None:

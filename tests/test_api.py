@@ -248,3 +248,17 @@ def test_eigen_residual_helper(rng):
 
     res_s = solve_sharded_matvec(ms, mesh)
     assert float(eigen_residual(ms, res_s)) < 1e-3
+
+
+def test_concurrent_similarity_transform_threads(rng):
+    """Serving contract: concurrent calls on one instance are correct and
+    compile each (shape, dtype, backend) exactly once (guarded cache)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ev = EigenValue()
+    mats = [rng.random((96, 96), dtype=np.float32) + 1e-3 for _ in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(ev.similarity_transform, mats))
+    assert len(ev._compiled) == 1  # one key, compiled once
+    for mat, (lam, vec, ts, rounds) in zip(mats, results):
+        assert np.allclose(mat @ vec, lam * vec, atol=1e-3)
