@@ -1,0 +1,38 @@
+#!/bin/bash
+# Round-2 TPU work queue — run as soon as the tunnel recovers.
+# Sequential on purpose: the tunnel serializes clients, and timing
+# experiments are invalid with concurrent users (CLAUDE.md).
+# Usage: bash scratch/tpu_queue.sh [stage]   (stage: all|health|hw|artifacts|bench)
+set -u
+cd /root/repo
+STAGE="${1:-all}"
+LOG=/tmp/tpu_queue.log
+run() { echo "== $* == $(date -u +%H:%M:%S)" | tee -a "$LOG"; "$@" 2>&1 | tail -20 | tee -a "$LOG"; }
+
+if [ "$STAGE" = all ] || [ "$STAGE" = health ]; then
+  run timeout 180 python -m eigen_value_tpu.utils.health --deadline-s 90
+fi
+
+if [ "$STAGE" = all ] || [ "$STAGE" = hw ]; then
+  # hardware regression gate (15 tests incl. exported-artifact load)
+  run timeout 1800 env RUN_TPU_TESTS=1 python -m pytest tests/test_tpu_hw.py -q
+fi
+
+if [ "$STAGE" = all ] || [ "$STAGE" = artifacts ]; then
+  # regenerate the suite artifacts with chained device_ms (commit b17af68)
+  echo "== e2e artifact ==" | tee -a "$LOG"
+  timeout 2400 python -m eigen_value_tpu.bench --suite e2e --json \
+    > docs/bench/e2e_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/e2e_r2b.jsonl | tee -a "$LOG"
+  echo "== sharded artifact ==" | tee -a "$LOG"
+  timeout 1200 python -m eigen_value_tpu.bench --suite sharded --json \
+    > docs/bench/sharded_tpu_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/sharded_tpu_r2b.jsonl | tee -a "$LOG"
+  echo "== drift artifact ==" | tee -a "$LOG"
+  timeout 900 python -m eigen_value_tpu.bench --suite drift --json \
+    > docs/bench/drift_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/drift_r2b.jsonl | tee -a "$LOG"
+fi
+
+if [ "$STAGE" = all ] || [ "$STAGE" = bench ]; then
+  # windowed headline record (adaptive extension up to 15 min)
+  run timeout 1500 python bench.py
+fi
+echo "QUEUE DONE $(date -u)" | tee -a "$LOG"
