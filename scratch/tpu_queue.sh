@@ -20,8 +20,13 @@ fi
 
 if [ "$STAGE" = all ] || [ "$STAGE" = artifacts ]; then
   # regenerate the suite artifacts with chained device_ms (commit b17af68)
-  echo "== e2e artifact ==" | tee -a "$LOG"
+  echo "== e2e sweep artifact (production backend, all dims) ==" | tee -a "$LOG"
   timeout 2400 python -m eigen_value_tpu.bench --suite e2e --json \
+    --backends matvec_pallas --reps 3 \
+    > docs/bench/e2e_sweep_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/e2e_sweep_r2b.jsonl | tee -a "$LOG"
+  echo "== e2e ladder artifact (all backends, flagship dim) ==" | tee -a "$LOG"
+  timeout 2400 python -m eigen_value_tpu.bench --suite e2e --json \
+    --dims 8192 --reps 3 \
     > docs/bench/e2e_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/e2e_r2b.jsonl | tee -a "$LOG"
   echo "== sharded artifact ==" | tee -a "$LOG"
   timeout 1200 python -m eigen_value_tpu.bench --suite sharded --json \
