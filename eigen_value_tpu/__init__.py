@@ -10,7 +10,13 @@ multi-chip, vmapped batched solves).
 """
 
 from . import checkpoint, fixtures
-from .api import EigenValue, eigen_residual, max_eigenvalue, max_eigenvalue_batch
+from .api import (
+    EigenValue,
+    eigen_residual,
+    max_eigenvalue,
+    max_eigenvalue_batch,
+    max_eigenvalue_operator,
+)
 from .config import DEFAULT_CONFIG, EPS, MAX_ITR, SolverConfig
 from .ops.solver import SolveResult
 
@@ -23,6 +29,7 @@ __all__ = [
     "fixtures",
     "max_eigenvalue",
     "max_eigenvalue_batch",
+    "max_eigenvalue_operator",
     "SolverConfig",
     "SolveResult",
     "DEFAULT_CONFIG",

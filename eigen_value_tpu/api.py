@@ -222,6 +222,19 @@ def max_eigenvalue_batch(
     )
 
 
+def max_eigenvalue_operator(
+    matvec, n: int, config: SolverConfig = DEFAULT_CONFIG
+) -> SolveResult:
+    """Matrix-free solve: ``matvec(x) -> A @ x`` for an implicit positive
+    operator that is never materialized (structured matrices with fast
+    matvecs, operator sums/products, matrices too large to store).  See
+    :func:`eigen_value_tpu.ops.solver_matvec.solve_operator` for the
+    semantics and the round-count caveat.  Traced — jittable as-is."""
+    from .ops.solver_matvec import solve_operator
+
+    return solve_operator(matvec, n, config.eps, config.max_itr, dtype=config.dtype)
+
+
 class EigenValue:
     """Class-shaped API with the reference wrapper's return convention.
 

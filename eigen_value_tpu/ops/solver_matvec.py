@@ -124,6 +124,47 @@ def solve_matvec_loop(
     return _finish(out, max_itr)
 
 
+def solve_operator(
+    matvec,
+    n: int,
+    eps: float,
+    max_itr: int,
+    dtype=jnp.float32,
+    ev0: jax.Array | None = None,
+) -> SolveResult:
+    """MATRIX-FREE solve: ``matvec(x) -> A @ x`` for an implicit positive
+    matrix that is never materialized.
+
+    The power-form loop (module docstring) observes A only through one
+    matvec per round, so any positive linear operator works: structured
+    matrices with fast matvecs (Hankel/Toeplitz via FFT — the Hilbert
+    benchmark matrix is Hankel, giving O(n log n) rounds instead of
+    O(n²); see examples/operator.py), sums/products of operators, or
+    matrices too large to materialize at all.  The reference requires a
+    dense float32 buffer (similarity_transform.hpp:8-9) — this entry has
+    no reference analog; it falls out of the TPU-native functional
+    design.
+
+    Semantics are the standard ones (wraparound stop, λ = v[0], 0-based
+    rounds, stop before update).  Round counts may differ ±1 from the
+    dense solver when the operator's floating-point matvec differs from
+    the dense row-sum reduction order (e.g. FFT).  Traced — wrap in
+    ``jax.jit`` (with ``n``/``eps``/``max_itr`` static) for production.
+    """
+
+    def next_v(ev):
+        return matvec(ev) / ev
+
+    cond, body = _make_cond_body(next_v, eps, max_itr)
+    if ev0 is None:
+        ev0 = jnp.ones((n,), dtype)
+    init = _Carry(
+        ev0, next_v(ev0), jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32)
+    )
+    out = lax.while_loop(cond, body, init)
+    return _finish(out, max_itr)
+
+
 @partial(jax.jit, static_argnames=("eps", "max_itr"))
 def solve_matvec(
     A: jax.Array, eps: float, max_itr: int, ev0: jax.Array | None = None

@@ -56,3 +56,10 @@ def test_distributed_example():
     assert "sharded (8 devices)" in out and "rounds = 13 (expect 13)" in out
     assert "ring:" in out
     assert "checkpointed" in out
+
+
+@pytest.mark.slow
+def test_matrix_free_example():
+    out = _run_example("matrix_free.py")
+    assert "operator solve (FFT Hankel" in out
+    assert "matches dense within 1e-3" in out
