@@ -1,0 +1,78 @@
+"""Fast matvecs for structured matrices — operands for the matrix-free
+operator API (:func:`..api.max_eigenvalue_operator`).
+
+A structured positive matrix need never be materialized: its matvec is
+all the power-form solver observes (solver_matvec.py module docstring).
+Both constructors here reduce the O(n²) dense pass to an O(n log n) FFT
+correlation/convolution with O(n) memory — the benchmark family itself
+is the canonical example (the Hilbert matrix ``A[r][c] = 1/(r+c+1)`` is
+Hankel with profile ``h[k] = 1/(k+1)``).
+
+The reference has no analog: its kernels require a dense float32 buffer
+(similarity_transform.hpp:8-9).  FFT rounding differs from the dense
+row-sum reduction order, so round counts may differ ±1 from the dense
+solver (documented at the operator entry).
+
+Everything is jit-compatible; the FFT plans are baked at trace time for
+a static ``n``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _fft_len(min_len: int) -> int:
+    """Smallest power of two ≥ min_len (power-of-two FFTs are the fast
+    path on TPU and everywhere else)."""
+    return 1 << (min_len - 1).bit_length()
+
+
+def hankel_matvec(h: jax.Array, n: int):
+    """Matvec closure for the n×n Hankel matrix ``A[r][c] = h[r+c]``
+    (constant anti-diagonals; ``len(h) = 2n-1``).
+
+    ``y[r] = Σ_c h[r+c] x[c]`` is a correlation — equivalently the slice
+    ``[n-1 : 2n-1]`` of the linear convolution ``h ⊛ reverse(x)`` —
+    computed by real FFT in O(n log n).
+    """
+    if h.shape[0] != 2 * n - 1:
+        raise ValueError(f"need len(h) == 2n-1 == {2 * n - 1}, got {h.shape[0]}")
+    m = _fft_len(3 * n - 2)  # linear-convolution-safe transform size
+    Hf = jnp.fft.rfft(h, m)
+
+    def matvec(x: jax.Array) -> jax.Array:
+        z = jnp.fft.irfft(Hf * jnp.fft.rfft(x[::-1], m), m)
+        return z[n - 1 : 2 * n - 1].astype(x.dtype)
+
+    return matvec
+
+
+def toeplitz_matvec(c: jax.Array, r: jax.Array, n: int):
+    """Matvec closure for the n×n Toeplitz matrix with first column ``c``
+    and first row ``r`` (``A[i][j] = c[i-j]`` for i ≥ j, ``r[j-i]`` for
+    j ≥ i; ``c[0]`` must equal ``r[0]``).
+
+    ``y = A x`` is the middle slice of the linear convolution of the
+    diagonal profile ``t = [r[n-1..1] reversed | c]`` with ``x``:
+    ``y[i] = Σ_j t[(n-1) + (i-j)] x[j]``.
+    """
+    if c.shape[0] != n or r.shape[0] != n:
+        raise ValueError(f"need len(c) == len(r) == n == {n}")
+    t = jnp.concatenate([r[1:][::-1], c])  # t[k] = A[i][j] with i-j = k-(n-1)
+    m = _fft_len(3 * n - 2)
+    Tf = jnp.fft.rfft(t, m)
+
+    def matvec(x: jax.Array) -> jax.Array:
+        z = jnp.fft.irfft(Tf * jnp.fft.rfft(x, m), m)
+        return z[n - 1 : 2 * n - 1].astype(x.dtype)
+
+    return matvec
+
+
+def hilbert_matvec(n: int, dtype=jnp.float32):
+    """The Hilbert matrix ``A[r][c] = 1/(r+c+1)`` as an O(n)-memory FFT
+    operator — the benchmark family without its n² bytes."""
+    h = 1.0 / jnp.arange(1, 2 * n, dtype=dtype)
+    return hankel_matvec(h, n)

@@ -30,20 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from eigen_value_tpu import EPS, MAX_ITR, fixtures, max_eigenvalue, max_eigenvalue_operator
-
-
-def hankel_matvec(h: jax.Array, n: int):
-    """FFT matvec for the n×n Hankel matrix A[r][c] = h[r+c]
-    (len(h) = 2n-1): y[r] = Σ_c h[r+c] x[c] = (h ⊛ reverse(x))[r+n-1]."""
-    m = 1 << (3 * n - 2).bit_length()  # linear-convolution-safe FFT size
-    Hf = jnp.fft.rfft(h, m)
-
-    def matvec(x):
-        z = jnp.fft.irfft(Hf * jnp.fft.rfft(x[::-1], m), m)
-        return z[n - 1 : 2 * n - 1].astype(x.dtype)
-
-    return matvec
+from eigen_value_tpu import fixtures, max_eigenvalue, max_eigenvalue_operator
+from eigen_value_tpu.ops.structured import hankel_matvec
 
 
 def main() -> None:

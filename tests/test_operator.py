@@ -28,15 +28,10 @@ def test_fft_hankel_operator_matches_dense():
     """The Hilbert matrix as an O(n)-memory FFT Hankel operator: λ within
     1e-4 relative of the dense solve, rounds within ±1 (FFT rounding
     differs from the dense reduction order), eigen-pair property holds."""
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
-    from matrix_free import hankel_matvec
+    from eigen_value_tpu.ops.structured import hilbert_matvec
 
     n = 256
-    h = 1.0 / jnp.arange(1, 2 * n, dtype=jnp.float32)
-    mv = hankel_matvec(h, n)
+    mv = hilbert_matvec(n)
     got = max_eigenvalue_operator(mv, n)
     want = max_eigenvalue(fixtures.hilbert_matrix(n))
     assert abs(int(got.rounds) - int(want.rounds)) <= 1
@@ -61,3 +56,55 @@ def test_operator_cap_exhaustion():
     H = fixtures.hilbert_matrix(128)
     res = solve_operator(lambda x: H @ x, 128, EPS, max_itr=2)
     assert not bool(res.converged) and int(res.rounds) == 2
+
+
+class TestStructuredMatvecs:
+    """FFT matvecs vs explicit dense constructions."""
+
+    def test_hankel_matches_dense(self, rng):
+        from eigen_value_tpu.ops.structured import hankel_matvec
+
+        n = 96
+        h = jnp.asarray(rng.random(2 * n - 1, dtype=np.float32) + 0.1)
+        A = np.asarray(h)[np.add.outer(np.arange(n), np.arange(n))]
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        got = np.asarray(hankel_matvec(h, n)(x))
+        np.testing.assert_allclose(got, A @ np.asarray(x), rtol=2e-5, atol=1e-5)
+
+    def test_toeplitz_matches_dense(self, rng):
+        from eigen_value_tpu.ops.structured import toeplitz_matvec
+
+        n = 96
+        c = jnp.asarray(rng.random(n, dtype=np.float32) + 0.1)
+        r = jnp.asarray(rng.random(n, dtype=np.float32) + 0.1).at[0].set(c[0])
+        idx = np.subtract.outer(np.arange(n), np.arange(n))  # i - j
+        A = np.where(idx >= 0, np.asarray(c)[np.abs(idx)], np.asarray(r)[np.abs(idx)])
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        got = np.asarray(toeplitz_matvec(c, r, n)(x))
+        np.testing.assert_allclose(got, A @ np.asarray(x), rtol=2e-5, atol=1e-5)
+
+    def test_length_validation(self):
+        from eigen_value_tpu.ops.structured import hankel_matvec, toeplitz_matvec
+
+        with pytest.raises(ValueError, match="2n-1"):
+            hankel_matvec(jnp.ones(5), 4)
+        with pytest.raises(ValueError, match="len"):
+            toeplitz_matvec(jnp.ones(3), jnp.ones(4), 4)
+
+    def test_toeplitz_operator_solve(self, rng):
+        """A positive symmetric Toeplitz operator solved matrix-free
+        matches the dense matvec solver."""
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.ops.structured import toeplitz_matvec
+
+        n = 128
+        c = jnp.asarray(1.0 / (1.0 + np.arange(n, dtype=np.float32)))
+        mv = toeplitz_matvec(c, c, n)
+        got = solve_operator(mv, n, EPS, MAX_ITR)
+        idx = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+        A = jnp.asarray(np.asarray(c)[idx])
+        want = solve_matvec(A, EPS, MAX_ITR)
+        assert abs(int(got.rounds) - int(want.rounds)) <= 1
+        assert float(got.eigenvalue) == pytest.approx(
+            float(want.eigenvalue), rel=1e-4
+        )
