@@ -294,18 +294,28 @@ class EigenValue:
         ``reps`` wall time of a trivial compiled call (its device time is
         ~ns, so the wall IS the launch overhead)."""
         if self._rtt_ms is None:
-            x = jnp.zeros((), jnp.float32)
-            if self.device is not None:
-                x = jax.device_put(x, self.device)
-            fn = jax.jit(lambda t: t + 1.0).lower(x).compile()
-            jax.block_until_ready(fn(x))
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn(x))
-                best = min(best, (time.perf_counter() - t0) * 1e3)
-            self._rtt_ms = best
+            with self._compile_lock:
+                if self._rtt_ms is not None:
+                    return self._rtt_ms
+                self._rtt_ms = self._measure_launch_ms(reps)
         return self._rtt_ms
+
+    def _measure_launch_ms(self, reps: int) -> float:
+        # Called under _compile_lock: concurrent first calls would each
+        # measure, and a probe timed while another thread's solve occupies
+        # the device records queueing delay as launch latency — the last
+        # writer would then skew every later ts_ms.
+        x = jnp.zeros((), jnp.float32)
+        if self.device is not None:
+            x = jax.device_put(x, self.device)
+        fn = jax.jit(lambda t: t + 1.0).lower(x).compile()
+        jax.block_until_ready(fn(x))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            best = min(best, (time.perf_counter() - t0) * 1e3)
+        return best
 
     def _get_compiled(self, n: int, dtype):
         backend = resolve_backend(self.config, n, self.device)

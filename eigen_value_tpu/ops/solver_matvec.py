@@ -76,8 +76,7 @@ def _make_cond_body(matvec, eps: float, max_itr: int):
     return cond, body
 
 
-def _init_carry(A: jax.Array, matvec, dtype, ev0=None) -> _Carry:
-    n = A.shape[0]
+def _init_carry(n: int, matvec, dtype, ev0=None) -> _Carry:
     if ev0 is None:
         ev0 = jnp.ones((n,), dtype)
     v0 = matvec(ev0)  # == row sums of A_0
@@ -119,7 +118,7 @@ def solve_matvec_loop(
     bench harness to thread inter-solve data dependence through one O(n)
     op per SOLVE instead of one per round."""
     cond, body = _make_cond_body(matvec, eps, max_itr)
-    init = _init_carry(A, matvec, state_dtype or A.dtype, ev0)
+    init = _init_carry(A.shape[0], matvec, state_dtype or A.dtype, ev0)
     out = lax.while_loop(cond, body, init)
     return _finish(out, max_itr)
 
@@ -138,9 +137,10 @@ def solve_operator(
     The power-form loop (module docstring) observes A only through one
     matvec per round, so any positive linear operator works: structured
     matrices with fast matvecs (Hankel/Toeplitz via FFT — the Hilbert
-    benchmark matrix is Hankel, giving O(n log n) rounds instead of
-    O(n²); see examples/operator.py), sums/products of operators, or
-    matrices too large to materialize at all.  The reference requires a
+    benchmark matrix is Hankel, giving O(n log n) PER-ROUND cost instead
+    of O(n²); see ops/structured.py and examples/matrix_free.py),
+    sums/products of operators, or matrices too large to materialize at
+    all.  The reference requires a
     dense float32 buffer (similarity_transform.hpp:8-9) — this entry has
     no reference analog; it falls out of the TPU-native functional
     design.
@@ -156,11 +156,7 @@ def solve_operator(
         return matvec(ev) / ev
 
     cond, body = _make_cond_body(next_v, eps, max_itr)
-    if ev0 is None:
-        ev0 = jnp.ones((n,), dtype)
-    init = _Carry(
-        ev0, next_v(ev0), jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32)
-    )
+    init = _init_carry(n, next_v, dtype, ev0)
     out = lax.while_loop(cond, body, init)
     return _finish(out, max_itr)
 
@@ -198,7 +194,7 @@ def solve_matvec_traced(A: jax.Array, eps: float, max_itr: int):
         return (A @ ev) / ev
 
     cond, body = _make_cond_body(matvec, eps, max_itr)
-    init = _init_carry(A, matvec, A.dtype)
+    init = _init_carry(A.shape[0], matvec, A.dtype)
     hist0 = jnp.zeros((max_itr,), A.dtype)
 
     def cond_t(ch):

@@ -39,11 +39,17 @@ def hankel_matvec(h: jax.Array, n: int):
     """
     if h.shape[0] != 2 * n - 1:
         raise ValueError(f"need len(h) == 2n-1 == {2 * n - 1}, got {h.shape[0]}")
-    m = _fft_len(3 * n - 2)  # linear-convolution-safe transform size
-    Hf = jnp.fft.rfft(h, m)
+    # m >= 2n-1 suffices even though the full linear convolution is length
+    # 3n-2: circular aliasing wraps entries s >= m onto s - m < n-1, all
+    # in the DISCARDED prefix of the slice below (verified bit-comparable
+    # to the 3n-2 transform).  rfft rejects bf16/f16, so compute in f32
+    # and cast back — the operator then composes with reduced-precision
+    # solver state.
+    m = _fft_len(2 * n - 1)
+    Hf = jnp.fft.rfft(h.astype(jnp.float32), m)
 
     def matvec(x: jax.Array) -> jax.Array:
-        z = jnp.fft.irfft(Hf * jnp.fft.rfft(x[::-1], m), m)
+        z = jnp.fft.irfft(Hf * jnp.fft.rfft(x[::-1].astype(jnp.float32), m), m)
         return z[n - 1 : 2 * n - 1].astype(x.dtype)
 
     return matvec
@@ -61,11 +67,11 @@ def toeplitz_matvec(c: jax.Array, r: jax.Array, n: int):
     if c.shape[0] != n or r.shape[0] != n:
         raise ValueError(f"need len(c) == len(r) == n == {n}")
     t = jnp.concatenate([r[1:][::-1], c])  # t[k] = A[i][j] with i-j = k-(n-1)
-    m = _fft_len(3 * n - 2)
-    Tf = jnp.fft.rfft(t, m)
+    m = _fft_len(2 * n - 1)  # aliasing only corrupts the discarded prefix
+    Tf = jnp.fft.rfft(t.astype(jnp.float32), m)
 
     def matvec(x: jax.Array) -> jax.Array:
-        z = jnp.fft.irfft(Tf * jnp.fft.rfft(x, m), m)
+        z = jnp.fft.irfft(Tf * jnp.fft.rfft(x.astype(jnp.float32), m), m)
         return z[n - 1 : 2 * n - 1].astype(x.dtype)
 
     return matvec

@@ -250,15 +250,29 @@ def test_eigen_residual_helper(rng):
     assert float(eigen_residual(ms, res_s)) < 1e-3
 
 
-def test_concurrent_similarity_transform_threads(rng):
+def test_concurrent_similarity_transform_threads(rng, monkeypatch):
     """Serving contract: concurrent calls on one instance are correct and
-    compile each (shape, dtype, backend) exactly once (guarded cache)."""
+    compile each (shape, dtype, backend) exactly once (guarded cache —
+    counted via a wrapped _solve_fn, since the dict would show one entry
+    even if every thread had compiled and overwritten it)."""
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
+    from eigen_value_tpu import api
+
+    calls = []
+    real = api._solve_fn
+
+    def counting_solve_fn(*a, **kw):
+        calls.append(threading.get_ident())
+        return real(*a, **kw)
+
+    monkeypatch.setattr(api, "_solve_fn", counting_solve_fn)
     ev = EigenValue()
     mats = [rng.random((96, 96), dtype=np.float32) + 1e-3 for _ in range(8)]
     with ThreadPoolExecutor(max_workers=8) as pool:
         results = list(pool.map(ev.similarity_transform, mats))
-    assert len(ev._compiled) == 1  # one key, compiled once
+    assert len(calls) == 1  # exactly one build+compile across 8 racers
+    assert len(ev._compiled) == 1
     for mat, (lam, vec, ts, rounds) in zip(mats, results):
         assert np.allclose(mat @ vec, lam * vec, atol=1e-3)
