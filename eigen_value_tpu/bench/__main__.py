@@ -61,6 +61,7 @@ def main(argv=None) -> int:
             "model",
             "calibrate",
             "drift",
+            "operator",
             "all",
         ],
         default="all",
@@ -153,6 +154,17 @@ def main(argv=None) -> int:
                         f"\t{r['ms']:>10.3f} ms"
                         f"\t\t{r['rounds']:>6} round(s)   [native C++]"
                     )
+    if args.suite == "operator":
+        rows = suite.bench_operator(dims, reps=args.reps)
+        all_rows += rows
+        if not args.json:
+            for r in rows:
+                parity = "" if r.get("rounds_ok", True) else "   [PARITY BREAK]"
+                print(
+                    f"[{r['backend']}] {r['dim']:<5} x {r['dim']:>5}"
+                    f"\t{r['device_ms']:>10.4f} ms dev (chained)"
+                    f"\t{r['rounds']:>4} round(s){parity}"
+                )
     if args.suite == "sharded":
         rows = suite.bench_sharded(dim=(args.dims or [4096])[0], reps=args.reps)
         all_rows += rows

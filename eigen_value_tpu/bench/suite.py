@@ -545,6 +545,54 @@ def bench_kernels(dims: List[int] = MATRIX_DIMS, k: int = 64) -> List[dict]:
     return rows
 
 
+def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
+    """Matrix-free FFT operator vs the dense production path on the
+    benchmark family (the Hilbert matrix is Hankel — ops/structured.py).
+
+    Chained per-solve device times (launch latency cancels); the point of
+    the row pair is the asymptotic gap: O(n log n)/round + O(n) memory vs
+    O(n²)/round.  Parity column: operator rounds are allowed ±1 of the
+    dense table (FFT rounding differs from the dense reduction order)."""
+    from ..ops.solver_matvec import solve_operator
+    from ..ops.structured import hilbert_matvec
+
+    rows = []
+    for n in dims:
+        mv = hilbert_matvec(n)
+        fn = jax.jit(
+            lambda ev0, _mv=mv, _n=n: solve_operator(
+                _mv, _n, EPS, MAX_ITR, ev0=ev0
+            )
+        )
+        res = fn(jnp.ones((n,), jnp.float32))
+        rounds = int(res.rounds)
+
+        def step(i, acc, _fn=fn, _n=n):
+            sc = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+            return _fn(jnp.ones((_n,), jnp.float32) * sc).eigenvalue
+
+        dev_ms = time_marginal(step, jnp.float32(0.0), k=32, reps=reps)
+        want = fixtures.HILBERT_ROUNDS.get(n, rounds)
+        rows.append(
+            {
+                "bench": "operator",
+                "backend": "hankel_fft",
+                "dim": n,
+                "device_ms": dev_ms,
+                "ms_per_round": dev_ms / max(rounds, 1),
+                "rounds": rounds,
+                "eigenvalue": float(res.eigenvalue),
+                "rounds_ok": abs(rounds - want) <= 1,
+            }
+        )
+    # the dense production rows for the same dims, for the side-by-side
+    rows += [
+        dict(r, bench="operator")
+        for r in bench_e2e(dims, backends=["matvec"], reps=reps)
+    ]
+    return rows
+
+
 def bench_drift(
     dim: int = 8192,
     windows: int = 10,

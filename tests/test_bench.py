@@ -103,3 +103,13 @@ def test_package_main_entry():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "9 round(s)" in out.stdout
+
+
+def test_bench_operator_rows():
+    rows = suite.bench_operator([256], reps=1)
+    kinds = {r["backend"] for r in rows}
+    assert kinds == {"hankel_fft", "matvec"}
+    for r in rows:
+        assert r["rounds_ok"], r
+        assert r["device_ms"] > 0
+        assert r["bench"] == "operator"
