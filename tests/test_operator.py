@@ -108,3 +108,24 @@ class TestStructuredMatvecs:
         assert float(got.eigenvalue) == pytest.approx(
             float(want.eigenvalue), rel=1e-4
         )
+
+
+def test_operator_vmap_batched(rng):
+    """Batched matrix-free solves: vmap over a batch of Hankel profiles
+    (the structured analog of solve_batched)."""
+    from eigen_value_tpu.ops.structured import hankel_matvec
+
+    n, B = 64, 3
+    hs = jnp.asarray(rng.random((B, 2 * n - 1), dtype=np.float32) + 0.1)
+
+    def solve_one(h):
+        return max_eigenvalue_operator(hankel_matvec(h, n), n)
+
+    res = jax.vmap(solve_one)(hs)
+    assert res.eigenvalue.shape == (B,)
+    assert bool(jnp.all(res.converged))
+    for b in range(B):
+        A = np.asarray(hs[b])[np.add.outer(np.arange(n), np.arange(n))]
+        v = np.asarray(res.eigenvector[b])
+        lam = float(res.eigenvalue[b])
+        assert np.allclose(A @ v, lam * v, atol=1e-2 * max(lam, 1.0))
