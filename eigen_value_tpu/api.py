@@ -155,13 +155,15 @@ def max_eigenvalue(
     ``mesh`` (a ``jax.sharding.Mesh`` with a ``"rows"`` axis) runs the
     row-partitioned multi-chip solve instead of the single-chip one —
     the one-argument door to `parallel/` (solve_sharded_matvec; use the
-    parallel module directly for the ring/batched variants).
+    parallel module directly for the ring/batched variants).  A mesh with
+    BOTH ``"rows"`` and ``"cols"`` axes dispatches to the 2D block-sharded
+    solve (per-chip memory n²/(pr·pc), parallel/sharded.py).
     """
     mat = jnp.asarray(mat)
     if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
         raise ValueError(f"must be a square matrix, got shape {mat.shape}")
     if mesh is not None:
-        from .parallel.sharded import solve_sharded_matvec
+        from .parallel.sharded import solve_sharded_2d, solve_sharded_matvec
 
         # honor storage_dtype exactly like the single-chip path: a matrix
         # already in storage_dtype is solved as-is (no f32 copy is made)
@@ -172,6 +174,8 @@ def max_eigenvalue(
             mat = mat.astype(config.dtype)
         if validate and not bool(jnp.all(mat > 0)):
             raise ValueError("similarity-transform method requires all entries > 0")
+        if "cols" in mesh.shape:
+            return solve_sharded_2d(mat, mesh, config=config)
         return solve_sharded_matvec(mat, mesh, config=config)
     backend = resolve_backend(config, mat.shape[0])
     prequantized = (

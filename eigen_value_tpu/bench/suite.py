@@ -247,6 +247,52 @@ def bench_sharded(
                     "scaling_efficiency": eps_chip / base_eps,
                 }
             )
+
+    # 2D block sharding (rows × cols): balanced factorization of each
+    # shard count; per-chip matrix memory is dim²/p (vs dim²/p of full
+    # rows too, but the 2D shards stay square-ish — the layout that keeps
+    # scaling when p outgrows the row count / per-row memory).
+    from ..parallel.sharded import solve_sharded_2d
+
+    base_eps = None
+    for p in counts:
+        pr = 1
+        while pr * 2 <= p // pr:
+            pr *= 2
+        pc = p // pr
+        if pr * pc != p or dim % pr or dim % pc:
+            continue
+        mesh = Mesh(np.array(devs[:p]).reshape(pr, pc), ("rows", "cols"))
+        fn = lambda: solve_sharded_2d(A, mesh, config=DEFAULT_CONFIG)
+        res = fn()
+        rounds = int(res.rounds)
+        ms = time_call(fn, reps=reps)
+
+        def step(i, state, _mesh=mesh):
+            A_, acc = state
+            scale = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+            r = solve_sharded_2d(A_, _mesh, config=DEFAULT_CONFIG, ev0_scale=scale)
+            return (A_, r.eigenvalue.astype(jnp.float32))
+
+        A_sh = jax.device_put(A, NamedSharding(mesh, P("rows", "cols")))
+        dev_ms = time_marginal(step, (A_sh, jnp.float32(0.0)), k=4, reps=reps)
+        eps_chip = rounds * dim * dim / max(dev_ms * 1e-3, 1e-9) / p
+        if base_eps is None:
+            base_eps = eps_chip
+        rows.append(
+            {
+                "bench": "sharded",
+                "solver": "matvec_2d",
+                "dim": dim,
+                "shards": p,
+                "mesh": f"{pr}x{pc}",
+                "ms": ms,
+                "device_ms": dev_ms,
+                "rounds": rounds,
+                "elems_per_s_per_chip": eps_chip,
+                "scaling_efficiency": eps_chip / base_eps,
+            }
+        )
     return rows
 
 

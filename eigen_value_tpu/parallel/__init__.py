@@ -7,9 +7,11 @@ from .multihost import (
     solve_multihost,
 )
 from .sharded import (
+    make_mesh2d,
     make_row_mesh,
     solve_batched_rowsharded,
     solve_sharded,
+    solve_sharded_2d,
     solve_sharded_matvec,
     solve_sharded_matvec_ring,
 )
@@ -22,7 +24,9 @@ __all__ = [
     "solve_batched_sharded",
     "solve_multihost",
     "solve_sharded",
+    "solve_sharded_2d",
     "solve_sharded_matvec",
     "solve_sharded_matvec_ring",
+    "make_mesh2d",
     "make_row_mesh",
 ]

@@ -529,6 +529,204 @@ def solve_batched_rowsharded(
     )
 
 
+def _shard2d_matvec_body(
+    eps: float,
+    max_itr: int,
+    row_axis: str,
+    col_axis: str,
+    n_rows_shards: int,
+    n_cols_shards: int,
+    storage_dtype=None,
+):
+    """Per-shard matvec-form loop for a 2D (rows × cols) block sharding.
+
+    Shard (i, j) of a ``pr × pc`` mesh holds the n/pr × n/pc block
+    ``A[i·n/pr:(i+1)·n/pr, j·n/pc:(j+1)·n/pc]`` — per-shard matrix memory
+    is n²/(pr·pc), the quadratic scaling the 1D row sharding cannot reach
+    (its shards keep full n-length rows).  This is the "column-sharded row
+    sums need a psum" form SURVEY.md §5 anticipates; 1 × pc meshes give
+    pure column sharding as a special case.
+
+    Per round (matvec form — A is never written, see ops/solver_matvec.py):
+
+      1. local block GEMV against the replicated eigenvector's column
+         chunk: ``y_loc = A_blk @ ev[cols_j]``            (O(n²/(pr·pc)))
+      2. ``psum`` of the pc partials along ``col_axis``   (O(n/pr) wire)
+      3. ``v_loc = y_loc / ev[rows_i]``; ``all_gather`` the pr row chunks
+         along ``row_axis`` → full v replicated           (O(n) wire)
+      4. max / stop / λ / ev update computed redundantly from the
+         replicated v (exactly the 1D body's policy).
+
+    Float32 caveat: step 2 splits each row-sum reduction into pc partial
+    sums — a different reduction grouping than the single-chip (and 1D
+    row-sharded) dot over all n columns, so round counts are only
+    guaranteed within the usual float32 slack, not bit-for-bit (tests pin
+    Hilbert parity on the shipped mesh shapes).
+
+    ``storage_dtype`` (bf16 fast mode): the local block is cast once,
+    block GEMVs accumulate in float32, all O(n) state stays float32 —
+    single-chip fast-mode semantics (solver_matvec.py:223-265).
+    """
+
+    def solve_block(A_blk: jax.Array, ev0_scale: jax.Array) -> SolveResult:
+        n_r, n_c = A_blk.shape
+        n = n_r * n_rows_shards
+        Aq_blk = A_blk if storage_dtype is None else A_blk.astype(storage_dtype)
+        dtype = A_blk.dtype if storage_dtype is None else jnp.float32
+        i_row = lax.axis_index(row_axis)
+        i_col = lax.axis_index(col_axis)
+        row0 = i_row * n_r
+        col0 = i_col * n_c
+
+        def next_v(ev):
+            ev_cols = lax.dynamic_slice(ev, (col0,), (n_c,))
+            if storage_dtype is None:
+                y = Aq_blk @ ev_cols
+            else:
+                y = jnp.dot(
+                    Aq_blk,
+                    ev_cols.astype(storage_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            y = lax.psum(y, col_axis)  # complete local row sums
+            ev_rows = lax.dynamic_slice(ev, (row0,), (n_r,))
+            v_loc = y / ev_rows
+            return lax.all_gather(v_loc, row_axis, tiled=True)  # (n,)
+
+        ev0 = jnp.ones((n,), dtype) * ev0_scale.astype(dtype)
+        v0 = next_v(ev0)
+
+        # Round-2 loop structure (ops/solver_matvec.py): stop check in the
+        # COND (v is replicated ⇒ replicated predicate, lockstep exit),
+        # branch-free body, converging round's ev update after the loop.
+        def cond(c):
+            ev, v, lam, i = c
+            return (i < max_itr) & jnp.logical_not(stop_check(v, eps))
+
+        def body(c):
+            ev, v, lam, i = c
+            m = jnp.max(v)
+            ev = ev * (v / m)
+            lam = v[0]
+            return (ev, next_v(ev), lam, i + 1)
+
+        init = (ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
+        ev, v, lam_prev, i = lax.while_loop(cond, body, init)
+        converged = i < max_itr
+        ev = jnp.where(converged, ev * (v / jnp.max(v)), ev)
+        lam = jnp.where(converged, v[0], lam_prev)
+        ev_loc = lax.dynamic_slice(ev, (row0,), (n_r,))
+        return SolveResult(lam, ev_loc, i, converged)
+
+    return solve_block
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "row_axis",
+        "col_axis",
+        "eps",
+        "max_itr",
+        "storage_dtype",
+    ),
+)
+def _solve_sharded_2d_jit(
+    A, mesh, row_axis, col_axis, eps, max_itr, storage_dtype=None, ev0_scale=None
+):
+    solve_block = _shard2d_matvec_body(
+        eps,
+        max_itr,
+        row_axis,
+        col_axis,
+        mesh.shape[row_axis],
+        mesh.shape[col_axis],
+        storage_dtype,
+    )
+    fn = shard_map(
+        solve_block,
+        mesh=mesh,
+        in_specs=(P(row_axis, col_axis), P()),
+        out_specs=SolveResult(P(), P(row_axis), P(), P()),
+        check_vma=False,  # λ/rounds/done are replicated by construction
+    )
+    if ev0_scale is None:
+        ev0_scale = jnp.float32(1.0)
+    return fn(A, jnp.asarray(ev0_scale, jnp.float32))
+
+
+def solve_sharded_2d(
+    A: jax.Array,
+    mesh: Mesh,
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    config: SolverConfig = DEFAULT_CONFIG,
+    ev0_scale: jax.Array | float = 1.0,
+) -> SolveResult:
+    """2D block-sharded matvec-form solve over a ``rows × cols`` mesh.
+
+    Shard (i, j) holds one n/pr × n/pc block of A — per-chip matrix memory
+    scales as 1/(pr·pc), vs 1/pr for :func:`solve_sharded_matvec`'s full
+    rows.  Use when n² no longer fits a 1D sharding's per-chip footprint
+    (the "long-context" scaling axis of SURVEY.md §5); for meshes where the
+    rows axis alone suffices, the 1D form does one collective per round
+    instead of two and should be preferred.
+
+    Per round: one O(n²/(pr·pc)) local block GEMV, one O(n/pr) ``psum``
+    along ``col_axis``, one O(n) ``all_gather`` along ``row_axis``.  A 1×pc
+    mesh degenerates to pure column sharding (row sums via psum only).
+
+    ``config.storage_dtype`` (bf16 fast mode) is honored with single-chip
+    semantics; A may arrive pre-cast (no f32 copy is ever made).
+    ``ev0_scale`` threads bench-chain data dependence (scale-invariant).
+
+    Round-count caveat: splitting each row sum into pc partials changes
+    the float32 reduction grouping, so round counts are guaranteed only
+    within the usual ±1 float32 slack of the single-chip path (Hilbert
+    parity on the shipped mesh shapes is pinned by tests).
+    """
+    n = A.shape[0]
+    pr, pc = mesh.shape[row_axis], mesh.shape[col_axis]
+    if n % pr != 0:
+        raise ValueError(f"dim {n} not divisible by {pr} row shards")
+    if n % pc != 0:
+        raise ValueError(f"dim {n} not divisible by {pc} col shards")
+    A = jax.device_put(A, NamedSharding(mesh, P(row_axis, col_axis)))
+    return _solve_sharded_2d_jit(
+        A,
+        mesh,
+        row_axis,
+        col_axis,
+        config.eps,
+        config.max_itr,
+        config.storage_dtype,
+        ev0_scale,
+    )
+
+
+def make_mesh2d(
+    pr: int,
+    pc: int,
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+) -> Mesh:
+    """pr × pc mesh over the first pr·pc available devices (CPU fallback
+    as :func:`make_row_mesh`)."""
+    want = pr * pc
+    devs = jax.devices()
+    if len(devs) < want:
+        devs = jax.devices("cpu")
+        if len(devs) < want:
+            raise ValueError(
+                f"requested a {pr}x{pc} mesh but only {len(devs)} devices "
+                "are visible (set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={want}"
+                " for a virtual CPU mesh)"
+            )
+    return Mesh(np.array(devs[:want]).reshape(pr, pc), (row_axis, col_axis))
+
+
 def make_row_mesh(n_devices: Optional[int] = None, axis_name: str = "rows") -> Mesh:
     """1D mesh over the first ``n_devices`` available devices.
 

@@ -15,11 +15,13 @@ from jax.sharding import Mesh
 from eigen_value_tpu import fixtures
 from eigen_value_tpu.ops.solver import solve_xla
 from eigen_value_tpu.parallel import (
+    make_mesh2d,
     make_row_mesh,
     solve_batched,
     solve_batched_rowsharded,
     solve_batched_sharded,
     solve_sharded,
+    solve_sharded_2d,
     solve_sharded_matvec,
     solve_sharded_matvec_ring,
 )
@@ -143,6 +145,83 @@ class TestShardedRing:
         b = solve_sharded_matvec_ring(H, cpu_mesh(4))
         assert int(a.rounds) == int(b.rounds)
         assert abs(float(a.eigenvalue) - float(b.eigenvalue)) < 1e-4
+
+
+class TestSharded2D:
+    """2D (rows × cols) block sharding: per-shard memory n²/(pr·pc); row
+    sums complete via psum along cols, v replicated via all_gather along
+    rows.  1×pc is pure column sharding (SURVEY.md §5's psum form)."""
+
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8), (8, 1), (2, 2)])
+    def test_matches_single_device(self, shape):
+        H = fixtures.hilbert_matrix(256)
+        want = solve_xla(H, EPS, MAX_ITR)
+        got = solve_sharded_2d(H, make_mesh2d(*shape))
+        assert int(got.rounds) == int(want.rounds) == fixtures.HILBERT_ROUNDS[256]
+        assert bool(got.converged)
+        assert abs(float(got.eigenvalue) - float(want.eigenvalue)) < 1e-5
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvector), np.asarray(want.eigenvector), atol=1e-5
+        )
+
+    def test_agrees_with_row_sharded(self):
+        H = fixtures.hilbert_matrix(512)
+        a = solve_sharded_matvec(H, cpu_mesh(4))
+        b = solve_sharded_2d(H, make_mesh2d(2, 4))
+        assert int(a.rounds) == int(b.rounds) == fixtures.HILBERT_ROUNDS[512]
+        assert abs(float(a.eigenvalue) - float(b.eigenvalue)) < 1e-5
+
+    def test_eigen_pair_property(self, rng):
+        mat = jnp.asarray(rng.random((128, 128), dtype=np.float32) + 1e-4)
+        got = solve_sharded_2d(mat, make_mesh2d(2, 4))
+        v = np.asarray(got.eigenvector)
+        lam = float(got.eigenvalue)
+        assert bool(got.converged)
+        assert np.allclose(np.asarray(mat) @ v, lam * v, atol=1e-3)
+
+    def test_storage_dtype_fast_mode(self, rng):
+        """bf16 block storage with f32 state: λ at the reduced-precision
+        rtol-2e-3 contract vs the f32 2D solve (random matrices carry no
+        round-count contract — see TestRowShardedStorageDtype's rationale);
+        Hilbert, where the eps stop is relatively loose, stays within ±1
+        round."""
+        from eigen_value_tpu.config import SolverConfig
+
+        cfg = SolverConfig(storage_dtype=jnp.bfloat16)
+        mat = jnp.asarray(rng.random((256, 256), dtype=np.float32) + 1e-2)
+        f32 = solve_sharded_2d(mat, make_mesh2d(2, 4))
+        bf16 = solve_sharded_2d(mat, make_mesh2d(2, 4), config=cfg)
+        assert bool(bf16.converged)
+        assert bf16.eigenvalue.dtype == jnp.float32
+        assert bf16.eigenvector.dtype == jnp.float32
+        np.testing.assert_allclose(
+            float(bf16.eigenvalue), float(f32.eigenvalue), rtol=2e-3
+        )
+        H = fixtures.hilbert_matrix(256)
+        h_f32 = solve_sharded_2d(H, make_mesh2d(2, 4))
+        h_bf16 = solve_sharded_2d(H, make_mesh2d(2, 4), config=cfg)
+        assert abs(int(h_bf16.rounds) - int(h_f32.rounds)) <= 1
+
+    def test_indivisible_dims_raise(self):
+        H = fixtures.hilbert_matrix(130)  # 130 = 2·65: 2 divides, 4 doesn't
+        with pytest.raises(ValueError, match="row shards"):
+            solve_sharded_2d(H, make_mesh2d(4, 2))
+        with pytest.raises(ValueError, match="col shards"):
+            solve_sharded_2d(H, make_mesh2d(2, 4))
+
+    def test_make_mesh2d_too_few_devices_raises(self):
+        with pytest.raises(ValueError, match="only"):
+            make_mesh2d(64, 64)
+
+    def test_api_mesh_dispatch(self):
+        """max_eigenvalue(mesh=...) routes a rows×cols mesh to the 2D
+        block-sharded solver (and keeps round parity)."""
+        from eigen_value_tpu import max_eigenvalue
+
+        H = fixtures.hilbert_matrix(256)
+        res = max_eigenvalue(H, mesh=make_mesh2d(2, 4))
+        assert int(res.rounds) == fixtures.HILBERT_ROUNDS[256]
+        assert bool(res.converged)
 
 
 class TestBatched:
