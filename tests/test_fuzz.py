@@ -112,3 +112,29 @@ class TestShardedDifferentialFuzz:
                     float(want.eigenvalue), rel=1e-5
                 ), (solver_name, n, p, kind)
                 assert bool(got.converged) == bool(want.converged)
+
+    def test_2d_matches_single_chip(self, rng):
+        """2D block sharding vs single chip.  The psum along cols changes
+        the float32 row-sum reduction grouping, so the round contract is
+        ±1 (not bit parity); λ and the eigen-pair property must hold to
+        the method's eps either way."""
+        from eigen_value_tpu.parallel import make_mesh2d, solve_sharded_2d
+
+        for n, (pr, pc) in ((64, (2, 2)), (96, (2, 4)), (128, (4, 2)), (160, (1, 8))):
+            mesh = make_mesh2d(pr, pc)
+            seen = set()
+            cases = [
+                (k, m)
+                for k, m in _cases(rng, n=n, count=2)
+                if not (k in seen or seen.add(k))
+            ]
+            for kind, mat in cases:
+                want = solve_matvec(jnp.asarray(mat), EPS, MAX_ITR)
+                got = solve_sharded_2d(jnp.asarray(mat), mesh)
+                assert abs(int(got.rounds) - int(want.rounds)) <= 1, (
+                    n, pr, pc, kind,
+                )
+                assert bool(got.converged)
+                v = np.asarray(got.eigenvector)
+                lam = float(got.eigenvalue)
+                assert np.allclose(mat @ v, lam * v, atol=2e-3), (n, pr, pc, kind)
