@@ -85,6 +85,49 @@ def ring_exchange_exposed_us(
     return exposed
 
 
+def exchange_2d_us(
+    n: int, pr: int, pc: int, hosts: int = 1, spec: ChipSpec = DEFAULT_SPEC
+) -> float:
+    """Per-round exchange of the 2D block-sharded form
+    (parallel/sharded.py::solve_sharded_2d): a psum of the n/pr partial
+    row-sum vector along the pc-chip cols axis (ring all-reduce:
+    2(pc−1)/pc of the payload over the wire) followed by the same
+    row-axis all_gather as the 1D gathered form.  The cols axis is laid
+    out innermost (intra-host) so the psum rides ICI; only the rows
+    gather can cross hosts."""
+    psum = 0.0
+    if pc > 1:
+        payload = (n / pr) * spec.itemsize
+        psum = (
+            2 * (pc - 1) / pc * payload / spec.ici_gbps / 1e3
+            + 2 * (pc - 1) * spec.ici_latency_us
+        )
+    return psum + gather_exchange_us(n, pr, hosts, spec)
+
+
+def round_time_2d_us(
+    n: int,
+    pr: int,
+    pc: int,
+    hosts: int = 1,
+    spec: ChipSpec = DEFAULT_SPEC,
+) -> float:
+    """Predicted per-round wall time of the 2D block-sharded solve: the
+    HBM-bound (n/pr × n/pc) block GEMV plus the psum+gather exchange."""
+    local = (n / pr) * (n / pc) * spec.itemsize / spec.hbm_gbps / 1e3
+    return local + exchange_2d_us(n, pr, pc, hosts, spec)
+
+
+def balanced_factorization(p: int) -> tuple:
+    """(pr, pc) with pr·pc = p and pr the largest divisor ≤ √p — the
+    squarest mesh shape, which the bench suite and prediction table use."""
+    pr = 1
+    for cand in range(1, int(p**0.5) + 1):
+        if p % cand == 0:
+            pr = cand
+    return pr, p // pr
+
+
 def round_time_us(
     n: int,
     p: int,
@@ -241,6 +284,21 @@ def prediction_table(
                         "solver": "matvec_ring" if ring else "matvec_gather",
                         "round_us": round_time_us(n, p, hosts, ring, spec),
                         "efficiency": scaling_efficiency(n, p, hosts, ring, spec),
+                    }
+                )
+            pr, pc = balanced_factorization(p)
+            if n % pr == 0 and n % pc == 0:
+                t1 = round_time_us(n, 1, 1, False, spec)
+                t2d = round_time_2d_us(n, pr, pc, hosts, spec)
+                rows.append(
+                    {
+                        "bench": "model",
+                        "dim": n,
+                        "chips": p,
+                        "hosts": hosts,
+                        "solver": f"matvec_2d_{pr}x{pc}",
+                        "round_us": t2d,
+                        "efficiency": (t1 / p) / t2d,
                     }
                 )
     return rows

@@ -99,3 +99,53 @@ class TestCalibration:
         ]
         effs = [r["efficiency"] for r in sorted(g, key=lambda r: r["ici_latency_us"])]
         assert effs == sorted(effs, reverse=True)
+
+
+class TestModel2D:
+    def test_balanced_factorization(self):
+        from eigen_value_tpu.utils.scaling_model import balanced_factorization
+
+        assert balanced_factorization(1) == (1, 1)
+        assert balanced_factorization(8) == (2, 4)
+        assert balanced_factorization(16) == (4, 4)
+        assert balanced_factorization(12) == (3, 4)
+        assert balanced_factorization(7) == (1, 7)
+
+    def test_degenerate_cols_axis_equals_gather_form(self):
+        """pc=1 has no psum: the 2D round time must equal the 1D gathered
+        form with p=pr shards (same local GEMV, same rows gather)."""
+        from eigen_value_tpu.utils.scaling_model import (
+            round_time_2d_us,
+            round_time_us,
+        )
+
+        for pr in (1, 4, 8):
+            assert round_time_2d_us(32768, pr, 1) == pytest.approx(
+                round_time_us(32768, pr, ring=False)
+            )
+
+    def test_pure_column_sharding_pays_psum_only(self):
+        from eigen_value_tpu.utils.scaling_model import (
+            exchange_2d_us,
+            gather_exchange_us,
+        )
+
+        # pr=1: no rows gather (gather_exchange_us(n, 1) == 0), psum > 0
+        assert gather_exchange_us(4096, 1) == 0.0
+        assert exchange_2d_us(4096, 1, 8) > 0.0
+
+    def test_prediction_table_includes_2d_rows(self):
+        from eigen_value_tpu.utils.scaling_model import prediction_table
+
+        rows = prediction_table(dims=[8192], chip_counts=(1, 8))
+        solvers = {r["solver"] for r in rows}
+        assert "matvec_2d_2x4" in solvers
+        r2d = [r for r in rows if r["solver"] == "matvec_2d_2x4"][0]
+        # the extra psum makes 2D no faster than the 1D gathered form at
+        # the same chip count — it's a memory-capacity play
+        r1d = [
+            r
+            for r in rows
+            if r["solver"] == "matvec_gather" and r["chips"] == 8
+        ][0]
+        assert r2d["round_us"] >= r1d["round_us"]
