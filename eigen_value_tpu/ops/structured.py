@@ -82,3 +82,47 @@ def hilbert_matvec(n: int, dtype=jnp.float32):
     operator — the benchmark family without its n² bytes."""
     h = 1.0 / jnp.arange(1, 2 * n, dtype=dtype)
     return hankel_matvec(h, n)
+
+
+def circulant_matvec(c: jax.Array, n: int):
+    """Matvec closure for the n×n circulant matrix ``A[i][j] =
+    c[(i-j) mod n]`` (first column ``c``).
+
+    Circulants diagonalize in the Fourier basis, so ``y = A x`` is the
+    EXACT circular convolution ``irfft(rfft(c)·rfft(x))`` — no padding,
+    no aliasing slice (the special case of Toeplitz where wraparound is
+    the structure itself).  O(n log n) per matvec, O(n) memory.
+    """
+    if c.shape[0] != n:
+        raise ValueError(f"need len(c) == n == {n}, got {c.shape[0]}")
+    Cf = jnp.fft.rfft(c.astype(jnp.float32))
+
+    def matvec(x: jax.Array) -> jax.Array:
+        z = jnp.fft.irfft(Cf * jnp.fft.rfft(x.astype(jnp.float32)), n)
+        return z.astype(x.dtype)
+
+    return matvec
+
+
+def kron_matvec(B: jax.Array, C: jax.Array):
+    """Matvec closure for the Kronecker product ``A = B ⊗ C`` (B p×p,
+    C q×q, A n×n with n = p·q) — never materialized.
+
+    With x viewed row-major as the p×q matrix X (``x[i·q + j] = X[i,j]``),
+    ``(B ⊗ C) x = vec(B X Cᵀ)``: two dense matmuls, O(pq(p+q)) FLOPs vs
+    the dense pass's O(p²q²) — and unlike the FFT operators these run ON
+    THE MXU (the systolic array), so large Kronecker-structured solves
+    are compute-dense, not bandwidth-bound.  B, C positive ⇒ A positive
+    (entrywise product of positives), and λ_max(A) = λ_max(B)·λ_max(C) —
+    tests pin that identity against the dense solve.
+    """
+    p, p2 = B.shape
+    q, q2 = C.shape
+    if p != p2 or q != q2:
+        raise ValueError(f"need square factors, got {B.shape} and {C.shape}")
+
+    def matvec(x: jax.Array) -> jax.Array:
+        X = x.reshape(p, q)
+        return (B @ X @ C.T).reshape(-1)
+
+    return matvec

@@ -91,6 +91,60 @@ class TestStructuredMatvecs:
         with pytest.raises(ValueError, match="len"):
             toeplitz_matvec(jnp.ones(3), jnp.ones(4), 4)
 
+    def test_circulant_matches_dense(self, rng):
+        from eigen_value_tpu.ops.structured import circulant_matvec
+
+        n = 96
+        c = jnp.asarray(rng.random(n, dtype=np.float32) + 0.1)
+        idx = np.mod(np.subtract.outer(np.arange(n), np.arange(n)), n)
+        A = np.asarray(c)[idx]
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        got = np.asarray(circulant_matvec(c, n)(x))
+        np.testing.assert_allclose(got, A @ np.asarray(x), rtol=2e-5, atol=1e-5)
+
+    def test_circulant_operator_solve(self, rng):
+        """A positive circulant's Perron eigenvalue is its column sum
+        (constant row sums ⇒ the all-ones vector is the eigenvector and
+        the solve stops in round 0)."""
+        from eigen_value_tpu.ops.structured import circulant_matvec
+
+        n = 128
+        c = jnp.asarray(rng.random(n, dtype=np.float32) + 0.1)
+        got = solve_operator(circulant_matvec(c, n), n, EPS, MAX_ITR)
+        assert bool(got.converged)
+        assert int(got.rounds) == 0
+        assert float(got.eigenvalue) == pytest.approx(float(c.sum()), rel=1e-5)
+
+    def test_kron_matches_dense(self, rng):
+        from eigen_value_tpu.ops.structured import kron_matvec
+
+        B = rng.random((12, 12), dtype=np.float32) + 0.1
+        C = rng.random((8, 8), dtype=np.float32) + 0.1
+        x = jnp.asarray(rng.random(96, dtype=np.float32))
+        got = np.asarray(kron_matvec(jnp.asarray(B), jnp.asarray(C))(x))
+        np.testing.assert_allclose(
+            got, np.kron(B, C) @ np.asarray(x), rtol=2e-5, atol=1e-5
+        )
+
+    def test_kron_operator_solve(self, rng):
+        """λ_max(B ⊗ C) = λ_max(B)·λ_max(C): the operator solve must
+        recover the product of the factors' dense solves."""
+        from eigen_value_tpu.ops.structured import kron_matvec
+
+        B = jnp.asarray(rng.random((16, 16), dtype=np.float32) + 0.1)
+        C = jnp.asarray(rng.random((24, 24), dtype=np.float32) + 0.1)
+        got = solve_operator(kron_matvec(B, C), 16 * 24, EPS, MAX_ITR)
+        lam_b = float(solve_matvec(B, EPS, MAX_ITR).eigenvalue)
+        lam_c = float(solve_matvec(C, EPS, MAX_ITR).eigenvalue)
+        assert bool(got.converged)
+        assert float(got.eigenvalue) == pytest.approx(lam_b * lam_c, rel=1e-3)
+
+    def test_kron_shape_validation(self):
+        from eigen_value_tpu.ops.structured import kron_matvec
+
+        with pytest.raises(ValueError, match="square"):
+            kron_matvec(jnp.ones((3, 4)), jnp.ones((2, 2)))
+
     def test_toeplitz_operator_solve(self, rng):
         """A positive symmetric Toeplitz operator solved matrix-free
         matches the dense matvec solver."""
