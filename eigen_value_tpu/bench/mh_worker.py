@@ -33,9 +33,10 @@ def main() -> int:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument(
         "--solver",
-        choices=["gather", "ring"],
+        choices=["gather", "ring", "2d"],
         default="gather",
-        help="per-round exchange: all_gather vs ring-pipelined ppermute",
+        help="per-round exchange: all_gather, ring-pipelined ppermute, or "
+        "2D block sharding (psum along local devices + rows gather)",
     )
     p.add_argument(
         "--measure-exchange",
@@ -76,7 +77,10 @@ def main() -> int:
     # The mesh is pinned to the CPU platform: an auxiliary accelerator
     # plugin (e.g. a tunneled TPU) may register despite JAX_PLATFORMS and
     # must not join the process group's mesh.
-    mesh = multihost.make_global_row_mesh(platform="cpu")
+    if args.solver == "2d":
+        mesh = multihost.make_global_mesh2d(platform="cpu")
+    else:
+        mesh = multihost.make_global_row_mesh(platform="cpu")
 
     if args.measure_exchange:
         # Bare per-round exchange: all_gather of an n-length f32 vector
@@ -183,9 +187,16 @@ def main() -> int:
     r = np.arange(row0, row0 + n_local, dtype=np.int32)[:, None]
     c = np.arange(n, dtype=np.int32)[None, :]
     local_rows = np.float32(1.0) / (r + c + 1).astype(np.float32)
-    A = multihost.assemble_rowsharded(local_rows, mesh)
+    if args.solver == "2d":
+        from eigen_value_tpu.parallel import solve_sharded_2d
+
+        A = multihost.assemble_blocksharded(local_rows, mesh)
+    else:
+        A = multihost.assemble_rowsharded(local_rows, mesh)
 
     def solve():
+        if args.solver == "2d":
+            return jax.block_until_ready(solve_sharded_2d(A, mesh))
         if args.solver == "ring":
             return jax.block_until_ready(solve_sharded_matvec_ring(A, mesh))
         return jax.block_until_ready(multihost.solve_multihost(A, mesh=mesh))

@@ -2,7 +2,9 @@
 
 from .batched import solve_batched, solve_batched_sharded
 from .multihost import (
+    assemble_blocksharded,
     assemble_rowsharded,
+    make_global_mesh2d,
     make_global_row_mesh,
     solve_multihost,
 )
@@ -17,7 +19,9 @@ from .sharded import (
 )
 
 __all__ = [
+    "assemble_blocksharded",
     "assemble_rowsharded",
+    "make_global_mesh2d",
     "make_global_row_mesh",
     "solve_batched",
     "solve_batched_rowsharded",

@@ -68,6 +68,29 @@ def make_global_row_mesh(
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_global_mesh2d(
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    platform: Optional[str] = None,
+) -> Mesh:
+    """2D (processes × local devices) mesh for block-sharded multi-host
+    solves: the rows axis is the PROCESS axis (so the per-round rows
+    gather is the only collective crossing DCN) and the cols axis spans
+    each host's local devices (the psum completing the row sums rides
+    ICI).  Pairs with :func:`assemble_blocksharded` and
+    :func:`..sharded.solve_sharded_2d`.
+    """
+    devs = jax.devices(platform) if platform else jax.devices()
+    procs = sorted({d.process_index for d in devs})
+    by_proc = [[d for d in devs if d.process_index == p] for p in procs]
+    if len({len(b) for b in by_proc}) != 1:
+        raise ValueError(
+            "processes own unequal device counts "
+            f"({[len(b) for b in by_proc]}) — cannot form a rectangular mesh"
+        )
+    return Mesh(np.array(by_proc), (row_axis, col_axis))
+
+
 def _require_host_major(proc_seq) -> None:
     """Validate the placement precondition of :func:`assemble_rowsharded`:
     process p's block lands at global rows [p·n/P, (p+1)·n/P) ONLY if the
@@ -120,6 +143,77 @@ def assemble_rowsharded(
     sharding = NamedSharding(mesh, P(axis_name, None))
     chunks = np.split(np.ascontiguousarray(local_rows), len(my_devs))
     shards = [jax.device_put(ch, d) for ch, d in zip(chunks, my_devs)]
+    return jax.make_array_from_single_device_arrays((n, n), sharding, shards)
+
+
+def assemble_blocksharded(
+    local_rows: np.ndarray,
+    mesh: Mesh,
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+) -> jax.Array:
+    """Assemble the GLOBAL 2D block-sharded matrix from this process's
+    contiguous row block (the 2D analog of :func:`assemble_rowsharded`).
+
+    Each process passes its rows ``[p·n/P, (p+1)·n/P)`` as one host
+    array; they are split column-wise across the process's devices along
+    ``col_axis`` and placed so device (i, j) holds block
+    ``A[i·n/pr:(i+1)·n/pr, j·n/pc:(j+1)·n/pc]``.  No data crosses hosts.
+    Preconditions validated: every ``row_axis`` slice of the mesh is
+    owned by exactly one process, processes appear in host-major order,
+    and each owns the same number of mesh rows (the layout
+    :func:`make_global_mesh2d` builds).
+    """
+    n = local_rows.shape[1]
+    names = list(mesh.axis_names)
+    grid = np.moveaxis(
+        mesh.devices, (names.index(row_axis), names.index(col_axis)), (0, 1)
+    )
+    pr, pc = grid.shape
+    if n % pr or n % pc:
+        raise ValueError(f"dim {n} not divisible by the {pr}x{pc} mesh")
+    row_procs = []
+    for i in range(pr):
+        procs = {d.process_index for d in grid[i]}
+        if len(procs) != 1:
+            raise ValueError(
+                f"mesh row {i} spans processes {sorted(procs)} — each "
+                "rows-axis block must be owned by one process (build the "
+                "mesh with make_global_mesh2d)"
+            )
+        row_procs.append(procs.pop())
+    _require_host_major(row_procs)
+    counts = {p: row_procs.count(p) for p in set(row_procs)}
+    if len(set(counts.values())) != 1:
+        raise ValueError(
+            f"processes own unequal mesh-row counts ({counts}) — row "
+            "blocks would have unequal sizes"
+        )
+    n_procs = len(counts)
+    if local_rows.shape[0] * n_procs != n:
+        raise ValueError(
+            f"local block {local_rows.shape} with {n_procs} processes "
+            f"does not assemble to a square {n}×{n} matrix"
+        )
+    local_set = set(jax.local_devices(backend=grid[0, 0].platform))
+    my_rows = [i for i in range(pr) if grid[i, 0] in local_set]
+    blk_r, blk_c = n // pr, n // pc
+    row_base = min(my_rows) * blk_r
+    local_rows = np.ascontiguousarray(local_rows)
+    shards = [
+        jax.device_put(
+            np.ascontiguousarray(
+                local_rows[
+                    i * blk_r - row_base : (i + 1) * blk_r - row_base,
+                    j * blk_c : (j + 1) * blk_c,
+                ]
+            ),
+            grid[i, j],
+        )
+        for i in my_rows
+        for j in range(pc)
+    ]
+    sharding = NamedSharding(mesh, P(row_axis, col_axis))
     return jax.make_array_from_single_device_arrays((n, n), sharding, shards)
 
 

@@ -31,7 +31,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("solver", ["gather", "ring"])
+@pytest.mark.parametrize("solver", ["gather", "ring", "2d"])
 def test_two_process_solve_parity(solver):
     port = _free_port()
     from conftest import subprocess_env

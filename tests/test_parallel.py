@@ -498,3 +498,28 @@ class TestHostMajorValidation:
         A = assemble_rowsharded(H, mesh)
         got = solve_sharded_matvec(A, mesh)
         assert int(got.rounds) == fixtures.HILBERT_ROUNDS[128]
+
+    def test_assemble_blocksharded_placement(self):
+        """Block placement correctness: the assembled global array must be
+        ELEMENTWISE equal to the source matrix (a wrong (i, j) offset would
+        still solve 'something' — equality is the real check), and the 2D
+        solve on it keeps round parity."""
+        from eigen_value_tpu.parallel.multihost import assemble_blocksharded
+        from eigen_value_tpu.parallel.sharded import make_mesh2d, solve_sharded_2d
+
+        H = np.asarray(fixtures.hilbert_matrix(128))
+        mesh = make_mesh2d(2, 4)
+        A = assemble_blocksharded(H, mesh)
+        np.testing.assert_array_equal(np.asarray(A), H)
+        got = solve_sharded_2d(A, mesh)
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[128]
+
+    def test_assemble_blocksharded_rejects_bad_shapes(self):
+        from eigen_value_tpu.parallel.multihost import assemble_blocksharded
+        from eigen_value_tpu.parallel.sharded import make_mesh2d
+
+        mesh = make_mesh2d(2, 4)
+        with pytest.raises(ValueError, match="not divisible"):
+            assemble_blocksharded(np.ones((130, 130), np.float32), mesh)
+        with pytest.raises(ValueError, match="square"):
+            assemble_blocksharded(np.ones((64, 256), np.float32), mesh)
