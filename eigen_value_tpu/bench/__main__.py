@@ -183,6 +183,7 @@ def main(argv=None) -> int:
         if not args.json:
             for r in rows:
                 print(
+                    f"[{r.get('solver', 'gather')}] "
                     f"{r['processes']} process(es) x "
                     f"{r['global_devices'] // r['processes']} device(s): "
                     f"{r['dim']} x {r['dim']}  {r['ms']:.2f} ms, "

@@ -397,11 +397,13 @@ def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
     """
     single = _run_mh_workers(1, 8, dim, reps)[0]
     multi = _run_mh_workers(2, 4, dim, reps)[0]
+    multi_2d = _run_mh_workers(2, 4, dim, reps, extra_args=["--solver", "2d"])[0]
     rows = []
-    for r in (single, multi):
+    for r, solver in ((single, "gather"), (multi, "gather"), (multi_2d, "2d")):
         rows.append(
             {
                 "bench": "multihost",
+                "solver": solver,
                 "processes": r["num_processes"],
                 "global_devices": r["global_devices"],
                 "dim": r["dim"],

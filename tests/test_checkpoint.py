@@ -166,6 +166,22 @@ def test_sharded_state_steps_identically(hilbert, oneshot):
     assert float(st.lam) == float(oneshot.eigenvalue)
 
 
+def test_2d_blocksharded_state_steps_identically(hilbert, oneshot):
+    """Same composition over a 2D (rows × cols) block sharding: GSPMD
+    partitions the matvec over the blocks and inserts the psum/gather."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from eigen_value_tpu.parallel.sharded import make_mesh2d
+
+    mesh = make_mesh2d(2, 4)
+    Hs = jax.device_put(hilbert, NamedSharding(mesh, P("rows", "cols")))
+    st = checkpoint.step(checkpoint.init_state(Hs), 1000)
+    assert bool(st.done)
+    assert int(st.rounds) == int(oneshot.rounds)
+    assert float(st.lam) == pytest.approx(float(oneshot.eigenvalue), rel=1e-6)
+
+
 def test_bf16_storage_stepping_matches_storage_solver():
     """Chunked stepping of a bf16-storage matrix must match
     solve_matvec_storage — same rounds, λ/ev to within an ulp (XLA fuses
