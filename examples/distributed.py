@@ -30,8 +30,10 @@ jax.config.update("jax_platforms", "cpu")
 
 from eigen_value_tpu import checkpoint, fixtures
 from eigen_value_tpu.parallel import (
+    make_mesh2d,
     make_row_mesh,
     solve_batched_sharded,
+    solve_sharded_2d,
     solve_sharded_matvec,
     solve_sharded_matvec_ring,
 )
@@ -52,6 +54,16 @@ def main() -> None:
     # Ring-pipelined: ppermute chunk rotation overlapped with chunk GEMVs.
     res_ring = solve_sharded_matvec_ring(H, mesh)
     print(f"ring:     λ = {float(res_ring.eigenvalue):.5f}, rounds = {int(res_ring.rounds)}")
+
+    # 2D block sharding: per-chip memory n²/(pr·pc) — the layout for n
+    # too large even for full-row shards.
+    if n_dev % 2 == 0:
+        pr, pc = 2, n_dev // 2
+        res_2d = solve_sharded_2d(H, make_mesh2d(pr, pc))
+        print(
+            f"2D {pr}x{pc}:   λ = {float(res_2d.eigenvalue):.5f}, "
+            f"rounds = {int(res_2d.rounds)}"
+        )
 
     # Batched (DP): independent matrices, batch axis sharded.
     rng = np.random.default_rng(0)

@@ -65,6 +65,23 @@ def main() -> None:
     jax.block_until_ready(solve())
     print(f"full operator solve wall: {(time.perf_counter() - t0) * 1e3:.2f} ms")
 
+    # Kronecker structure: B ⊗ C as two MXU matmuls — compute-dense,
+    # never materialized; λ_max factorizes as λ_max(B)·λ_max(C).
+    from eigen_value_tpu.ops.structured import kron_matvec
+
+    rng = np.random.default_rng(7)
+    B = jnp.asarray(rng.random((32, 32), dtype=np.float32) + 0.1)
+    C = jnp.asarray(rng.random((48, 48), dtype=np.float32) + 0.1)
+    res_k = max_eigenvalue_operator(kron_matvec(B, C), 32 * 48)
+    lam_prod = float(max_eigenvalue(B).eigenvalue) * float(
+        max_eigenvalue(C).eigenvalue
+    )
+    print(
+        f"kron operator (1536², never materialized): λ = "
+        f"{float(res_k.eigenvalue):.5f} vs factor product {lam_prod:.5f}"
+    )
+    assert abs(float(res_k.eigenvalue) - lam_prod) < 1e-3 * lam_prod
+
 
 if __name__ == "__main__":
     main()
