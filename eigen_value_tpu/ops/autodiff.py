@@ -187,6 +187,57 @@ def _warn_if_unconverged(resid, bound):
     jax.debug.callback(_cb, resid, bound)
 
 
+def eigenvalue_operator(make_matvec, n: int, eps: float = EPS, max_itr: int = MAX_ITR):
+    """MATRIX-FREE differentiable maximum eigenvalue.
+
+    ``make_matvec(theta)`` builds a positive-operator matvec
+    ``x ↦ A(θ)·x`` from parameters ``theta`` (any pytree); the returned
+    function ``theta ↦ λ_max(A(θ))`` is reverse-differentiable without A
+    ever being materialized:
+
+      * forward — the power-form operator solve (solver_matvec.py);
+      * left eigenvector — a solve against ``Aᵀ``, whose matvec is
+        obtained for free via ``jax.linear_transpose`` (the matvec is
+        linear in x by contract; A positive ⇒ Aᵀ positive, so the same
+        method converges);
+      * the Perron adjoint ``∂λ/∂θ = uᵀ(∂A/∂θ)v / (uᵀv)`` — with A
+        implicit, the numerator is exactly the gradient of the SCALAR
+        ``θ ↦ uᵀ·matvec_θ(v)`` at frozen u, v: one more reverse pass
+        through the operator's O(n log n)-ish matvec, never its n² dense
+        form.
+
+    Dense analog: :func:`eigenvalue` (same adjoint with u vᵀ explicit).
+    No reference analog — the reference is neither matrix-free nor
+    differentiable (dense float32 buffers only,
+    similarity_transform.hpp:8-9).
+    """
+    from .solver_matvec import solve_operator
+
+    @jax.custom_vjp
+    def lam_fn(theta):
+        return solve_operator(make_matvec(theta), n, eps, max_itr).eigenvalue
+
+    def fwd(theta):
+        res = solve_operator(make_matvec(theta), n, eps, max_itr)
+        return res.eigenvalue, (theta, res.eigenvector)
+
+    def bwd(residuals, lam_bar):
+        theta, v = residuals
+        mv = make_matvec(theta)
+
+        def rmv(y):
+            (out,) = jax.linear_transpose(mv, jnp.zeros((n,), v.dtype))(y)
+            return out
+
+        u = solve_operator(rmv, n, eps, max_itr).eigenvector
+        denom = jnp.dot(u, v)
+        g = jax.grad(lambda th: jnp.dot(u, make_matvec(th)(v)))(theta)
+        return (jax.tree.map(lambda x: x * (lam_bar / denom), g),)
+
+    lam_fn.defvjp(fwd, bwd)
+    return lam_fn
+
+
 def _pair_bwd(eps, max_itr, residuals, cotangents):
     A, lam, v = residuals
     lam_bar, v_bar = cotangents
