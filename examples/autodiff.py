@@ -48,6 +48,21 @@ def main() -> None:
         f"at entry {tuple(int(i) for i in jnp.unravel_index(jnp.argmax(jnp.abs(dA)), dA.shape))}"
     )
 
+    # Matrix-free: differentiate λ of a Hankel OPERATOR w.r.t. its O(n)
+    # profile — the n² matrix never exists, forward or backward.
+    from eigen_value_tpu.ops.autodiff import eigenvalue_operator
+    from eigen_value_tpu.ops.structured import hankel_matvec
+
+    n = 256
+    h0 = jnp.asarray(1.0 / np.arange(1, 2 * n, dtype=np.float32))  # Hilbert
+    lam_of_profile = eigenvalue_operator(lambda h: hankel_matvec(h, n), n)
+    g = jax.grad(lam_of_profile)(h0)
+    print(
+        f"matrix-free ∂λ/∂h (n={n}): λ = {float(lam_of_profile(h0)):.5f}, "
+        f"most sensitive profile entry k = {int(jnp.argmax(jnp.abs(g)))} "
+        f"(gradient {float(g[jnp.argmax(jnp.abs(g))]):.4f})"
+    )
+
 
 if __name__ == "__main__":
     main()
