@@ -175,6 +175,13 @@ def max_eigenvalue(
         if validate and not bool(jnp.all(mat > 0)):
             raise ValueError("similarity-transform method requires all entries > 0")
         if "cols" in mesh.shape:
+            if "rows" not in mesh.shape:
+                raise ValueError(
+                    "a mesh with a 'cols' axis needs a 'rows' axis too "
+                    "(size 1 for pure column sharding) — got axes "
+                    f"{tuple(mesh.shape)}; build it with "
+                    "parallel.make_mesh2d(1, pc)"
+                )
             return solve_sharded_2d(mat, mesh, config=config)
         return solve_sharded_matvec(mat, mesh, config=config)
     backend = resolve_backend(config, mat.shape[0])

@@ -76,8 +76,12 @@ def main() -> int:
         )
     # The mesh is pinned to the CPU platform: an auxiliary accelerator
     # plugin (e.g. a tunneled TPU) may register despite JAX_PLATFORMS and
-    # must not join the process group's mesh.
-    if args.solver == "2d":
+    # must not join the process group's mesh.  --measure-exchange always
+    # uses the 1D row mesh: the calibration protocol (and its
+    # fit_exchange P) is defined on the all-devices rows gather, and a 2D
+    # mesh would silently shrink the gather to the process axis while
+    # still reporting shards = all devices.
+    if args.solver == "2d" and not args.measure_exchange:
         mesh = multihost.make_global_mesh2d(platform="cpu")
     else:
         mesh = multihost.make_global_row_mesh(platform="cpu")

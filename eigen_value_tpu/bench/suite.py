@@ -248,19 +248,17 @@ def bench_sharded(
                 }
             )
 
-    # 2D block sharding (rows × cols): balanced factorization of each
-    # shard count; per-chip matrix memory is dim²/p (vs dim²/p of full
-    # rows too, but the 2D shards stay square-ish — the layout that keeps
-    # scaling when p outgrows the row count / per-row memory).
+    # 2D block sharding (rows × cols): the same balanced factorization the
+    # scaling model predicts (scaling_model.balanced_factorization — one
+    # definition, so --suite sharded measures exactly the mesh shape
+    # --suite model's matvec_2d rows describe).
     from ..parallel.sharded import solve_sharded_2d
+    from ..utils.scaling_model import balanced_factorization
 
     base_eps = None
     for p in counts:
-        pr = 1
-        while pr * 2 <= p // pr:
-            pr *= 2
-        pc = p // pr
-        if pr * pc != p or dim % pr or dim % pc:
+        pr, pc = balanced_factorization(p)
+        if dim % pr or dim % pc:
             continue
         mesh = Mesh(np.array(devs[:p]).reshape(pr, pc), ("rows", "cols"))
         fn = lambda: solve_sharded_2d(A, mesh, config=DEFAULT_CONFIG)

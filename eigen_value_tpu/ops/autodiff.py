@@ -219,23 +219,48 @@ def eigenvalue_operator(make_matvec, n: int, eps: float = EPS, max_itr: int = MA
 
     def fwd(theta):
         res = solve_operator(make_matvec(theta), n, eps, max_itr)
-        return res.eigenvalue, (theta, res.eigenvector)
+        return res.eigenvalue, (theta, res.eigenvector, res.converged)
 
     def bwd(residuals, lam_bar):
-        theta, v = residuals
+        theta, v, fwd_converged = residuals
         mv = make_matvec(theta)
 
         def rmv(y):
             (out,) = jax.linear_transpose(mv, jnp.zeros((n,), v.dtype))(y)
             return out
 
-        u = solve_operator(rmv, n, eps, max_itr).eigenvector
+        ures = solve_operator(rmv, n, eps, max_itr)
+        u = ures.eigenvector
+        # The adjoint is only as good as its eigenvectors: an unconverged
+        # forward or transpose solve (cap hit — tiny spectral gap or a
+        # too-small max_itr) would silently feed pre-convergence iterates
+        # into u·(∂A/∂θ)v/(uᵀv).  Warn host-side, like the eigenpair VJP.
+        _warn_if_operator_unconverged(fwd_converged & ures.converged)
         denom = jnp.dot(u, v)
         g = jax.grad(lambda th: jnp.dot(u, make_matvec(th)(v)))(theta)
         return (jax.tree.map(lambda x: x * (lam_bar / denom), g),)
 
     lam_fn.defvjp(fwd, bwd)
     return lam_fn
+
+
+def _warn_if_operator_unconverged(converged):
+    """Host-side runtime warning when an eigenvalue_operator adjoint solve
+    hit the iteration cap (same callback pattern as
+    :func:`_warn_if_unconverged` — a traced cond would fire per batch
+    element under vmap)."""
+
+    def _cb(ok):
+        if not bool(ok):
+            print(
+                "eigen_value_tpu: eigenvalue_operator VJP ran on an "
+                "UNCONVERGED solve (iteration cap hit); the returned "
+                "gradient uses pre-convergence eigenvector iterates and "
+                "may be inaccurate — raise max_itr or loosen eps",
+                file=sys.stderr,
+            )
+
+    jax.debug.callback(_cb, converged)
 
 
 def _pair_bwd(eps, max_itr, residuals, cotangents):

@@ -535,7 +535,6 @@ def _shard2d_matvec_body(
     row_axis: str,
     col_axis: str,
     n_rows_shards: int,
-    n_cols_shards: int,
     storage_dtype=None,
 ):
     """Per-shard matvec-form loop for a 2D (rows × cols) block sharding.
@@ -641,7 +640,6 @@ def _solve_sharded_2d_jit(
         row_axis,
         col_axis,
         mesh.shape[row_axis],
-        mesh.shape[col_axis],
         storage_dtype,
     )
     fn = shard_map(
@@ -687,6 +685,12 @@ def solve_sharded_2d(
     parity on the shipped mesh shapes is pinned by tests).
     """
     n = A.shape[0]
+    for ax in (row_axis, col_axis):
+        if ax not in mesh.shape:
+            raise ValueError(
+                f"mesh has no '{ax}' axis (axes: {tuple(mesh.shape)}) — "
+                "build it with make_mesh2d"
+            )
     pr, pc = mesh.shape[row_axis], mesh.shape[col_axis]
     if n % pr != 0:
         raise ValueError(f"dim {n} not divisible by {pr} row shards")

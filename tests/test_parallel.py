@@ -223,6 +223,19 @@ class TestSharded2D:
         assert int(res.rounds) == fixtures.HILBERT_ROUNDS[256]
         assert bool(res.converged)
 
+    def test_api_cols_only_mesh_raises(self):
+        """A cols-only mesh gets a clear ValueError (not a KeyError from
+        deep inside shard_map) telling the caller to add a rows axis."""
+        from eigen_value_tpu import max_eigenvalue
+
+        H = fixtures.hilbert_matrix(128)
+        with pytest.raises(ValueError, match="rows"):
+            max_eigenvalue(H, mesh=cpu_mesh(4, axis="cols"))
+
+    def test_missing_axis_raises(self):
+        with pytest.raises(ValueError, match="no 'cols' axis"):
+            solve_sharded_2d(fixtures.hilbert_matrix(128), cpu_mesh(4))
+
 
 class TestBatched:
     def test_per_matrix_round_counts(self, rng):
