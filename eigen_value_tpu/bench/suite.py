@@ -631,6 +631,53 @@ def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
                 "rounds_ok": abs(rounds - want) <= 1,
             }
         )
+    # Kronecker operator: B ⊗ C at n = dim via two MXU matmuls — the
+    # compute-dense operator rung (O(n·(p+q)) per round vs the FFT rows'
+    # O(n log n) and the dense rows' O(n²)); factors are random-positive,
+    # λ sanity-pinned to the factor product.
+    from ..ops.structured import kron_matvec
+
+    for n in dims:
+        p = 1 << ((n - 1).bit_length() // 2)  # p·q = n, p ≤ q, powers of 2
+        q = n // p
+        if p * q != n:
+            continue
+        key = jax.random.key(n)
+        kb, kc = jax.random.split(key)
+        B = jax.random.uniform(kb, (p, p), jnp.float32, minval=0.1, maxval=1.0)
+        C = jax.random.uniform(kc, (q, q), jnp.float32, minval=0.1, maxval=1.0)
+        fnk = jax.jit(
+            lambda ev0, _B=B, _C=C, _n=n: solve_operator(
+                kron_matvec(_B, _C), _n, EPS, MAX_ITR, ev0=ev0
+            )
+        )
+        res = fnk(jnp.ones((n,), jnp.float32))
+        rounds = int(res.rounds)
+
+        def stepk(i, acc, _fn=fnk, _n=n):
+            sc = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+            return _fn(jnp.ones((_n,), jnp.float32) * sc).eigenvalue
+
+        dev_ms = time_marginal(stepk, jnp.float32(0.0), k=32, reps=reps)
+        from ..ops.solver_matvec import solve_matvec
+
+        lam_prod = float(solve_matvec(B, EPS, MAX_ITR).eigenvalue) * float(
+            solve_matvec(C, EPS, MAX_ITR).eigenvalue
+        )
+        rows.append(
+            {
+                "bench": "operator",
+                "backend": f"kron_{p}x{q}",
+                "dim": n,
+                "device_ms": dev_ms,
+                "ms_per_round": dev_ms / max(rounds, 1),
+                "rounds": rounds,
+                "eigenvalue": float(res.eigenvalue),
+                # λ(B⊗C) = λ(B)·λ(C) within the method's eps
+                "rounds_ok": abs(float(res.eigenvalue) - lam_prod)
+                <= 2e-3 * lam_prod,
+            }
+        )
     # the dense production rows for the same dims, for the side-by-side
     rows += [
         dict(r, bench="operator")

@@ -108,7 +108,7 @@ def test_package_main_entry():
 def test_bench_operator_rows():
     rows = suite.bench_operator([256], reps=1)
     kinds = {r["backend"] for r in rows}
-    assert kinds == {"hankel_fft", "matvec"}
+    assert kinds == {"hankel_fft", "kron_16x16", "matvec"}
     for r in rows:
         assert r["rounds_ok"], r
         assert r["device_ms"] > 0
