@@ -34,6 +34,10 @@ if [ "$STAGE" = all ] || [ "$STAGE" = artifacts ]; then
   echo "== drift artifact ==" | tee -a "$LOG"
   timeout 900 python -m eigen_value_tpu.bench --suite drift --json \
     > docs/bench/drift_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/drift_r2b.jsonl | tee -a "$LOG"
+  echo "== operator artifact (FFT + kron vs dense on the chip) ==" | tee -a "$LOG"
+  timeout 1200 python -m eigen_value_tpu.bench --suite operator --json \
+    --dims 1024 8192 \
+    > docs/bench/operator_tpu_r2.jsonl 2>>"$LOG" && tail -3 docs/bench/operator_tpu_r2.jsonl | tee -a "$LOG"
 fi
 
 if [ "$STAGE" = all ] || [ "$STAGE" = bench ]; then
