@@ -244,6 +244,85 @@ def eigenvalue_operator(make_matvec, n: int, eps: float = EPS, max_itr: int = MA
     return lam_fn
 
 
+def eigenpair_operator(make_matvec, n: int, eps: float = EPS, max_itr: int = MAX_ITR):
+    """MATRIX-FREE differentiable ``(λ, v)`` — the operator analog of
+    :func:`eigenpair`.
+
+    ``make_matvec(theta)`` builds the positive-operator matvec from any
+    parameter pytree; the returned ``theta ↦ (λ, v)`` (v normalized to
+    max component 1) is reverse-differentiable with A never materialized.
+    The VJP solves the same bordered adjoint system Kᵀ[w; s] = [v̄; λ̄] as
+    the dense :func:`eigenpair`, but strictly through matvecs: Kᵀ's
+    action needs only ``Aᵀw`` (``jax.linear_transpose`` of the matvec)
+    and the θ cotangent is ``−∂/∂θ (wᵀ·matvec_θ(v))`` — the matrix-free
+    reading of the dense ``Ā = −w vᵀ``.  There is no dense fallback (no
+    dense matrix exists): a stagnating GMRES retries with a 4× budget
+    and warns if it still misses its residual bound, like the dense
+    path's large-n branch.
+    """
+    from .solver_matvec import solve_operator
+
+    @jax.custom_vjp
+    def pair_fn(theta):
+        res = solve_operator(make_matvec(theta), n, eps, max_itr)
+        return res.eigenvalue, res.eigenvector / jnp.max(res.eigenvector)
+
+    def fwd(theta):
+        res = solve_operator(make_matvec(theta), n, eps, max_itr)
+        v = res.eigenvector / jnp.max(res.eigenvector)
+        return (res.eigenvalue, v), (theta, res.eigenvalue, v, res.converged)
+
+    def bwd(residuals, cotangents):
+        theta, lam, v, fwd_converged = residuals
+        lam_bar, v_bar = cotangents
+        _warn_if_operator_unconverged(fwd_converged)
+        mv = make_matvec(theta)
+
+        def rmv(y):
+            (out,) = jax.linear_transpose(mv, jnp.zeros((n,), v.dtype))(y)
+            return out
+
+        ej = jax.nn.one_hot(jnp.argmax(v), n, dtype=v.dtype)
+
+        def KT_mv(ws):
+            w, s = ws[:n], ws[n]
+            top = rmv(w) - lam * w + ej * s
+            bot = -jnp.dot(v, w)
+            return jnp.concatenate([top, bot[None]])
+
+        rhs = jnp.concatenate([v_bar, lam_bar[None]])
+        tol = max(50.0 * float(jnp.finfo(v.dtype).eps), 1e-9, 0.1 * float(eps))
+
+        def rel_resid(x):
+            scale = jnp.linalg.norm(rhs) + jnp.finfo(v.dtype).tiny
+            return jnp.linalg.norm(KT_mv(x) - rhs) / scale
+
+        def gmres(restart, maxiter):
+            sol, _ = jax.scipy.sparse.linalg.gmres(
+                KT_mv,
+                rhs,
+                tol=tol,
+                atol=0.0,
+                restart=restart,
+                maxiter=maxiter,
+                solve_method="batched",
+            )
+            return sol
+
+        sol = gmres(min(n + 1, 100), 10)
+        ok = rel_resid(sol) <= 30.0 * tol
+        sol = lax.cond(
+            ok, lambda _: sol, lambda _: gmres(min(n + 1, 150), 40), None
+        )
+        _warn_if_unconverged(rel_resid(sol), 30.0 * tol)
+        w = sol[:n]
+        g = jax.grad(lambda th: jnp.dot(w, make_matvec(th)(v)))(theta)
+        return (jax.tree.map(lambda x: -x, g),)
+
+    pair_fn.defvjp(fwd, bwd)
+    return pair_fn
+
+
 def _warn_if_operator_unconverged(converged):
     """Host-side runtime warning when an eigenvalue_operator adjoint solve
     hit the iteration cap (same callback pattern as

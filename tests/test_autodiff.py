@@ -420,3 +420,63 @@ class TestEigenvalueOperator:
         # scale identity: λ is linear in each factor, so ⟨B, ∂λ/∂B⟩ = λ
         lam = float(lam_op(theta))
         assert float(jnp.vdot(theta["B"], g["B"])) == pytest.approx(lam, rel=1e-3)
+
+
+class TestEigenpairOperator:
+    """Matrix-free differentiable (λ, v): the bordered adjoint expressed
+    through matvecs only (Aᵀw via jax.linear_transpose, θ cotangent as
+    −∂(wᵀ·matvec_θ(v))/∂θ)."""
+
+    def test_value_matches_dense_pair(self, rng):
+        from eigen_value_tpu.ops.autodiff import eigenpair, eigenpair_operator
+        from eigen_value_tpu.ops.structured import hankel_matvec
+
+        n = 32
+        h = jnp.asarray(rng.random(2 * n - 1, dtype=np.float32) + 0.1)
+        idx = np.add.outer(np.arange(n), np.arange(n))
+        lam_d, v_d = eigenpair(h[idx])
+        pair_op = eigenpair_operator(lambda hh: hankel_matvec(hh, n), n)
+        lam_o, v_o = pair_op(h)
+        assert float(lam_o) == pytest.approx(float(lam_d), rel=1e-4)
+        np.testing.assert_allclose(np.asarray(v_o), np.asarray(v_d), atol=1e-4)
+
+    def test_vjp_matches_dense_chain(self, rng):
+        """Cotangents through the operator VJP must equal the dense
+        eigenpair VJP chained through the explicit A(h) = h[r+c]."""
+        from eigen_value_tpu.ops.autodiff import eigenpair, eigenpair_operator
+        from eigen_value_tpu.ops.structured import hankel_matvec
+
+        n = 24
+        h = jnp.asarray(rng.random(2 * n - 1, dtype=np.float32) + 0.2)
+        idx = np.add.outer(np.arange(n), np.arange(n))
+        lam_bar = jnp.float32(0.7)
+        v_bar = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        _, vjp_d = jax.vjp(lambda hh: eigenpair(hh[idx]), h)
+        (g_dense,) = vjp_d((lam_bar, v_bar))
+        pair_op = eigenpair_operator(lambda hh: hankel_matvec(hh, n), n)
+        _, vjp_o = jax.vjp(pair_op, h)
+        (g_op,) = vjp_o((lam_bar, v_bar))
+        np.testing.assert_allclose(
+            np.asarray(g_op), np.asarray(g_dense), rtol=5e-2, atol=5e-3
+        )
+
+    def test_lambda_only_cotangent_matches_eigenvalue_operator(self, rng):
+        """With v̄ = 0 the bordered adjoint reduces to the Perron adjoint:
+        the pair VJP must agree with eigenvalue_operator's gradient."""
+        from eigen_value_tpu.ops.autodiff import (
+            eigenpair_operator,
+            eigenvalue_operator,
+        )
+        from eigen_value_tpu.ops.structured import hankel_matvec
+
+        n = 24
+        h = jnp.asarray(rng.random(2 * n - 1, dtype=np.float32) + 0.2)
+        pair_op = eigenpair_operator(lambda hh: hankel_matvec(hh, n), n)
+        _, vjp_o = jax.vjp(pair_op, h)
+        (g_pair,) = vjp_o((jnp.float32(1.0), jnp.zeros((n,), jnp.float32)))
+        lam_op = eigenvalue_operator(lambda hh: hankel_matvec(hh, n), n)
+        g_lam = jax.grad(lam_op)(h)
+        np.testing.assert_allclose(
+            np.asarray(g_pair), np.asarray(g_lam), rtol=5e-2, atol=5e-3
+        )
