@@ -480,3 +480,29 @@ class TestEigenpairOperator:
         np.testing.assert_allclose(
             np.asarray(g_pair), np.asarray(g_lam), rtol=5e-2, atol=5e-3
         )
+
+    def test_operator_vjps_compose_with_jit_and_vmap(self, rng):
+        """The API claim: both operator VJPs work under jit and vmap
+        (vmapped GMRES + linear_transpose included)."""
+        from eigen_value_tpu.ops.autodiff import (
+            eigenpair_operator,
+            eigenvalue_operator,
+        )
+        from eigen_value_tpu.ops.structured import hankel_matvec
+
+        n = 16
+        h = jnp.asarray(rng.random(2 * n - 1, dtype=np.float32) + 0.5)
+        hs = jnp.stack([h, h * 1.1, h * 0.9])
+        lam_op = eigenvalue_operator(lambda hh: hankel_matvec(hh, n), n)
+        assert np.isfinite(np.asarray(jax.jit(jax.grad(lam_op))(h))).all()
+        gs = jax.vmap(jax.grad(lam_op))(hs)
+        assert gs.shape == hs.shape and np.isfinite(np.asarray(gs)).all()
+
+        pair_op = eigenpair_operator(lambda hh: hankel_matvec(hh, n), n)
+
+        def loss(hh):
+            lam, v = pair_op(hh)
+            return lam + v.sum()
+
+        assert np.isfinite(np.asarray(jax.jit(jax.grad(loss))(h))).all()
+        assert np.isfinite(np.asarray(jax.vmap(jax.grad(loss))(hs))).all()
