@@ -104,6 +104,35 @@ def circulant_matvec(c: jax.Array, n: int):
     return matvec
 
 
+def low_rank_matvec(U: jax.Array, V: jax.Array, diag: jax.Array | None = None):
+    """Matvec closure for ``A = U Vᵀ (+ diag)`` — a positive rank-k
+    matrix (plus an optional elementwise-nonnegative diagonal), never
+    materialized.
+
+    ``y = U (Vᵀ x) + diag·x`` is two skinny matmuls, O(n·k) FLOPs and
+    O(n·k) memory vs the dense pass's O(n²) — and like
+    :func:`kron_matvec` the matmuls land on the MXU.  Positivity
+    contract (the solver requires a positive A,
+    similarity_transform.hpp:4-5 semantics): every entry of ``U Vᵀ``
+    must be > 0 — entrywise-positive ``U`` and ``V`` suffice — and
+    ``diag``, if given, must be ≥ 0 elementwise.  Rank-one positive
+    updates of a known operator (e.g. teleportation terms in
+    PageRank-style chains) are the canonical use.
+    """
+    n, k = U.shape
+    n2, k2 = V.shape
+    if n != n2 or k != k2:
+        raise ValueError(f"need U and V both n×k, got {U.shape} and {V.shape}")
+    if diag is not None and diag.shape != (n,):
+        raise ValueError(f"need diag of shape ({n},), got {diag.shape}")
+
+    def matvec(x: jax.Array) -> jax.Array:
+        y = U @ (V.T @ x)
+        return y if diag is None else y + diag * x
+
+    return matvec
+
+
 def kron_matvec(B: jax.Array, C: jax.Array):
     """Matvec closure for the Kronecker product ``A = B ⊗ C`` (B p×p,
     C q×q, A n×n with n = p·q) — never materialized.

@@ -145,6 +145,44 @@ class TestStructuredMatvecs:
         with pytest.raises(ValueError, match="square"):
             kron_matvec(jnp.ones((3, 4)), jnp.ones((2, 2)))
 
+    def test_low_rank_matches_dense(self, rng):
+        from eigen_value_tpu.ops.structured import low_rank_matvec
+
+        n, k = 96, 4
+        U = jnp.asarray(rng.random((n, k), dtype=np.float32) + 0.1)
+        V = jnp.asarray(rng.random((n, k), dtype=np.float32) + 0.1)
+        d = jnp.asarray(rng.random(n, dtype=np.float32))
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        got = np.asarray(low_rank_matvec(U, V, d)(x))
+        A = np.asarray(U) @ np.asarray(V).T + np.diag(np.asarray(d))
+        np.testing.assert_allclose(got, A @ np.asarray(x), rtol=2e-5, atol=1e-5)
+
+    def test_low_rank_operator_solve(self, rng):
+        """A positive rank-k + diagonal operator solved matrix-free
+        matches the dense matvec solver (λ within the FP reassociation
+        tolerance, rounds within ±1)."""
+        from eigen_value_tpu.ops.structured import low_rank_matvec
+
+        n, k = 128, 3
+        U = jnp.asarray(rng.random((n, k), dtype=np.float32) + 0.1)
+        V = jnp.asarray(rng.random((n, k), dtype=np.float32) + 0.1)
+        d = jnp.asarray(rng.random(n, dtype=np.float32))
+        got = solve_operator(low_rank_matvec(U, V, d), n, EPS, MAX_ITR)
+        want = solve_matvec(U @ V.T + jnp.diag(d), EPS, MAX_ITR)
+        assert bool(got.converged)
+        assert abs(int(got.rounds) - int(want.rounds)) <= 1
+        assert float(got.eigenvalue) == pytest.approx(
+            float(want.eigenvalue), rel=1e-4
+        )
+
+    def test_low_rank_shape_validation(self):
+        from eigen_value_tpu.ops.structured import low_rank_matvec
+
+        with pytest.raises(ValueError, match="n×k"):
+            low_rank_matvec(jnp.ones((8, 2)), jnp.ones((8, 3)))
+        with pytest.raises(ValueError, match="diag"):
+            low_rank_matvec(jnp.ones((8, 2)), jnp.ones((8, 2)), jnp.ones(7))
+
     def test_toeplitz_operator_solve(self, rng):
         """A positive symmetric Toeplitz operator solved matrix-free
         matches the dense matvec solver."""
