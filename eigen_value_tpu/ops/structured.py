@@ -3,10 +3,12 @@ operator API (:func:`..api.max_eigenvalue_operator`).
 
 A structured positive matrix need never be materialized: its matvec is
 all the power-form solver observes (solver_matvec.py module docstring).
-Both constructors here reduce the O(n²) dense pass to an O(n log n) FFT
-correlation/convolution with O(n) memory — the benchmark family itself
-is the canonical example (the Hilbert matrix ``A[r][c] = 1/(r+c+1)`` is
-Hankel with profile ``h[k] = 1/(k+1)``).
+The constructors here replace the O(n²) dense pass with the structure's
+natural cost — O(n log n) FFT for Hankel/Toeplitz/circulant (the
+benchmark family itself: the Hilbert matrix ``A[r][c] = 1/(r+c+1)`` is
+Hankel with profile ``h[k] = 1/(k+1)``), MXU matmuls for Kronecker and
+low-rank, O(nnz) gathers for sparse — and the combinators
+(:func:`add_matvec`, :func:`scale_matvec`) compose them.
 
 The reference has no analog: its kernels require a dense float32 buffer
 (similarity_transform.hpp:8-9).  FFT rounding differs from the dense
@@ -131,6 +133,117 @@ def low_rank_matvec(U: jax.Array, V: jax.Array, diag: jax.Array | None = None):
         return y if diag is None else y + diag * x
 
     return matvec
+
+
+def sparse_matvec(A_sp):
+    """Matvec closure for a ``jax.experimental.sparse.BCOO`` matrix —
+    O(nnz) per round instead of the dense pass's O(n²).
+
+    Positivity contract: the similarity-transform method's convergence
+    theory assumes a POSITIVE matrix (similarity_transform.hpp comments;
+    SURVEY.md §0), and a sparse matrix is at best NONNEGATIVE.  The
+    iteration remains well-defined (all iterates stay positive) whenever
+    every row has at least one positive entry, and the row sums converge
+    to λ_max whenever the matrix is primitive (irreducible + aperiodic —
+    e.g. any irreducible matrix with a positive diagonal entry).  For
+    merely irreducible-periodic matrices the row-sum sequence oscillates
+    and the solve hits the MAX_ITR cap (``converged=False``) — the same
+    failure surface the dense solver has for that input.
+
+    TPU note: BCOO matvec lowers to gather/segment-sum — correct and
+    jit-compatible everywhere, but scalar-access heavy on TPU.  For
+    bounded row degree, :func:`ell_matvec` is the TPU-native layout
+    (dense vectorized gather, no scatter).
+    """
+    from jax.experimental import sparse as jsparse
+
+    if not isinstance(A_sp, jsparse.BCOO):
+        raise TypeError(f"need a jax.experimental.sparse.BCOO, got {type(A_sp)}")
+    n, n2 = A_sp.shape
+    if n != n2:
+        raise ValueError(f"need a square matrix, got {A_sp.shape}")
+
+    def matvec(x: jax.Array) -> jax.Array:
+        return A_sp @ x
+
+    return matvec
+
+
+def ell_matvec(cols: jax.Array, vals: jax.Array):
+    """Matvec closure for a sparse matrix in padded ELL row format — the
+    TPU-NATIVE sparse layout: ``cols``/``vals`` are (n, k) with row ``i``
+    holding its ≤k nonzeros ``A[i, cols[i, j]] = vals[i, j]`` (pad unused
+    slots with ``vals = 0``; the padded ``cols`` entry is arbitrary, 0 by
+    convention).
+
+    ``y = (vals * x[cols]).sum(axis=1)`` is one dense vectorized gather
+    plus a lane reduction — no scatter, no segment sums, static shapes —
+    which is why ELL beats COO/CSR on vector hardware whenever the row
+    degree is bounded.  O(n·k) per round.  Positivity contract as in
+    :func:`sparse_matvec` (rows must not be all-padding).
+    """
+    if cols.shape != vals.shape or cols.ndim != 2:
+        raise ValueError(
+            f"need matching (n, k) cols/vals, got {cols.shape} and {vals.shape}"
+        )
+
+    def matvec(x: jax.Array) -> jax.Array:
+        return jnp.sum(vals * x[cols], axis=1)
+
+    return matvec
+
+
+def ell_from_coo(rows, cols, vals, n: int):
+    """Pack COO triplets into the padded (cols, vals) ELL arrays of
+    :func:`ell_matvec` (host-side preprocessing, NumPy in, jax.Array out).
+    k = max row degree; duplicate (row, col) entries are summed."""
+    import numpy as np
+
+    rows = np.asarray(rows)
+    order = np.argsort(rows, kind="stable")
+    rows, cols_s, vals_s = rows[order], np.asarray(cols)[order], np.asarray(vals)[order]
+    counts = np.bincount(rows, minlength=n)
+    k = int(counts.max()) if len(rows) else 1
+    ell_cols = np.zeros((n, max(k, 1)), np.int32)
+    ell_vals = np.zeros((n, max(k, 1)), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for i in range(n):
+        s, e = starts[i], starts[i + 1]
+        ell_cols[i, : e - s] = cols_s[s:e]
+        ell_vals[i, : e - s] = vals_s[s:e]
+    return jnp.asarray(ell_cols), jnp.asarray(ell_vals)
+
+
+def add_matvec(*matvecs):
+    """Operator sum: the matvec of ``A₁ + A₂ + …`` from the constituent
+    matvecs.  Sums of positive (or nonnegative, per the sparse contract)
+    operators are positive — the composition rule that lets structured
+    parts combine without materializing anything (e.g. sparse + rank-one
+    teleportation = the PageRank operator, examples/pagerank.py)."""
+    if not matvecs:
+        raise ValueError("need at least one matvec")
+
+    def matvec(x: jax.Array) -> jax.Array:
+        y = matvecs[0](x)
+        for mv in matvecs[1:]:
+            y = y + mv(x)
+        return y
+
+    return matvec
+
+
+def scale_matvec(matvec, alpha: float):
+    """Operator scaling: the matvec of ``α·A`` (α > 0 preserves
+    positivity and scales λ_max by exactly α — the eigenvector is
+    unchanged, a useful normalization for operators whose λ would
+    over/underflow reduced-precision state)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 to preserve positivity, got {alpha}")
+
+    def scaled(x: jax.Array) -> jax.Array:
+        return alpha * matvec(x)
+
+    return scaled
 
 
 def kron_matvec(B: jax.Array, C: jax.Array):

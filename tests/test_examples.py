@@ -63,3 +63,11 @@ def test_matrix_free_example():
     out = _run_example("matrix_free.py")
     assert "operator solve (FFT Hankel" in out
     assert "matches dense within 1e-3" in out
+
+
+@pytest.mark.slow
+def test_pagerank_example():
+    out = _run_example("pagerank.py")
+    assert "exact answer: λ = 1" in out
+    assert "dense cross-check" in out
+    assert "top-5 nodes:" in out

@@ -221,3 +221,166 @@ def test_operator_vmap_batched(rng):
         v = np.asarray(res.eigenvector[b])
         lam = float(res.eigenvalue[b])
         assert np.allclose(A @ v, lam * v, atol=1e-2 * max(lam, 1.0))
+
+
+class TestSparseOperators:
+    """Sparse layouts (BCOO, padded ELL) and the operator combinators."""
+
+    @staticmethod
+    def _random_sparse(rng, n: int, deg: int):
+        """COO triplets of a random nonnegative matrix with a positive
+        diagonal (⇒ primitive, so the iteration converges) and ``deg``
+        off-diagonal entries per row."""
+        rows = np.repeat(np.arange(n), deg)
+        cols = (rows + 1 + rng.integers(0, n - 1, size=rows.shape)) % n
+        vals = rng.random(rows.shape[0], dtype=np.float32) + 0.1
+        rows = np.concatenate([rows, np.arange(n)])
+        cols = np.concatenate([cols, np.arange(n)])
+        vals = np.concatenate([vals, np.ones(n, np.float32)])
+        return rows, cols, vals
+
+    @staticmethod
+    def _dense(rows, cols, vals, n):
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (rows, cols), vals)
+        return A
+
+    def test_ell_matches_dense(self, rng):
+        from eigen_value_tpu.ops.structured import ell_from_coo, ell_matvec
+
+        n = 96
+        rows, cols, vals = self._random_sparse(rng, n, 4)
+        A = self._dense(rows, cols, vals, n)
+        mv = ell_matvec(*ell_from_coo(rows, cols, vals, n))
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        np.testing.assert_allclose(
+            np.asarray(mv(x)), A @ np.asarray(x), rtol=1e-5, atol=1e-6
+        )
+
+    def test_ell_from_coo_sums_duplicates(self):
+        from eigen_value_tpu.ops.structured import ell_from_coo, ell_matvec
+
+        rows = [0, 0, 1]
+        cols = [1, 1, 0]
+        vals = [2.0, 3.0, 4.0]
+        mv = ell_matvec(*ell_from_coo(rows, cols, vals, 2))
+        y = np.asarray(mv(jnp.asarray([1.0, 1.0], dtype=jnp.float32)))
+        np.testing.assert_allclose(y, [5.0, 4.0])
+
+    def test_ell_shape_validation(self):
+        from eigen_value_tpu.ops.structured import ell_matvec
+
+        with pytest.raises(ValueError, match="matching"):
+            ell_matvec(jnp.zeros((4, 3), jnp.int32), jnp.zeros((4, 2)))
+
+    def test_bcoo_matches_dense(self, rng):
+        from jax.experimental import sparse as jsparse
+
+        from eigen_value_tpu.ops.structured import sparse_matvec
+
+        n = 64
+        rows, cols, vals = self._random_sparse(rng, n, 3)
+        A = self._dense(rows, cols, vals, n)
+        A_sp = jsparse.BCOO.fromdense(jnp.asarray(A))
+        mv = sparse_matvec(A_sp)
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        np.testing.assert_allclose(
+            np.asarray(mv(x)), A @ np.asarray(x), rtol=1e-5, atol=1e-6
+        )
+
+    def test_sparse_validation(self):
+        from jax.experimental import sparse as jsparse
+
+        from eigen_value_tpu.ops.structured import sparse_matvec
+
+        with pytest.raises(TypeError, match="BCOO"):
+            sparse_matvec(jnp.ones((4, 4)))
+        rect = jsparse.BCOO.fromdense(jnp.ones((4, 3)))
+        with pytest.raises(ValueError, match="square"):
+            sparse_matvec(rect)
+
+    def test_sparse_operator_solve_matches_dense(self, rng):
+        """ELL sparse solve through the full operator path vs the dense
+        solver on the materialized matrix — identical matvec algebra up
+        to reduction order."""
+        from eigen_value_tpu.ops.structured import ell_from_coo, ell_matvec
+
+        n = 128
+        rows, cols, vals = self._random_sparse(rng, n, 6)
+        A = self._dense(rows, cols, vals, n)
+        got = max_eigenvalue_operator(ell_matvec(*ell_from_coo(rows, cols, vals, n)), n)
+        want = max_eigenvalue(jnp.asarray(A))
+        assert bool(got.converged)
+        assert abs(int(got.rounds) - int(want.rounds)) <= 1
+        assert float(got.eigenvalue) == pytest.approx(
+            float(want.eigenvalue), rel=1e-4
+        )
+
+    def test_combinators_match_dense(self, rng):
+        """scale_matvec/add_matvec algebra: α·A + B vs the dense sum."""
+        from eigen_value_tpu.ops.structured import (
+            add_matvec,
+            low_rank_matvec,
+            scale_matvec,
+        )
+
+        n = 48
+        U = jnp.asarray(rng.random((n, 2), dtype=np.float32) + 0.1)
+        V = jnp.asarray(rng.random((n, 2), dtype=np.float32) + 0.1)
+        B = jnp.asarray(rng.random((n, n), dtype=np.float32) + 0.1)
+        mv = add_matvec(scale_matvec(low_rank_matvec(U, V), 0.25), lambda x: B @ x)
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        want = 0.25 * (np.asarray(U) @ (np.asarray(V).T @ np.asarray(x))) + (
+            np.asarray(B) @ np.asarray(x)
+        )
+        np.testing.assert_allclose(np.asarray(mv(x)), want, rtol=1e-5, atol=1e-6)
+
+    def test_combinator_validation(self):
+        from eigen_value_tpu.ops.structured import add_matvec, scale_matvec
+
+        with pytest.raises(ValueError, match="at least one"):
+            add_matvec()
+        with pytest.raises(ValueError, match="alpha"):
+            scale_matvec(lambda x: x, 0.0)
+
+    def test_scale_scales_lambda_exactly(self, rng):
+        """λ(α·A) = α·λ(A) with the eigenvector unchanged — the documented
+        normalization contract of scale_matvec."""
+        from eigen_value_tpu.ops.structured import scale_matvec
+
+        n = 64
+        A = jnp.asarray(rng.random((n, n), dtype=np.float32) + 0.1)
+        base = max_eigenvalue_operator(lambda x: A @ x, n)
+        scaled = max_eigenvalue_operator(scale_matvec(lambda x: A @ x, 4.0), n)
+        assert float(scaled.eigenvalue) == pytest.approx(
+            4.0 * float(base.eigenvalue), rel=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(scaled.eigenvector),
+            np.asarray(base.eigenvector),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
+    def test_pagerank_operator_lambda_is_one(self, rng):
+        """Sparse link matrix + rank-one teleportation (the PageRank
+        Google matrix) solved matrix-free: a column-stochastic matrix has
+        λ_max = 1 exactly — a free oracle for the composed operator."""
+        from eigen_value_tpu.ops.structured import (
+            add_matvec,
+            ell_from_coo,
+            ell_matvec,
+            low_rank_matvec,
+        )
+
+        n, d, alpha = 200, 4, 0.85
+        src = np.repeat(np.arange(n), d)
+        dst = (src + 1 + rng.integers(0, n - 1, size=src.shape)) % n
+        cols, vals = ell_from_coo(dst, src, np.full(len(src), alpha / d, np.float32), n)
+        ones = jnp.ones((n, 1), jnp.float32)
+        google = add_matvec(
+            ell_matvec(cols, vals), low_rank_matvec(ones * ((1 - alpha) / n), ones)
+        )
+        res = max_eigenvalue_operator(google, n)
+        assert bool(res.converged)
+        assert float(res.eigenvalue) == pytest.approx(1.0, abs=2e-3)

@@ -1,0 +1,122 @@
+"""Spectral diagnostics (`ops/spectral`): operator residual, convergence-rate
+report from the traced λ history, float64 host-side refinement.
+
+The reference's only outputs are (λ, v, ms, rounds)
+(wrapper/python/similarity_transform.py:42-78); these tests pin the extra
+observability/accuracy surface the TPU build adds on top.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eigen_value_tpu import fixtures, max_eigenvalue
+from eigen_value_tpu.config import EPS, MAX_ITR
+from eigen_value_tpu.ops.solver_matvec import solve_matvec_traced
+from eigen_value_tpu.ops.spectral import (
+    convergence_report,
+    operator_residual,
+    refine_eigenpair,
+)
+
+
+def test_operator_residual_matches_dense_definition():
+    """operator_residual == max |A·v − λ·v| computed by hand (the wrapper
+    test's acceptance check, reference wrapper/python/test.py:15-16)."""
+    n = 256
+    H = fixtures.hilbert_matrix(n)
+    res = max_eigenvalue(H)
+    got = float(operator_residual(lambda x: H @ x, res))
+    want = float(
+        np.max(
+            np.abs(
+                np.asarray(H) @ np.asarray(res.eigenvector)
+                - float(res.eigenvalue) * np.asarray(res.eigenvector)
+            )
+        )
+    )
+    assert got == pytest.approx(want, rel=1e-6)
+    assert got < 1e-2  # converged solve ⇒ small residual
+
+
+def test_convergence_report_estimates_subdominant_ratio():
+    """The delta-ratio estimate recovers |λ₂/λ₁| on a symmetric positive
+    matrix with a known (numpy) spectrum."""
+    n = 64
+    H = fixtures.hilbert_matrix(n)
+    # tight eps → a long geometric tail for the estimator to average
+    res, hist = solve_matvec_traced(H, 1e-6, 200)
+    assert bool(res.converged)
+    rep = convergence_report(np.asarray(hist), int(res.rounds))
+    w = np.sort(np.abs(np.linalg.eigvalsh(np.asarray(H, np.float64))))
+    ratio = float(w[-2] / w[-1])
+    assert rep.deltas_used >= 2
+    assert rep.rate == pytest.approx(ratio, rel=0.25)
+    assert rep.digits_per_round == pytest.approx(-np.log10(rep.rate))
+    # the λ-error estimate should bound the actual remaining error's order
+    lam_true = float(w[-1] * 0 + np.max(np.linalg.eigvalsh(np.asarray(H, np.float64))))
+    actual_err = abs(float(res.eigenvalue) - lam_true)
+    assert rep.lam_error_estimate == pytest.approx(actual_err, abs=10 * actual_err + 1e-6)
+
+
+def test_convergence_report_short_history_is_nan():
+    rep = convergence_report([2.0, 2.1], 1)
+    assert np.isnan(rep.rate) and rep.deltas_used == 0
+
+
+def test_convergence_report_roundoff_floor_excluded():
+    """Deltas at f32 round-off scale must not pollute the rate estimate:
+    a history that converges then sits flat gives the same answer as the
+    clean prefix."""
+    hist = [4.0, 3.0, 2.5, 2.25, 2.125, 2.0625]
+    pad = hist + [hist[-1]] * 10  # flat tail = zero deltas (below floor)
+    a = convergence_report(hist, len(hist) - 1)
+    b = convergence_report(pad, len(pad) - 1)
+    assert a.rate == pytest.approx(0.5, rel=1e-6)
+    assert b.rate == pytest.approx(a.rate, rel=1e-6)
+
+
+class TestRefineEigenpair:
+    def test_hilbert_refines_to_f64(self):
+        """f32 solve + host f64 polish reaches oracle-grade accuracy: λ
+        matches numpy's f64 eigensolver far beyond the f32 stop tolerance."""
+        n = 512
+        H = fixtures.hilbert_matrix(n)
+        res = max_eigenvalue(H)
+        A64 = np.asarray(H, np.float64)
+        ref = refine_eigenpair(A64, res)
+        lam_true = float(np.max(np.linalg.eigvalsh(A64)))
+        coarse_err = abs(float(res.eigenvalue) - lam_true)
+        fine_err = abs(ref.eigenvalue - lam_true)
+        assert fine_err < 1e-10 * lam_true
+        assert fine_err < coarse_err  # strictly better than the f32 readout
+        assert ref.residual < 1e-11
+        assert ref.spread < 1e-9
+        assert float(np.max(ref.eigenvector)) == pytest.approx(1.0)
+
+    def test_matrix_free_matvec(self):
+        """A callable f64 matvec works in place of the dense matrix."""
+        n = 128
+        H = fixtures.hilbert_matrix(n)
+        A64 = np.asarray(H, np.float64)
+        res = max_eigenvalue(H)
+        dense = refine_eigenpair(A64, res)
+        mfree = refine_eigenpair(lambda x: A64 @ x, res)
+        assert mfree.eigenvalue == pytest.approx(dense.eigenvalue, rel=1e-13)
+        assert mfree.residual < 1e-11
+
+    def test_rejects_nonpositive_seed(self):
+        res = max_eigenvalue(fixtures.hilbert_matrix(64))
+        bad = res._replace(eigenvector=jnp.zeros(64) - 1.0)
+        with pytest.raises(ValueError, match="finite and positive"):
+            refine_eigenpair(np.eye(64) + 1.0, bad)
+
+    def test_reports_rounds_and_stops(self):
+        """Stops at the round-off floor well under max_rounds and reports
+        the count actually run."""
+        n = 256
+        H = fixtures.hilbert_matrix(n)
+        res = max_eigenvalue(H)
+        ref = refine_eigenpair(np.asarray(H, np.float64), res, max_rounds=50)
+        assert 1 <= ref.rounds < 50
