@@ -71,13 +71,27 @@ def _e2e_chain_step(fn):
     the iteration is also scale-invariant in ev — but the data dependence
     defeats hoisting/CSE of the chained solves).  A travels in the chain
     STATE so it is a jit argument, never a closure capture (a captured
-    8192² matrix would be serialized into the remote-compile payload)."""
+    8192² matrix would be serialized into the remote-compile payload).
+
+    The carried scalar must mix in ``eigenvector[0]``, not just λ: in the
+    ITERATED solvers (xla/pallas_fused) λ = v[0] comes from the mutated A
+    and never reads ev, so a λ-only carry lets XLA's while-loop
+    simplifier DCE the ev carry, making the whole solve fori-invariant —
+    it gets hoisted out of the timing chain and the marginal reads ~0
+    (observed: pallas_fused 8192² "device_ms: 0.0").  ev[0] multiplies
+    ev0 through every round in both solver forms, so carrying it keeps a
+    loop-varying use of ev0 alive.  The 1e-38 scale keeps the carry
+    numerically equal to λ."""
 
     def step(i, state):
         A, acc = state
         s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
         ev0 = jnp.ones((A.shape[0],), jnp.float32) * s
-        return (A, fn(A, ev0).eigenvalue.astype(jnp.float32))
+        r = fn(A, ev0)
+        acc2 = r.eigenvalue.astype(jnp.float32) + r.eigenvector[0].astype(
+            jnp.float32
+        ) * jnp.float32(1e-38)
+        return (A, acc2)
 
     return step
 
