@@ -190,12 +190,33 @@ def solve_matvec_traced(A: jax.Array, eps: float, max_itr: int):
     stay bit-identical by construction.
     """
 
-    def matvec(ev):
+    def next_v(ev):
         return (A @ ev) / ev
 
-    cond, body = _make_cond_body(matvec, eps, max_itr)
-    init = _init_carry(A.shape[0], matvec, A.dtype)
-    hist0 = jnp.zeros((max_itr,), A.dtype)
+    return _solve_traced(next_v, A.shape[0], A.dtype, eps, max_itr)
+
+
+def solve_operator_traced(
+    matvec, n: int, eps: float, max_itr: int, dtype=jnp.float32
+):
+    """:func:`solve_operator` with the per-round λ history of
+    :func:`solve_matvec_traced` — convergence observability for
+    MATRIX-FREE operators (feed the history to
+    `ops.spectral.convergence_report` to estimate |λ₂/λ₁|; for a
+    stochastic operator like the PageRank Google matrix that ratio IS the
+    chain's mixing rate).  Traced — wrap in ``jax.jit`` with the
+    non-array arguments static."""
+
+    def next_v(ev):
+        return matvec(ev) / ev
+
+    return _solve_traced(next_v, n, dtype, eps, max_itr)
+
+
+def _solve_traced(next_v, n: int, dtype, eps: float, max_itr: int):
+    cond, body = _make_cond_body(next_v, eps, max_itr)
+    init = _init_carry(n, next_v, dtype)
+    hist0 = jnp.zeros((max_itr,), dtype)
 
     def cond_t(ch):
         return cond(ch[0])

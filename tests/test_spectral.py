@@ -120,3 +120,35 @@ class TestRefineEigenpair:
         res = max_eigenvalue(H)
         ref = refine_eigenpair(np.asarray(H, np.float64), res, max_rounds=50)
         assert 1 <= ref.rounds < 50
+
+
+def test_operator_traced_matches_dense_traced():
+    """solve_operator_traced with a dense-backed matvec is bit-identical
+    to solve_matvec_traced (same loop body by construction)."""
+    import jax
+
+    from eigen_value_tpu.ops.solver_matvec import solve_operator_traced
+
+    n = 128
+    H = fixtures.hilbert_matrix(n)
+    want, want_hist = solve_matvec_traced(H, EPS, MAX_ITR)
+    got, got_hist = jax.jit(
+        lambda A: solve_operator_traced(lambda x: A @ x, n, EPS, MAX_ITR)
+    )(H)
+    assert int(got.rounds) == int(want.rounds)
+    assert float(got.eigenvalue) == float(want.eigenvalue)
+    np.testing.assert_array_equal(np.asarray(got_hist), np.asarray(want_hist))
+
+
+def test_operator_traced_rate_matches_dense_rate():
+    """The convergence-rate estimate through the FFT Hankel operator
+    agrees with the dense solver's (same matrix, same asymptote)."""
+    from eigen_value_tpu.ops.solver_matvec import solve_operator_traced
+    from eigen_value_tpu.ops.structured import hilbert_matvec
+
+    n = 64
+    res_d, hist_d = solve_matvec_traced(fixtures.hilbert_matrix(n), 1e-6, 200)
+    res_o, hist_o = solve_operator_traced(hilbert_matvec(n), n, 1e-6, 200)
+    rep_d = convergence_report(np.asarray(hist_d), int(res_d.rounds))
+    rep_o = convergence_report(np.asarray(hist_o), int(res_o.rounds))
+    assert rep_o.rate == pytest.approx(rep_d.rate, rel=0.15)
