@@ -718,14 +718,20 @@ def bench_drift(
     window spread means the runs straddled states and only the
     interleaved protocol (scratch/exp_roundrobin.py) is valid.
 
-    Rows with roofline_pct > 120 are marked ``suspect: true`` — a
-    transport-jitter artifact of the differencing (an inflated
-    short-chain reading shrinks the diff), observed at 131%/179% on the
-    tunnel during unstable periods.  The threshold sits above the chip's
-    REAL measured fast state (~930 GB/s = 113.6% of the 819 GB/s
-    nameplate — sustained HBM can exceed nameplate slightly), so genuine
-    fast-state windows are never misflagged.  Suspect windows are
-    excluded from the summary spread.
+    Rows with roofline_pct > 120 are marked ``suspect: true`` (reason
+    ``fast_outlier``) — a transport-jitter artifact of the differencing
+    (an inflated short-chain reading shrinks the diff), observed at
+    131%/179% on the tunnel during unstable periods.  The threshold sits
+    above the chip's REAL measured fast state (~930 GB/s = 113.6% of the
+    819 GB/s nameplate — sustained HBM can exceed nameplate slightly), so
+    genuine fast-state windows are never misflagged.  Rows BELOW 20% of
+    nameplate are suspect too (reason ``stall``): no chip state is 5×
+    slower than the slow envelope — that's another tunnel client
+    serializing into the timed chain, or a transport stall (observed
+    0.14 GB/s when a concurrent process dialed the tunnel mid-window).
+    Catastrophic kernel regressions can't hide there: the roofline ≥80%
+    and headline <8 ms hardware gates would trip first.  Suspect windows
+    are excluded from the summary spread.
     """
     import time as _time
 
@@ -745,7 +751,12 @@ def bench_drift(
         t_rel = _time.perf_counter() - t0
         pct = roofline_pct(ms, nbytes, peak) if ms > 0 else None
         pct = None if pct != pct else pct
-        suspect = pct is not None and pct > 120.0
+        reason = None
+        if pct is not None and pct > 120.0:
+            reason = "fast_outlier"
+        elif pct is not None and pct < 20.0:
+            reason = "stall"
+        suspect = reason is not None
         if not suspect:
             vals.append(ms)
         rows.append(
@@ -759,6 +770,7 @@ def bench_drift(
                 "gbps": nbytes / (ms * 1e-3) / 1e9 if ms > 0 else None,
                 "roofline_pct": pct,
                 "suspect": suspect,
+                "suspect_reason": reason,
             }
         )
     finite = [v for v in vals if v > 0]
