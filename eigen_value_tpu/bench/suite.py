@@ -692,6 +692,55 @@ def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
                 <= 2e-3 * lam_prod,
             }
         )
+    # Sparse ELL operator: random nonnegative matrix with positive diagonal
+    # (primitive ⇒ converges) and DEG off-diagonal entries per row, solved
+    # through the padded-ELL gather matvec — O(n·DEG)/round, the
+    # TPU-native sparse rung.  Sanity: the returned pair must satisfy the
+    # eigen-pair property through the same operator (reference wrapper
+    # test's acceptance check, wrapper/python/test.py:15-16).
+    import numpy as np
+
+    from ..ops.structured import ell_from_coo, ell_matvec
+
+    DEG = 8
+    for n in dims:
+        rng = np.random.default_rng(n)
+        src = np.repeat(np.arange(n), DEG)
+        dst = (src + 1 + rng.integers(0, n - 1, size=src.shape)) % n
+        vals = (rng.random(src.shape[0]) + 0.1).astype(np.float32)
+        rows_coo = np.concatenate([src, np.arange(n)])
+        cols_coo = np.concatenate([dst, np.arange(n)])
+        vals_coo = np.concatenate([vals, np.ones(n, np.float32)])
+        mv = ell_matvec(*ell_from_coo(rows_coo, cols_coo, vals_coo, n))
+        fns = jax.jit(
+            lambda ev0, _mv=mv, _n=n: solve_operator(
+                _mv, _n, EPS, MAX_ITR, ev0=ev0
+            )
+        )
+        res = fns(jnp.ones((n,), jnp.float32))
+        rounds = int(res.rounds)
+
+        def steps(i, acc, _fn=fns, _n=n):
+            sc = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+            return _fn(jnp.ones((_n,), jnp.float32) * sc).eigenvalue
+
+        dev_ms = time_marginal(steps, jnp.float32(0.0), k=32, reps=reps)
+        lam = float(res.eigenvalue)
+        resid = float(
+            jnp.max(jnp.abs(mv(res.eigenvector) - res.eigenvalue * res.eigenvector))
+        )
+        rows.append(
+            {
+                "bench": "operator",
+                "backend": f"sparse_ell_deg{DEG + 1}",
+                "dim": n,
+                "device_ms": dev_ms,
+                "ms_per_round": dev_ms / max(rounds, 1),
+                "rounds": rounds,
+                "eigenvalue": lam,
+                "rounds_ok": bool(res.converged) and resid <= 1e-2 * max(lam, 1.0),
+            }
+        )
     # the dense production rows for the same dims, for the side-by-side
     rows += [
         dict(r, bench="operator")

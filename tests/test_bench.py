@@ -108,12 +108,12 @@ def test_package_main_entry():
 def test_bench_operator_rows():
     rows = suite.bench_operator([256], reps=1)
     kinds = {r["backend"] for r in rows}
-    assert kinds == {"hankel_fft", "kron_16x16", "matvec"}
+    assert kinds == {"hankel_fft", "kron_16x16", "sparse_ell_deg9", "matvec"}
     for r in rows:
         assert r["rounds_ok"], r
-        # the kron row's 256² solve is ~µs-scale on CPU: its chained
-        # marginal can legitimately round to 0 under suite load
-        if r["backend"].startswith("kron"):
+        # the kron/sparse rows' 256² solves are ~µs-scale on CPU: their
+        # chained marginals can legitimately round to 0 under suite load
+        if r["backend"].startswith(("kron", "sparse")):
             assert r["device_ms"] >= 0, r
         else:
             assert r["device_ms"] > 0, r
