@@ -82,6 +82,31 @@ def main() -> None:
     )
     assert abs(float(res_k.eigenvalue) - lam_prod) < 1e-3 * lam_prod
 
+    # Diagnostics: the traced solve records λ per round at zero extra
+    # compute; convergence_report turns the history into the subdominant
+    # ratio |λ₂/λ₁| (= digits gained per round), and refine_eigenpair
+    # polishes the f32 result to float64 accuracy on the host.
+    from eigen_value_tpu.ops.solver_matvec import solve_operator_traced
+    from eigen_value_tpu.ops.spectral import convergence_report, refine_eigenpair
+
+    res_t, hist = jax.jit(
+        lambda: solve_operator_traced(mv, n, 1e-6, 200)
+    )()
+    rep = convergence_report(np.asarray(hist), int(res_t.rounds))
+    print(
+        f"convergence: rate |λ₂/λ₁| ≈ {rep.rate:.4f} "
+        f"({rep.digits_per_round:.2f} digits/round), "
+        f"remaining λ error ≈ {rep.lam_error_estimate:.2e}"
+    )
+
+    if n <= 4096:  # host f64 polish needs the dense matrix
+        A64 = np.asarray(fixtures.hilbert_matrix(n), np.float64)
+        ref = refine_eigenpair(A64, res)
+        print(
+            f"f64 polish: λ = {ref.eigenvalue:.12f} "
+            f"(residual {ref.residual:.1e}, {ref.rounds} host rounds)"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -63,6 +63,8 @@ def test_matrix_free_example():
     out = _run_example("matrix_free.py")
     assert "operator solve (FFT Hankel" in out
     assert "matches dense within 1e-3" in out
+    assert "convergence: rate" in out
+    assert "f64 polish: λ" in out
 
 
 @pytest.mark.slow
