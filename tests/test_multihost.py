@@ -30,9 +30,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("solver", ["gather", "ring", "2d"])
-def test_two_process_solve_parity(solver):
+def _run_group(nprocs: int, solver: str, dim: int = DIM):
+    """Launch an nprocs-process group and return each worker's result."""
     port = _free_port()
     from conftest import subprocess_env
 
@@ -49,11 +48,11 @@ def test_two_process_solve_parity(solver):
                 "--process-id",
                 str(pid),
                 "--num-processes",
-                "2",
+                str(nprocs),
                 "--coordinator",
                 f"127.0.0.1:{port}",
                 "--dim",
-                str(DIM),
+                str(dim),
                 "--solver",
                 solver,
             ],
@@ -62,7 +61,7 @@ def test_two_process_solve_parity(solver):
             text=True,
             env=env,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     try:
@@ -71,13 +70,19 @@ def test_two_process_solve_parity(solver):
             assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
             outs.append(json.loads(out.strip().splitlines()[-1]))
     finally:
-        # a failed/timed-out worker must not leave its sibling blocked
+        # a failed/timed-out worker must not leave its siblings blocked
         # forever in jax.distributed.initialize
         for q in procs:
             if q.poll() is None:
                 q.kill()
                 q.wait()
+    return outs
 
+
+@pytest.mark.slow
+@pytest.mark.parametrize("solver", ["gather", "ring", "2d"])
+def test_two_process_solve_parity(solver):
+    outs = _run_group(2, solver)
     oracle = parallel_oracle(np.asarray(fixtures.hilbert_matrix(DIM)))
     for res in outs:
         assert res["num_processes"] == 2
@@ -88,3 +93,21 @@ def test_two_process_solve_parity(solver):
         assert res["residual"] < 1e-3
     # λ must be bit-identical across processes (replicated readout).
     assert outs[0]["eigenvalue"] == outs[1]["eigenvalue"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("solver", ["gather", "2d"])
+def test_four_process_solve_parity(solver):
+    """4 OS processes (the 2D case = a 4×4 global mesh: rows = the
+    process/DCN axis, cols = the intra-host axis) — the config-5
+    weak-scaling topology one step past the 2-process flow test."""
+    outs = _run_group(4, solver)
+    oracle = parallel_oracle(np.asarray(fixtures.hilbert_matrix(DIM)))
+    for res in outs:
+        assert res["num_processes"] == 4
+        assert res["global_devices"] == 16
+        assert res["converged"]
+        assert res["rounds"] == fixtures.HILBERT_ROUNDS[DIM]
+        assert res["eigenvalue"] == pytest.approx(oracle.eigenvalue, abs=1e-3)
+        assert res["residual"] < 1e-3
+    assert len({r["eigenvalue"] for r in outs}) == 1
