@@ -224,14 +224,19 @@ def main(argv=None) -> int:
         all_rows += rows
         if not args.json:
             for r in rows:
-                if r["bench"] == "model_calibration":
+                if r["bench"] in ("model_calibration", "model_calibration_crossP"):
                     ratio = r["ratio"]
                     ratio_s = f"{ratio:.2f}" if ratio is not None else "n/a"
+                    cross = (
+                        f" [cross-P: fitted on {r['fitted_on_chips']} shards]"
+                        if r["bench"] == "model_calibration_crossP"
+                        else ""
+                    )
                     print(
                         f"all_gather n={r['dim']:>7} over {r['chips']} shards: "
                         f"measured {r['measured_us']:>9.1f} us, "
                         f"model (gloo-fitted spec) {r['predicted_us']:>9.1f} us, "
-                        f"ratio {ratio_s}"
+                        f"ratio {ratio_s}{cross}"
                     )
                 else:
                     # fit_gbps is None in the latency-dominated regime

@@ -384,3 +384,34 @@ class TestSparseOperators:
         res = max_eigenvalue_operator(google, n)
         assert bool(res.converged)
         assert float(res.eigenvalue) == pytest.approx(1.0, abs=2e-3)
+
+    def test_ell_ragged_degrees_match_dense(self, rng):
+        """Variable row degrees (1..12 nonzeros per row plus diagonal)
+        exercise the ELL padding: padded slots contribute exactly 0."""
+        from eigen_value_tpu.ops.structured import ell_from_coo, ell_matvec
+
+        n = 80
+        rows_l, cols_l, vals_l = [], [], []
+        for i in range(n):
+            deg = int(rng.integers(1, 13))
+            cs = (i + 1 + rng.integers(0, n - 1, size=deg)) % n
+            rows_l += [i] * deg
+            cols_l += list(cs)
+            vals_l += list(rng.random(deg) + 0.1)
+        rows_a = np.concatenate([np.array(rows_l), np.arange(n)])
+        cols_a = np.concatenate([np.array(cols_l), np.arange(n)])
+        vals_a = np.concatenate(
+            [np.array(vals_l, np.float32), np.ones(n, np.float32)]
+        )
+        A = self._dense(rows_a, cols_a, vals_a, n)
+        mv = ell_matvec(*ell_from_coo(rows_a, cols_a, vals_a, n))
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        np.testing.assert_allclose(
+            np.asarray(mv(x)), A @ np.asarray(x), rtol=1e-5, atol=1e-6
+        )
+        got = max_eigenvalue_operator(mv, n)
+        want = max_eigenvalue(jnp.asarray(A))
+        assert bool(got.converged)
+        assert float(got.eigenvalue) == pytest.approx(
+            float(want.eigenvalue), rel=1e-4
+        )
