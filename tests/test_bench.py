@@ -111,10 +111,12 @@ def test_bench_operator_rows():
     assert kinds == {"hankel_fft", "kron_16x16", "sparse_ell_deg9", "matvec"}
     for r in rows:
         assert r["rounds_ok"], r
-        # the kron/sparse rows' 256² solves are ~µs-scale on CPU: their
-        # chained marginals can legitimately round to 0 under suite load
-        if r["backend"].startswith(("kron", "sparse")):
-            assert r["device_ms"] >= 0, r
-        else:
-            assert r["device_ms"] > 0, r
+        # EVERY 256² solve is ~µs-scale on CPU: any row's chained marginal
+        # can legitimately round to 0 under suite load (observed once for
+        # a non-kron row in a full parallel-suite run), so per-row we only
+        # require non-negative...
+        assert r["device_ms"] >= 0, r
         assert r["bench"] == "operator"
+    # ...but ALL rows reading 0 would mean the chain dependence is broken
+    # (the hoist bug class fixed in _e2e_chain_step) — keep that canary.
+    assert any(r["device_ms"] > 0 for r in rows), rows
