@@ -55,10 +55,15 @@ def convergence_report(lam_history, rounds: int) -> ConvergenceReport:
     |λ₂/λ₁|) from the λ-per-round history of
     :func:`..solver_matvec.solve_matvec_traced`.
 
-    λ_k − λ_∞ ≈ C·rᵏ ⇒ the ratio of successive deltas Δ_k = λ_{k+1} − λ_k
-    estimates r.  The geometric mean over the usable tail is returned;
-    ratios from deltas at round-off scale (|Δ| ≤ 100·eps·λ) are excluded.
-    Works on any geometric tail, including cap-exhausted runs.
+    λ_k − λ_∞ ≈ C·rᵏ with r = λ₂/λ₁ ⇒ the ratio of successive deltas
+    Δ_k = λ_{k+1} − λ_k estimates r; |r| is reported.  A NEGATIVE λ₂
+    alternates the delta signs (q < 0) — |q| still estimates |λ₂/λ₁|, so
+    both signs are accepted (for the alternating case the
+    ``lam_error_estimate`` bound |Δ|·r/(1−r) is conservative: the true
+    remaining error is ≈ |Δ|·r/(1+r)).  The geometric mean over the
+    usable tail is returned; ratios from deltas at round-off scale
+    (|Δ| ≤ 100·eps·λ) are excluded.  Works on any geometric tail,
+    including cap-exhausted runs.
     """
     hist = np.asarray(lam_history, np.float64)[: int(rounds) + 1]
     if hist.size < 3:
@@ -70,8 +75,10 @@ def convergence_report(lam_history, rounds: int) -> ConvergenceReport:
     for k in range(len(deltas) - 1):
         if abs(deltas[k]) > floor and abs(deltas[k + 1]) > floor:
             q = deltas[k + 1] / deltas[k]
-            if 0 < q < 1:  # geometric decay toward λ∞; transients excluded
-                ratios.append(q)
+            # geometric decay toward λ∞ (|q| < 1); q < 0 = alternating
+            # convergence (negative λ₂); |q| ≥ 1 transients excluded
+            if 0 < abs(q) < 1:
+                ratios.append(abs(q))
     if not ratios:
         return ConvergenceReport(float("nan"), float("nan"), float("nan"), 0)
     ratios = ratios[-5:]  # the tail is the asymptote; early rounds carry

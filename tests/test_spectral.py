@@ -152,3 +152,23 @@ def test_operator_traced_rate_matches_dense_rate():
     rep_d = convergence_report(np.asarray(hist_d), int(res_d.rounds))
     rep_o = convergence_report(np.asarray(hist_o), int(res_o.rounds))
     assert rep_o.rate == pytest.approx(rep_d.rate, rel=0.15)
+
+
+def test_convergence_report_alternating_subdominant():
+    """A NEGATIVE λ₂ alternates the delta signs; |λ₂/λ₁| must still be
+    recovered.  Construction: 11ᵀ − 0.45·ssᵀ (s = alternating signs) has
+    entries in {0.55, 1.45} > 0 and spectrum {n, −0.45n, 0, …}; a
+    positive-diagonal similarity D·A·D⁻¹ keeps entries positive and the
+    spectrum exact while moving the Perron vector off the all-ones start
+    (otherwise the solve converges instantly and leaves no tail)."""
+    n = 16
+    s = np.array([(-1.0) ** i for i in range(n)])
+    A = np.ones((n, n)) - 0.45 * np.outer(s, s)
+    d = 1.0 + 0.3 * np.arange(n) / n
+    B = (np.diag(d) @ A @ np.diag(1.0 / d)).astype(np.float32)
+    assert (B > 0).all()
+    res, hist = solve_matvec_traced(jnp.asarray(B), 1e-6, 200)
+    assert bool(res.converged)
+    rep = convergence_report(np.asarray(hist), int(res.rounds))
+    assert rep.deltas_used >= 2
+    assert rep.rate == pytest.approx(0.45, rel=0.05)
