@@ -275,7 +275,7 @@ def eigenpair_operator(make_matvec, n: int, eps: float = EPS, max_itr: int = MAX
     def bwd(residuals, cotangents):
         theta, lam, v, fwd_converged = residuals
         lam_bar, v_bar = cotangents
-        _warn_if_operator_unconverged(fwd_converged)
+        _warn_if_operator_unconverged(fwd_converged, api_name="eigenpair_operator")
         mv = make_matvec(theta)
 
         def rmv(y):
@@ -323,16 +323,17 @@ def eigenpair_operator(make_matvec, n: int, eps: float = EPS, max_itr: int = MAX
     return pair_fn
 
 
-def _warn_if_operator_unconverged(converged):
-    """Host-side runtime warning when an eigenvalue_operator adjoint solve
-    hit the iteration cap (same callback pattern as
-    :func:`_warn_if_unconverged` — a traced cond would fire per batch
-    element under vmap)."""
+def _warn_if_operator_unconverged(converged, api_name="eigenvalue_operator"):
+    """Host-side runtime warning when a matrix-free adjoint solve hit the
+    iteration cap (same callback pattern as :func:`_warn_if_unconverged` —
+    a traced cond would fire per batch element under vmap).  ``api_name``
+    names the user-facing entry point so the warning greps to the call
+    the user actually made."""
 
     def _cb(ok):
         if not bool(ok):
             print(
-                "eigen_value_tpu: eigenvalue_operator VJP ran on an "
+                f"eigen_value_tpu: {api_name} VJP ran on an "
                 "UNCONVERGED solve (iteration cap hit); the returned "
                 "gradient uses pre-convergence eigenvector iterates and "
                 "may be inaccurate — raise max_itr or loosen eps",

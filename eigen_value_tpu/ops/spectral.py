@@ -62,15 +62,24 @@ def convergence_report(lam_history, rounds: int) -> ConvergenceReport:
     ``lam_error_estimate`` bound |Δ|·r/(1−r) is conservative: the true
     remaining error is ≈ |Δ|·r/(1+r)).  The geometric mean over the
     usable tail is returned; ratios from deltas at round-off scale
-    (|Δ| ≤ 100·eps·λ) are excluded.  Works on any geometric tail,
-    including cap-exhausted runs.
+    (|Δ| ≤ 100·eps·λ, with eps taken from the HISTORY's dtype — an f64
+    traced solve keeps its deeper usable tail) are excluded.  Works on
+    any geometric tail, including cap-exhausted runs.  Histories passed
+    as plain Python lists are assumed f32-origin (the solver's parity
+    dtype); pass the solver's own array to get its dtype's floor.
     """
+    in_dtype = getattr(lam_history, "dtype", None)
+    hist_eps = (
+        float(np.finfo(in_dtype).eps)
+        if in_dtype is not None and np.issubdtype(in_dtype, np.floating)
+        else float(np.finfo(np.float32).eps)
+    )
     hist = np.asarray(lam_history, np.float64)[: int(rounds) + 1]
     if hist.size < 3:
         return ConvergenceReport(float("nan"), float("nan"), float("nan"), 0)
     deltas = np.diff(hist)
     scale = max(abs(float(hist[-1])), 1e-30)
-    floor = 100 * np.finfo(np.float32).eps * scale
+    floor = 100 * hist_eps * scale
     ratios = []
     for k in range(len(deltas) - 1):
         if abs(deltas[k]) > floor and abs(deltas[k + 1]) > floor:

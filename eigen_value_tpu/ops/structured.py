@@ -200,8 +200,13 @@ def ell_from_coo(rows, cols, vals, n: int):
     import numpy as np
 
     rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    if len(rows) and (rows.min() < 0 or rows.max() >= n):
+        raise ValueError(f"row indices must be in [0, {n}), got [{rows.min()}, {rows.max()}]")
+    if len(cols) and (cols.min() < 0 or cols.max() >= n):
+        raise ValueError(f"col indices must be in [0, {n}), got [{cols.min()}, {cols.max()}]")
     order = np.argsort(rows, kind="stable")
-    rows, cols_s, vals_s = rows[order], np.asarray(cols)[order], np.asarray(vals)[order]
+    rows, cols_s, vals_s = rows[order], cols[order], np.asarray(vals)[order]
     counts = np.bincount(rows, minlength=n)
     k = int(counts.max()) if len(rows) else 1
     ell_cols = np.zeros((n, max(k, 1)), np.int32)

@@ -189,12 +189,16 @@ def calibration_rows(measured_us, p: int, spec: ChipSpec = None):
     ``spec`` describes the transport the measurement ran on; when omitted
     (the normal calibration flow) it is built from :func:`fit_exchange` on
     the measurements themselves — ONE fit feeds both the emitted fit row
-    and the predictions, so the two cannot drift apart."""
-    gbps, lat = fit_exchange(measured_us, p, (spec or DEFAULT_SPEC).itemsize)
+    and the predictions, so the two cannot drift apart.  Passing a spec
+    skips the fit and reports ITS parameters in the fit row (callers that
+    fit once and reuse the spec elsewhere stay provably on that one fit)."""
     if spec is None:
+        gbps, lat = fit_exchange(measured_us, p, DEFAULT_SPEC.itemsize)
         spec = dataclasses.replace(
             DEFAULT_SPEC, ici_gbps=gbps, ici_latency_us=lat
         )
+    else:
+        gbps, lat = spec.ici_gbps, spec.ici_latency_us
     rows = []
     for n in sorted(measured_us):
         pred = gather_exchange_us(n, p, 1, spec)

@@ -9,15 +9,25 @@ cd /root/repo
 STAGE="${1:-all}"
 LOG=/tmp/tpu_queue.log
 run() { echo "== $* == $(date -u +%H:%M:%S)" | tee -a "$LOG"; "$@" 2>&1 | tail -20 | tee -a "$LOG"; }
+# artifact <out.jsonl> <timeout_s> <bench args...>: write to a temp file and
+# mv only on success, so a timeout/wedge can't leave an empty artifact behind
+artifact() {
+  local out="$1" tmo="$2"; shift 2
+  echo "== artifact $out ($*) == $(date -u +%H:%M:%S)" | tee -a "$LOG"
+  if timeout "$tmo" python -m eigen_value_tpu.bench "$@" > "$out.tmp" 2>>"$LOG" \
+     && [ -s "$out.tmp" ]; then
+    mv "$out.tmp" "$out"; tail -3 "$out" | tee -a "$LOG"
+  else
+    echo "FAILED/EMPTY: $out (left $out.tmp)" | tee -a "$LOG"
+  fi
+}
 
 if [ "$STAGE" = all ] || [ "$STAGE" = health ]; then
   run timeout 180 python -m eigen_value_tpu.utils.health --deadline-s 90
 fi
 
-if [ "$STAGE" = all ] || [ "$STAGE" = hwfail ]; then
-  # the two failures from the 2026-08-17 21:57 run, solo with full tracebacks
-  # (exported-artifact ValueError text was lost to tail-20; drift-envelope
-  # failure overlapped a concurrent pytest run — suspected host-load artifact)
+if [ "$STAGE" = hwfail ]; then
+  # solo re-run of previously-failing hw tests with full tracebacks
   echo "== hw failures re-run ==" | tee -a "$LOG"
   timeout 900 env RUN_TPU_TESTS=1 python -m pytest \
     "tests/test_tpu_hw.py::test_exported_artifact_runs_on_hardware" \
@@ -25,27 +35,22 @@ if [ "$STAGE" = all ] || [ "$STAGE" = hwfail ]; then
     -q --tb=long 2>&1 | tee /tmp/hwfail.log | tail -60 | tee -a "$LOG"
 fi
 
-if [ "$STAGE" = hw ]; then
-  run timeout 1800 env RUN_TPU_TESTS=1 python -m pytest tests/test_tpu_hw.py -q
+if [ "$STAGE" = all ] || [ "$STAGE" = hw ]; then
+  # FULL hardware regression gate before any artifact regeneration — a
+  # regression in parity/roofline/export must fail here, not ship silently
+  # into docs/bench.  Full tracebacks land in /tmp/hw_full.log.
+  echo "== full hw gate ==" | tee -a "$LOG"
+  timeout 1800 env RUN_TPU_TESTS=1 python -m pytest tests/test_tpu_hw.py \
+    -q --tb=long 2>&1 | tee /tmp/hw_full.log | tail -40 | tee -a "$LOG"
 fi
 
 if [ "$STAGE" = all ] || [ "$STAGE" = artifacts ]; then
   # e2e ladder with the fixed chain carry (commit ed78fcc) — the earlier
   # regeneration's iterated-backend rows were hoisted out of the loop
-  echo "== e2e ladder artifact (all backends, flagship dim) ==" | tee -a "$LOG"
-  timeout 2400 python -m eigen_value_tpu.bench --suite e2e --json \
-    --dims 8192 --reps 3 \
-    > docs/bench/e2e_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/e2e_r2b.jsonl | tee -a "$LOG"
-  echo "== sharded artifact (timed out at 1200s on the wedging tunnel last try) ==" | tee -a "$LOG"
-  timeout 2400 python -m eigen_value_tpu.bench --suite sharded --json \
-    > docs/bench/sharded_tpu_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/sharded_tpu_r2b.jsonl | tee -a "$LOG"
-  echo "== drift artifact ==" | tee -a "$LOG"
-  timeout 900 python -m eigen_value_tpu.bench --suite drift --json \
-    > docs/bench/drift_r2b.jsonl 2>>"$LOG" && tail -3 docs/bench/drift_r2b.jsonl | tee -a "$LOG"
-  echo "== operator artifact (FFT + kron vs dense on the chip) ==" | tee -a "$LOG"
-  timeout 1200 python -m eigen_value_tpu.bench --suite operator --json \
-    --dims 1024 8192 \
-    > docs/bench/operator_tpu_r2.jsonl 2>>"$LOG" && tail -3 docs/bench/operator_tpu_r2.jsonl | tee -a "$LOG"
+  artifact docs/bench/e2e_r2b.jsonl 2400 --suite e2e --json --dims 8192 --reps 3
+  artifact docs/bench/sharded_tpu_r2b.jsonl 2400 --suite sharded --json
+  artifact docs/bench/drift_r2b.jsonl 900 --suite drift --json
+  artifact docs/bench/operator_tpu_r2.jsonl 1200 --suite operator --json --dims 1024 8192
 fi
 
 if [ "$STAGE" = all ] || [ "$STAGE" = bench ]; then

@@ -273,6 +273,19 @@ class TestSparseOperators:
         with pytest.raises(ValueError, match="matching"):
             ell_matvec(jnp.zeros((4, 3), jnp.int32), jnp.zeros((4, 2)))
 
+    def test_ell_from_coo_rejects_out_of_range_indices(self):
+        """A typo'd index must raise, not vanish (row ≥ n used to be
+        silently dropped by the bincount/packing loop; col ≥ n would be
+        clamped by the gather at matvec time)."""
+        from eigen_value_tpu.ops.structured import ell_from_coo
+
+        with pytest.raises(ValueError, match="row indices"):
+            ell_from_coo([0, 7], [1, 1], [1.0, 2.0], 4)
+        with pytest.raises(ValueError, match="col indices"):
+            ell_from_coo([0, 1], [1, 9], [1.0, 2.0], 4)
+        with pytest.raises(ValueError, match="row indices"):
+            ell_from_coo([-1], [0], [1.0], 4)
+
     def test_bcoo_matches_dense(self, rng):
         from jax.experimental import sparse as jsparse
 

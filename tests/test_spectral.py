@@ -77,6 +77,22 @@ def test_convergence_report_roundoff_floor_excluded():
     assert b.rate == pytest.approx(a.rate, rel=1e-6)
 
 
+def test_convergence_report_f64_history_keeps_deep_tail():
+    """The round-off floor scales with the HISTORY's dtype: an f64 history
+    whose geometric tail sits below the f32 floor (|Δ| ~ 1e-6·λ) but well
+    above f64 round-off still yields a rate, instead of rate=NaN from an
+    all-excluded tail."""
+    lam, r = 2.0, 0.5
+    # deltas span 1e-7·λ … 1e-11·λ — every one below 100·f32eps·λ ≈ 2.4e-5·λ
+    hist = np.array([lam - 2e-7 * r**k for k in range(15)], np.float64)
+    rep = convergence_report(hist, len(hist) - 1)
+    assert rep.deltas_used >= 2
+    assert rep.rate == pytest.approx(r, rel=1e-3)
+    # the same values with no dtype information assume f32 origin → NaN
+    rep32 = convergence_report(list(hist), len(hist) - 1)
+    assert np.isnan(rep32.rate)
+
+
 class TestRefineEigenpair:
     def test_hilbert_refines_to_f64(self):
         """f32 solve + host f64 polish reaches oracle-grade accuracy: λ
