@@ -26,6 +26,13 @@ if [ "$STAGE" = all ] || [ "$STAGE" = health ]; then
   run timeout 180 python -m eigen_value_tpu.utils.health --deadline-s 90
 fi
 
+if [ "$STAGE" = all ] || [ "$STAGE" = hwfail ]; then
+  # full-fact diagnostic for the 2026-08-17 exported-artifact ValueError
+  # (cheap: one 1024² export + call; answers land in /tmp/diag_export.log)
+  echo "== export diagnostic ==" | tee -a "$LOG"
+  timeout 600 python scratch/diag_export_hw.py 2>&1 | tee /tmp/diag_export.log | tail -30 | tee -a "$LOG"
+fi
+
 if [ "$STAGE" = hwfail ]; then
   # solo re-run of previously-failing hw tests with full tracebacks
   echo "== hw failures re-run ==" | tee -a "$LOG"
