@@ -85,6 +85,30 @@ class TestCalibration:
         fit = [r for r in rows if r["bench"] == "model_calibration_fit"][0]
         assert fit["fit_gbps"] is None
 
+    def test_calibration_rows_explicit_spec_skips_refit(self):
+        """Passing a spec must use ITS parameters for both the fit row and
+        the predictions (the calibrate suite fits once and reuses that spec
+        for the cross-P check; a silent refit could drift from it)."""
+        import dataclasses
+
+        from eigen_value_tpu.utils.scaling_model import (
+            DEFAULT_SPEC,
+            calibration_rows,
+            gather_exchange_us,
+        )
+
+        spec = dataclasses.replace(DEFAULT_SPEC, ici_gbps=3.0, ici_latency_us=42.0)
+        measured = {8192: 5600.0, 32768: 9000.0}
+        rows = calibration_rows(measured, 8, spec=spec)
+        fit = [r for r in rows if r["bench"] == "model_calibration_fit"][0]
+        assert fit["fit_gbps"] == 3.0
+        assert fit["fit_latency_us"] == 42.0
+        for r in rows:
+            if r["bench"] == "model_calibration":
+                assert r["predicted_us"] == pytest.approx(
+                    gather_exchange_us(r["dim"], 8, 1, spec)
+                )
+
     def test_sensitivity_table_covers_grid(self):
         from eigen_value_tpu.utils.scaling_model import sensitivity_table
 
