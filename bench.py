@@ -74,6 +74,15 @@ EXTEND_BUDGET_S = float(os.environ.get("BENCH_EXTEND_S", "900"))
 # SIGTERM first (the worker's handler emits the best-so-far JSON if any
 # window completed), SIGKILL if it stays stuck in the hung C call.
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
+# Wedge recovery: observed wedges last minutes to hours, and a round's
+# headline record is too valuable to forfeit to one badly-timed wedge.
+# When the FIRST worker attempt completes zero windows, the supervisor
+# probes tunnel health every PROBE_GAP_S (subprocess-isolated, so a
+# still-wedged tunnel can't hang it) for up to RETRY_BUDGET_S, and
+# relaunches the worker once if the tunnel comes back.  RETRY_BUDGET_S=0
+# disables the retry (the old emit-failure-immediately behavior).
+PROBE_GAP_S = float(os.environ.get("BENCH_PROBE_GAP_S", "60"))
+RETRY_BUDGET_S = float(os.environ.get("BENCH_RETRY_BUDGET_S", "900"))
 
 
 def _sync(x) -> float:
@@ -296,10 +305,11 @@ def main() -> None:
     emitted = True
 
 
-def supervise() -> int:
-    """Run main() in a worker subprocess under DEADLINE_S; forward its
-    stdout (the one JSON line).  On deadline: SIGTERM (worker emits a
-    partial record if it completed any window), then SIGKILL."""
+def _run_worker(deadline_s: float):
+    """One worker attempt under ``deadline_s``; returns ``(stdout, rc)``
+    (stdout is the JSON line, empty if no window completed).  On
+    deadline: SIGTERM (the worker emits a partial record if it completed
+    any window), then SIGKILL."""
     import subprocess
 
     env = dict(os.environ, BENCH_SUPERVISED="1")
@@ -319,10 +329,10 @@ def supervise() -> int:
     signal.signal(signal.SIGTERM, _forward_term)
     signal.signal(signal.SIGINT, _forward_term)
     try:
-        out, _ = proc.communicate(timeout=DEADLINE_S)
+        out, _ = proc.communicate(timeout=deadline_s)
     except subprocess.TimeoutExpired:
         print(
-            f"WARNING: bench deadline {DEADLINE_S:.0f}s exceeded — "
+            f"WARNING: bench deadline {deadline_s:.0f}s exceeded — "
             f"terminating worker",
             file=sys.stderr,
         )
@@ -332,14 +342,68 @@ def supervise() -> int:
         except subprocess.TimeoutExpired:
             proc.kill()  # hung in a blocked RPC; nothing salvageable
             out, _ = proc.communicate()
+    return out, proc.returncode
+
+
+def wait_for_tunnel(
+    budget_s: float,
+    gap_s: float,
+    probe=None,
+    _sleep=time.sleep,
+    _mono=time.monotonic,
+) -> bool:
+    """Poll tunnel health until a probe reports alive or the budget is
+    spent; returns True on recovery.  The probe is subprocess-isolated
+    (utils/health.probe) so a still-wedged tunnel can't hang the wait.
+    Budget accounting leaves room for one probe (≤60 s) after the final
+    sleep.  probe/_sleep/_mono are injectable so the policy is
+    unit-testable without a tunnel."""
+    if probe is None:
+        from eigen_value_tpu.utils.health import probe as _health_probe
+
+        def probe():
+            return bool(_health_probe(deadline_s=60.0).get("alive"))
+
+    t0 = _mono()
+    while _mono() - t0 + gap_s + 60.0 <= budget_s:
+        _sleep(gap_s)
+        if probe():
+            return True
+    return False
+
+
+def supervise() -> int:
+    """Run main() in a worker subprocess under DEADLINE_S; forward its
+    stdout (the one JSON line).  If the first attempt completes zero
+    windows (tunnel wedged from the start), wait up to RETRY_BUDGET_S
+    for the tunnel to recover and retry once."""
+    out, rc = _run_worker(DEADLINE_S)
+    retry_ok = RETRY_BUDGET_S > 0 and os.environ.get("BENCH_DEVICE") != "cpu"
+    if not out and retry_ok:
+        # During the recovery wait there is no worker to forward TERM to:
+        # a driver timeout here must still leave an explicit record.
+        def _term_during_wait(signum, frame):
+            print(json.dumps(failure_record(rc)), flush=True)
+            os._exit(1)
+
+        signal.signal(signal.SIGTERM, _term_during_wait)
+        signal.signal(signal.SIGINT, _term_during_wait)
+        print(
+            f"WARNING: no window completed (worker rc={rc}) — probing for "
+            f"tunnel recovery up to {RETRY_BUDGET_S:.0f}s",
+            file=sys.stderr,
+        )
+        if wait_for_tunnel(RETRY_BUDGET_S, PROBE_GAP_S):
+            print("tunnel recovered — retrying measurement", file=sys.stderr)
+            out, rc = _run_worker(DEADLINE_S)
     if out:
         sys.stdout.write(out)
         return 0
-    # No window ever completed (tunnel wedged from the start, or the worker
+    # No window ever completed (tunnel wedged throughout, or the worker
     # died before measuring).  Emit an explicit diagnostic record rather
     # than nothing, so the round's bench artifact explains itself.
-    print(json.dumps(failure_record(proc.returncode)), flush=True)
-    return proc.returncode or 1
+    print(json.dumps(failure_record(rc)), flush=True)
+    return rc or 1
 
 
 def failure_record(worker_rc) -> dict:
@@ -349,6 +413,7 @@ def failure_record(worker_rc) -> dict:
         "value": None,
         "unit": "ms",
         "vs_baseline": None,
+        "retry_budget_s": RETRY_BUDGET_S,
         "error": (
             "no measurement window completed within "
             f"{DEADLINE_S:.0f}s (worker rc={worker_rc}); the remote-TPU "

@@ -160,6 +160,65 @@ def test_failure_record_shape(bench):
     assert "error" in back and "rc=-9" in back["error"]
 
 
+def test_wait_for_tunnel_recovers(bench):
+    """The recovery wait returns True as soon as a probe reports alive,
+    after sleeping the configured gap before each probe."""
+    clock = {"t": 0.0}
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    probes = iter([False, False, True])
+    got = bench.wait_for_tunnel(
+        budget_s=600.0,
+        gap_s=30.0,
+        probe=lambda: next(probes),
+        _sleep=fake_sleep,
+        _mono=lambda: clock["t"],
+    )
+    assert got is True
+    assert sleeps == [30.0, 30.0, 30.0]
+
+
+def test_wait_for_tunnel_budget_exhausted(bench):
+    """A tunnel that never recovers exhausts the budget and returns
+    False; the loop leaves headroom for one probe after the final sleep."""
+    clock = {"t": 0.0}
+
+    def fake_sleep(s):
+        clock["t"] += s
+
+    calls = {"n": 0}
+
+    def probe():
+        calls["n"] += 1
+        clock["t"] += 60.0  # each failed probe burns its full deadline
+        return False
+
+    got = bench.wait_for_tunnel(
+        budget_s=300.0,
+        gap_s=60.0,
+        probe=probe,
+        _sleep=fake_sleep,
+        _mono=lambda: clock["t"],
+    )
+    assert got is False
+    assert calls["n"] == 2  # (60 sleep + 60 probe) per cycle within 300 - 120 headroom
+
+
+def test_wait_for_tunnel_zero_budget(bench):
+    got = bench.wait_for_tunnel(
+        budget_s=0.0,
+        gap_s=60.0,
+        probe=lambda: True,
+        _sleep=lambda s: None,
+        _mono=lambda: 0.0,
+    )
+    assert got is False
+
+
 def test_bench_py_emits_diagnostic_when_no_window_completes():
     """A deadline so short the worker dies before any window must still
     produce one parseable JSON line explaining the failure (the driver
