@@ -1,6 +1,6 @@
 """Spectral diagnostics and refinement around the solver.
 
-Three capabilities the reference has no analog for (its only outputs are
+Capabilities the reference has no analog for (its only outputs are
 ``(λ, v, ms, rounds)``, wrapper/python/similarity_transform.py:42-78),
 each falling out of the TPU-native design:
 
@@ -23,6 +23,12 @@ each falling out of the TPU-native design:
   round-off from any 1e-3-converged start unless the spectral gap is
   tiny — and the returned ``spread``/``residual`` report exactly what
   was achieved.
+* :func:`power_eigenpair` / :func:`subdominant_eigenpair` — classic
+  normalized power iteration for general SYMMETRIC operators (on device,
+  jittable, no positivity assumed) and the second eigenpair via
+  Hotelling deflation of the (refined) dominant pair.  Together they
+  turn :func:`convergence_report`'s rate ESTIMATE into a measured
+  spectral gap |λ₂/λ₁|.
 """
 
 from __future__ import annotations
@@ -148,3 +154,144 @@ def refine_eigenpair(
     vhat = q / q.max()
     residual = float(np.max(np.abs(matvec(vhat) - lam * vhat)))
     return RefinedPair(lam, vhat, k, spread, residual)
+
+
+class PowerResult(NamedTuple):
+    """Eigenpair from :func:`power_eigenpair` (traced arrays)."""
+
+    eigenvalue: "jnp.ndarray"  # Rayleigh quotient of the returned vector
+    eigenvector: "jnp.ndarray"  # unit 2-norm
+    rounds: "jnp.ndarray"  # matvecs spent inside the loop (int32)
+    converged: "jnp.ndarray"  # residual ≤ eps·|λ| reached before the cap
+    residual: "jnp.ndarray"  # ‖A·v − λ·v‖₂ of the returned pair
+
+
+def power_eigenpair(
+    matvec, n: int, eps: float = 1e-6, max_itr: int = 1000, x0=None,
+    dtype=jnp.float32,
+) -> PowerResult:
+    """CLASSIC normalized power iteration — the general-operator sibling
+    of the similarity-transform solver, with no positivity assumption.
+
+    Converges to the largest-|λ| eigenpair of a SYMMETRIC operator
+    (λ may be negative — the iterate's alternating sign cancels in the
+    Rayleigh quotient), at rate |λ_sub/λ_dom| per round; it stalls when
+    the two largest magnitudes tie.  The similarity-transform solver
+    remains the production path for positive matrices (same asymptotics,
+    plus the reference's exact round-count semantics); this entry exists
+    for operators OUTSIDE that contract — above all the Hotelling-deflated
+    operators of :func:`subdominant_eigenpair`, whose deflation makes
+    them indefinite.  No reference analog (the reference solves positive
+    matrices only, similarity_transform.hpp:8-9).
+
+    Stop: relative residual ‖A·x − λ·x‖₂ ≤ eps·|λ| (checked on the
+    PRE-update iterate; the returned pair is re-evaluated exactly, one
+    extra matvec).  Jittable: ``n``/``eps``/``max_itr`` are static,
+    the loop is a ``lax.while_loop``.  ``x0`` defaults to a fixed-key
+    normal vector (a deterministic start that is almost surely
+    non-orthogonal to the dominant eigenvector; ``jnp.ones`` would be
+    EXACTLY orthogonal to odd-symmetric eigenvectors).
+    """
+    import jax
+    from jax import lax
+
+    if x0 is None:
+        x0 = jax.random.normal(jax.random.key(0), (n,), dtype)
+    x0 = jnp.asarray(x0, dtype)
+    x0 = x0 / jnp.linalg.norm(x0)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
+
+    def cond(state):
+        _, lam, resid, itr = state
+        return (resid > eps * jnp.abs(lam)) & (itr < max_itr)
+
+    def body(state):
+        x, _, _, itr = state
+        y = matvec(x)
+        lam = x @ y  # Rayleigh quotient (x has unit norm)
+        resid = jnp.linalg.norm(y - lam * x)
+        x_new = y / jnp.maximum(jnp.linalg.norm(y), tiny)
+        return x_new, lam, resid, itr + 1
+
+    init = (x0, jnp.asarray(0.0, dtype), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32))
+    x, _, _, itr = lax.while_loop(cond, body, init)
+    # the loop's (λ, resid) describe the PREVIOUS iterate; re-evaluate the
+    # returned vector exactly so the record matches what the caller gets
+    y = matvec(x)
+    lam = x @ y
+    resid = jnp.linalg.norm(y - lam * x)
+    return PowerResult(lam, x, itr, resid <= eps * jnp.abs(lam), resid)
+
+
+class SubdominantPair(NamedTuple):
+    eigenvalue: float  # λ₂ (signed)
+    eigenvector: np.ndarray  # unit 2-norm, ``dtype``
+    ratio: float  # |λ₂/λ₁| — the measured convergence rate / spectral gap
+    rounds: int  # power-iteration matvecs spent
+    converged: bool
+    residual: float  # ‖A·v₂ − λ₂·v₂‖₂ through the ORIGINAL A
+
+
+def subdominant_eigenpair(
+    A, result, eps: float = 1e-5, max_itr: int = 5000, refine: bool = True,
+    dtype=jnp.float32,
+) -> SubdominantPair:
+    """The SECOND eigenpair (λ₂, v₂) of a symmetric positive matrix, by
+    Hotelling deflation of the solver's dominant pair — it turns
+    :func:`convergence_report`'s rate ESTIMATE into a measured spectral
+    gap (the report reads |λ₂/λ₁| off the λ history's decay; this
+    computes λ₂ itself and cross-validates the estimate).
+
+    ``result`` is any converged solve's :class:`..solver.SolveResult`.
+    The dominant pair is first polished to f64 on the host
+    (:func:`refine_eigenpair`, ``refine=True``): the deflated operator
+    B = A − λ₁·v̂₁v̂₁ᵀ carries a spurious eigenvalue of order the dominant
+    RESIDUAL in the v₁ direction, so an eps=1e-3 unpolished pair bounds
+    λ₂'s accuracy at ~1e-3·λ₁ while the polished one is exact to f32
+    round-off.  The deflated iteration itself runs ON DEVICE in ``dtype``
+    via :func:`power_eigenpair` (B is symmetric but indefinite — outside
+    the similarity-transform contract).  Only defined for symmetric A
+    (Hotelling deflation needs the left eigenvector = right); requires
+    |λ₂| > |λ₃| to converge.
+    """
+    A64 = np.asarray(A, np.float64)
+    if A64.shape[0] != A64.shape[1]:
+        raise ValueError(f"need a square matrix, got {A64.shape}")
+    if not np.allclose(A64, A64.T, rtol=1e-6, atol=1e-12):
+        raise ValueError(
+            "subdominant_eigenpair requires a SYMMETRIC matrix (Hotelling "
+            "deflation with the right eigenvector assumes left = right)"
+        )
+    if refine:
+        rp = refine_eigenpair(A64, result)
+        lam1, v1 = rp.eigenvalue, rp.eigenvector
+    else:
+        lam1 = float(result.eigenvalue)
+        v1 = np.asarray(result.eigenvector, np.float64)
+    v1n = v1 / np.linalg.norm(v1)
+
+    n = A64.shape[0]
+    Aj = jnp.asarray(A64, dtype)
+    v1j = jnp.asarray(v1n, dtype)
+    lam1j = jnp.asarray(lam1, dtype)
+
+    def deflated(x):
+        return Aj @ x - lam1j * (v1j @ x) * v1j
+
+    # start orthogonal to v̂₁: removes the (already deflated) dominant
+    # direction from round 0, so every iteration works on the subspace
+    import jax
+
+    x0 = jax.random.normal(jax.random.key(0), (n,), dtype)
+    x0 = x0 - (v1j @ x0) * v1j
+    pr = power_eigenpair(deflated, n, eps=eps, max_itr=max_itr, x0=x0,
+                         dtype=dtype)
+    v2 = np.asarray(pr.eigenvector, dtype)
+    lam2 = float(pr.eigenvalue)
+    resid = float(np.linalg.norm(A64 @ v2.astype(np.float64)
+                                 - lam2 * v2.astype(np.float64)))
+    return SubdominantPair(
+        lam2, v2, abs(lam2) / abs(lam1), int(pr.rounds),
+        bool(pr.converged), resid,
+    )

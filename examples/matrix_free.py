@@ -107,6 +107,17 @@ def main() -> None:
             f"(residual {ref.residual:.1e}, {ref.rounds} host rounds)"
         )
 
+        # MEASURE the gap the report estimated: Hotelling deflation of the
+        # refined dominant pair + device power iteration gives λ₂ itself.
+        from eigen_value_tpu.ops.spectral import subdominant_eigenpair
+
+        sub = subdominant_eigenpair(A64, res)
+        print(
+            f"spectral gap: λ₂ = {sub.eigenvalue:.6e}, measured |λ₂/λ₁| = "
+            f"{sub.ratio:.4f} (report estimated {rep.rate:.4f}; "
+            f"{sub.rounds} deflated rounds)"
+        )
+
 
 if __name__ == "__main__":
     main()

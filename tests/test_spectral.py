@@ -17,7 +17,9 @@ from eigen_value_tpu.ops.solver_matvec import solve_matvec_traced
 from eigen_value_tpu.ops.spectral import (
     convergence_report,
     operator_residual,
+    power_eigenpair,
     refine_eigenpair,
+    subdominant_eigenpair,
 )
 
 
@@ -188,3 +190,85 @@ def test_convergence_report_alternating_subdominant():
     rep = convergence_report(np.asarray(hist), int(res.rounds))
     assert rep.deltas_used >= 2
     assert rep.rate == pytest.approx(0.45, rel=0.05)
+
+
+class TestPowerEigenpair:
+    """General (indefinite-operator) power iteration — the engine behind
+    Hotelling deflation; no reference analog (positive matrices only)."""
+
+    def test_recovers_dominant_pair_of_random_symmetric(self):
+        rng = np.random.default_rng(7)
+        M = rng.standard_normal((48, 48))
+        S = ((M + M.T) / 2).astype(np.float32)
+        A = jnp.asarray(S)
+        res = power_eigenpair(lambda x: A @ x, 48, eps=1e-6, max_itr=5000)
+        w, V = np.linalg.eigh(S.astype(np.float64))
+        k = int(np.argmax(np.abs(w)))
+        assert bool(res.converged)
+        assert float(res.eigenvalue) == pytest.approx(w[k], rel=1e-4)
+        v = np.asarray(res.eigenvector, np.float64)
+        # eigenvector up to sign
+        assert abs(float(v @ V[:, k])) == pytest.approx(1.0, abs=1e-3)
+
+    def test_negative_dominant_eigenvalue(self):
+        """λ < 0 alternates the iterate's sign; the Rayleigh quotient and
+        the residual stop are sign-blind."""
+        S = np.diag([-3.0, 2.0, 1.0]).astype(np.float32)
+        A = jnp.asarray(S)
+        res = power_eigenpair(lambda x: A @ x, 3, eps=1e-6, max_itr=2000)
+        assert bool(res.converged)
+        assert float(res.eigenvalue) == pytest.approx(-3.0, rel=1e-5)
+
+    def test_cap_exhaustion_reports_unconverged(self):
+        S = np.diag([1.0, 0.999, 0.5]).astype(np.float32)  # near-tied pair
+        A = jnp.asarray(S)
+        res = power_eigenpair(lambda x: A @ x, 3, eps=1e-12, max_itr=5)
+        assert not bool(res.converged)
+        assert int(res.rounds) == 5
+
+    def test_jit_composable(self):
+        import jax
+
+        S = jnp.asarray(np.diag([4.0, 1.0]).astype(np.float32))
+
+        @jax.jit
+        def run(A):
+            return power_eigenpair(lambda x: A @ x, 2, eps=1e-6, max_itr=100)
+
+        res = run(S)
+        assert float(res.eigenvalue) == pytest.approx(4.0, rel=1e-5)
+
+
+class TestSubdominantEigenpair:
+    def test_hilbert_matches_numpy_spectrum(self):
+        """λ₂ of Hilbert 64² from deflation matches eigvalsh, and the
+        measured ratio cross-validates convergence_report's estimate."""
+        n = 64
+        H = fixtures.hilbert_matrix(n)
+        res, hist = solve_matvec_traced(H, 1e-6, 200)
+        assert bool(res.converged)
+        sub = subdominant_eigenpair(np.asarray(H), res)
+        w = np.sort(np.linalg.eigvalsh(np.asarray(H, np.float64)))
+        assert sub.converged
+        assert sub.eigenvalue == pytest.approx(w[-2], rel=1e-3)
+        assert sub.ratio == pytest.approx(abs(w[-2] / w[-1]), rel=1e-3)
+        # the residual is through the ORIGINAL A, not the deflated operator
+        assert sub.residual <= 1e-3 * abs(w[-1])
+        rep = convergence_report(np.asarray(hist), int(res.rounds))
+        assert rep.rate == pytest.approx(sub.ratio, rel=0.25)
+
+    def test_unrefined_pair_still_close(self):
+        """refine=False bounds λ₂ accuracy at the dominant pair's residual
+        (~eps·λ₁) — still a usable gap measurement from a 1e-3 solve."""
+        n = 32
+        H = fixtures.hilbert_matrix(n)
+        res = max_eigenvalue(H)
+        sub = subdominant_eigenpair(np.asarray(H), res, refine=False)
+        w = np.sort(np.linalg.eigvalsh(np.asarray(H, np.float64)))
+        assert sub.eigenvalue == pytest.approx(w[-2], rel=5e-2)
+
+    def test_rejects_nonsymmetric(self):
+        A = np.array([[1.0, 2.0], [0.0, 1.0]])
+        res = max_eigenvalue(fixtures.hilbert_matrix(2))
+        with pytest.raises(ValueError, match="SYMMETRIC"):
+            subdominant_eigenpair(A, res)
