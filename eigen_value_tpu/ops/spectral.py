@@ -23,12 +23,13 @@ each falling out of the TPU-native design:
   round-off from any 1e-3-converged start unless the spectral gap is
   tiny — and the returned ``spread``/``residual`` report exactly what
   was achieved.
-* :func:`power_eigenpair` / :func:`subdominant_eigenpair` — classic
-  normalized power iteration for general SYMMETRIC operators (on device,
-  jittable, no positivity assumed) and the second eigenpair via
-  Hotelling deflation of the (refined) dominant pair.  Together they
-  turn :func:`convergence_report`'s rate ESTIMATE into a measured
-  spectral gap |λ₂/λ₁|.
+* :func:`power_eigenpair` / :func:`subdominant_eigenpair` /
+  :func:`top_k_eigenpairs` — classic normalized power iteration for
+  general SYMMETRIC operators (on device, jittable, no positivity
+  assumed), the second eigenpair via Hotelling deflation of the
+  (refined) dominant pair, and the k-pair generalization by successive
+  deflation.  Together they turn :func:`convergence_report`'s rate
+  ESTIMATE into a measured spectral gap |λ₂/λ₁| (and full gap profile).
 """
 
 from __future__ import annotations
@@ -294,4 +295,96 @@ def subdominant_eigenpair(
     return SubdominantPair(
         lam2, v2, abs(lam2) / abs(lam1), int(pr.rounds),
         bool(pr.converged), resid,
+    )
+
+
+class TopKPairs(NamedTuple):
+    eigenvalues: np.ndarray  # (k,) signed, ordered by decreasing |λ|
+    eigenvectors: np.ndarray  # (n, k) columns, unit 2-norm, ``dtype``
+    ratios: np.ndarray  # (k,) |λ_i/λ₁| — cumulative gap profile
+    rounds: np.ndarray  # (k,) power-iteration matvecs per pair (0 = dominant)
+    converged: np.ndarray  # (k,) bool
+    residuals: np.ndarray  # (k,) ‖A·v_i − λ_i·v_i‖₂ through the ORIGINAL A
+
+
+def top_k_eigenpairs(
+    A, result, k: int, eps: float = 1e-5, max_itr: int = 5000,
+    refine: bool = True, dtype=jnp.float32,
+) -> TopKPairs:
+    """The ``k`` largest-|λ| eigenpairs of a symmetric positive matrix by
+    SUCCESSIVE Hotelling deflation — :func:`subdominant_eigenpair`
+    iterated, each stage deflating every pair found so far
+    (B_j = A − Σ_{i<j} λ_i·v_iv_iᵀ) and re-orthogonalizing its start and
+    result against them (computed vectors are only eps-orthogonal, so
+    without the projection the dominant directions re-enter through
+    round-off).  The small spectral toolkit this enables — mixing rates,
+    gap profiles, low-rank spectral approximation — has no reference
+    analog (outputs are (λ, v, ms, rounds) only,
+    wrapper/python/similarity_transform.py:42-78).
+
+    Accuracy compounds: pair j inherits the residuals of pairs < j, so
+    deep k needs the f64-refined dominant pair (``refine=True``) and a
+    tight ``eps``; per-pair ``residuals`` (through the ORIGINAL A) report
+    what was actually achieved.  Requires strictly separated magnitudes
+    |λ_j| > |λ_{j+1}| at every computed stage to converge.
+    """
+    import jax
+
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    A64 = np.asarray(A, np.float64)
+    n = A64.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds the dimension n={n}")
+    if not np.allclose(A64, A64.T, rtol=1e-6, atol=1e-12):
+        raise ValueError(
+            "top_k_eigenpairs requires a SYMMETRIC matrix (Hotelling "
+            "deflation with the right eigenvector assumes left = right)"
+        )
+    if refine:
+        rp = refine_eigenpair(A64, result)
+        lam1, v1 = rp.eigenvalue, rp.eigenvector
+    else:
+        lam1 = float(result.eigenvalue)
+        v1 = np.asarray(result.eigenvector, np.float64)
+    v1 = v1 / np.linalg.norm(v1)
+
+    lams = [lam1]
+    vecs = [v1.astype(dtype)]
+    rounds = [0]
+    converged = [bool(result.converged)]
+    Aj = jnp.asarray(A64, dtype)
+    for j in range(1, k):
+        V = jnp.stack([jnp.asarray(v) for v in vecs], axis=1)  # (n, j)
+        lamv = jnp.asarray(np.array(lams), dtype)
+
+        def deflated(x, _V=V, _lamv=lamv):
+            return Aj @ x - _V @ (_lamv * (_V.T @ x))
+
+        x0 = jax.random.normal(jax.random.key(j), (n,), dtype)
+        x0 = x0 - V @ (V.T @ x0)
+        pr = power_eigenpair(deflated, n, eps=eps, max_itr=max_itr, x0=x0,
+                             dtype=dtype)
+        v = np.asarray(pr.eigenvector, np.float64)
+        # project out the found subspace again: the iterate re-acquires
+        # O(eps) components of earlier directions through imperfect deflation
+        Vh = np.stack([np.asarray(vi, np.float64) for vi in vecs], axis=1)
+        v = v - Vh @ (Vh.T @ v)
+        v /= np.linalg.norm(v)
+        lam = float(v @ (A64 @ v))  # Rayleigh quotient through the true A
+        lams.append(lam)
+        vecs.append(v.astype(dtype))
+        rounds.append(int(pr.rounds))
+        converged.append(bool(pr.converged))
+
+    Vout = np.stack([np.asarray(v, dtype) for v in vecs], axis=1)
+    lam_arr = np.array(lams)
+    resid = np.array([
+        float(np.linalg.norm(A64 @ Vout[:, i].astype(np.float64)
+                             - lam_arr[i] * Vout[:, i].astype(np.float64)))
+        for i in range(k)
+    ])
+    return TopKPairs(
+        lam_arr, Vout, np.abs(lam_arr) / abs(lam_arr[0]),
+        np.array(rounds), np.array(converged), resid,
     )

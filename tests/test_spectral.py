@@ -272,3 +272,54 @@ class TestSubdominantEigenpair:
         res = max_eigenvalue(fixtures.hilbert_matrix(2))
         with pytest.raises(ValueError, match="SYMMETRIC"):
             subdominant_eigenpair(A, res)
+
+
+class TestTopKEigenpairs:
+    def test_hilbert_top4_matches_numpy(self):
+        from eigen_value_tpu.ops.spectral import top_k_eigenpairs
+
+        n = 64
+        H = fixtures.hilbert_matrix(n)
+        res = max_eigenvalue(H)
+        top = top_k_eigenpairs(np.asarray(H), res, k=4)
+        w = np.sort(np.linalg.eigvalsh(np.asarray(H, np.float64)))[::-1]
+        assert np.all(top.converged)
+        # Hilbert is PSD: |λ| order == signed order
+        np.testing.assert_allclose(top.eigenvalues, w[:4], rtol=1e-3)
+        np.testing.assert_allclose(
+            top.ratios, np.abs(w[:4]) / w[0], rtol=1e-3
+        )
+        # pairwise orthonormal columns (the deflation's working assumption)
+        G = top.eigenvectors.astype(np.float64)
+        np.testing.assert_allclose(G.T @ G, np.eye(4), atol=2e-3)
+        assert np.all(top.residuals <= 1e-3 * w[0])
+
+    def test_k1_is_the_refined_dominant(self):
+        from eigen_value_tpu.ops.spectral import top_k_eigenpairs
+
+        n = 32
+        H = fixtures.hilbert_matrix(n)
+        res = max_eigenvalue(H)
+        top = top_k_eigenpairs(np.asarray(H), res, k=1)
+        ref = refine_eigenpair(np.asarray(H, np.float64), res)
+        assert top.eigenvalues[0] == pytest.approx(ref.eigenvalue, rel=1e-10)
+        assert top.ratios[0] == 1.0
+
+    def test_k2_matches_subdominant(self):
+        from eigen_value_tpu.ops.spectral import top_k_eigenpairs
+
+        n = 48
+        H = fixtures.hilbert_matrix(n)
+        res = max_eigenvalue(H)
+        top = top_k_eigenpairs(np.asarray(H), res, k=2)
+        sub = subdominant_eigenpair(np.asarray(H), res)
+        assert top.eigenvalues[1] == pytest.approx(sub.eigenvalue, rel=1e-3)
+
+    def test_validates_inputs(self):
+        from eigen_value_tpu.ops.spectral import top_k_eigenpairs
+
+        res = max_eigenvalue(fixtures.hilbert_matrix(4))
+        with pytest.raises(ValueError, match="k >= 1"):
+            top_k_eigenpairs(np.eye(4), res, k=0)
+        with pytest.raises(ValueError, match="exceeds the dimension"):
+            top_k_eigenpairs(np.eye(4), res, k=5)
