@@ -323,3 +323,20 @@ class TestTopKEigenpairs:
             top_k_eigenpairs(np.eye(4), res, k=0)
         with pytest.raises(ValueError, match="exceeds the dimension"):
             top_k_eigenpairs(np.eye(4), res, k=5)
+
+    def test_power_eigenpair_vmaps_over_operator_batch(self):
+        """while_loop-based power iteration composes with vmap (a batch of
+        gap measurements in one compiled program)."""
+        import jax
+
+        diags = jnp.asarray(
+            np.array([[5.0, 1.0, 0.5], [3.0, -1.0, 0.2]], np.float32)
+        )
+
+        def solve(d):
+            return power_eigenpair(
+                lambda x: d * x, 3, eps=1e-6, max_itr=500
+            ).eigenvalue
+
+        lams = jax.vmap(solve)(diags)
+        np.testing.assert_allclose(np.asarray(lams), [5.0, 3.0], rtol=1e-5)
