@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, SolverConfig
 from ..ops.solver import SolveResult
 from ..ops.solver_matvec import solve_matvec
+from .sharded import require_axis
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))
@@ -68,7 +69,7 @@ def solve_batched_sharded(
     max — plan capacity accordingly.
     """
     B = As.shape[0]
-    n_shards = mesh.shape[axis_name]
+    n_shards = require_axis(mesh, axis_name)
     if B % n_shards != 0:
         raise ValueError(f"batch {B} not divisible by {n_shards} shards")
     As = jax.device_put(As, NamedSharding(mesh, P(axis_name, None, None)))

@@ -126,8 +126,28 @@ def assemble_rowsharded(
     # default backend (an auxiliary accelerator plugin may be the default
     # and would report its own single-process view).
     flat = list(mesh.devices.flat)
+    if axis_name not in mesh.shape:
+        raise ValueError(
+            f"mesh has no '{axis_name}' axis (axes: {tuple(mesh.shape)})"
+        )
+    if mesh.shape[axis_name] != len(flat):
+        raise ValueError(
+            f"assemble_rowsharded needs a 1-D mesh over '{axis_name}' "
+            f"(axis size {mesh.shape[axis_name]} vs {len(flat)} devices) — "
+            "P(axis, None) would replicate chunks this function places as "
+            "distinct blocks; use assemble_blocksharded for 2D layouts"
+        )
     _require_host_major([d.process_index for d in flat])
-    n_procs = len({d.process_index for d in flat})
+    proc_counts: dict = {}
+    for d in flat:
+        proc_counts[d.process_index] = proc_counts.get(d.process_index, 0) + 1
+    if len(set(proc_counts.values())) != 1:
+        raise ValueError(
+            f"processes own unequal device counts ({proc_counts}) — equal "
+            "per-process row blocks would land at wrong global offsets; "
+            "build the mesh with make_global_row_mesh"
+        )
+    n_procs = len(proc_counts)
     if n_local * n_procs != n:
         raise ValueError(
             f"local block {local_rows.shape} with {n_procs} "
@@ -135,6 +155,12 @@ def assemble_rowsharded(
         )
     local_set = set(jax.local_devices(backend=flat[0].platform))
     my_devs = [d for d in flat if d in local_set]
+    if not my_devs:
+        raise ValueError(
+            "this process owns no devices in the mesh — every process in "
+            "the group must participate (build the mesh with "
+            "make_global_row_mesh over all processes)"
+        )
     if n_local % len(my_devs) != 0:
         raise ValueError(
             f"{n_local} local rows not divisible over {len(my_devs)} "
@@ -197,6 +223,12 @@ def assemble_blocksharded(
         )
     local_set = set(jax.local_devices(backend=grid[0, 0].platform))
     my_rows = [i for i in range(pr) if grid[i, 0] in local_set]
+    if not my_rows:
+        raise ValueError(
+            "this process owns no mesh rows — every process in the group "
+            "must participate (build the mesh with make_global_mesh2d over "
+            "all processes)"
+        )
     blk_r, blk_c = n // pr, n // pc
     row_base = min(my_rows) * blk_r
     local_rows = np.ascontiguousarray(local_rows)

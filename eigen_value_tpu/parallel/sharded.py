@@ -35,11 +35,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, SolverConfig
 from ..device import pick_block
 from ..ops.solver import SolveResult, stop_check
+from ..ops.solver_matvec import _finish, _init_carry, _make_cond_body
 
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
+
+
+def require_axis(mesh: Mesh, axis_name: str) -> int:
+    """The size of ``axis_name`` in ``mesh``, with a descriptive error when
+    the axis is absent (a bare KeyError from ``mesh.shape[...]`` hides
+    WHICH mesh/axis to fix — the 2D path already raised helpfully; the 1D
+    entries route through here for the same courtesy)."""
+    if axis_name not in mesh.shape:
+        raise ValueError(
+            f"mesh has no '{axis_name}' axis (axes: {tuple(mesh.shape)}) — "
+            "build it with make_row_mesh/make_global_row_mesh or pass the "
+            "axis_name your mesh actually uses"
+        )
+    return mesh.shape[axis_name]
 
 
 def _shard_round_body(eps: float, max_itr: int, axis_name: str):
@@ -119,7 +134,7 @@ def solve_sharded(
     sharded across rows.
     """
     n = A.shape[0]
-    n_shards = mesh.shape[axis_name]
+    n_shards = require_axis(mesh, axis_name)
     if n % n_shards != 0:
         raise ValueError(f"dim {n} not divisible by {n_shards} shards")
     A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
@@ -190,29 +205,15 @@ def _shard_matvec_body(
             return lax.all_gather(v_loc, axis_name, tiled=True)
 
         ev0 = jnp.ones((n,), dtype) * ev0_scale.astype(dtype)
-        v0 = next_v(ev0)
 
-        # Round-2 loop structure (see ops/solver_matvec.py): stop check in
-        # the COND (replicated v ⇒ replicated predicate, lockstep exit),
-        # branch-free body, converging round's ev update after the loop.
-        def cond(c):
-            ev, v, lam, i = c
-            return (i < max_itr) & jnp.logical_not(stop_check(v, eps))
-
-        def body(c):
-            ev, v, lam, i = c
-            m = jnp.max(v)
-            ev = ev * (v / m)  # replicated update (v is replicated)
-            lam = v[0]
-            return (ev, next_v(ev), lam, i + 1)
-
-        init = (ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
-        ev, v, lam_prev, i = lax.while_loop(cond, body, init)
-        converged = i < max_itr
-        ev = jnp.where(converged, ev * (v / jnp.max(v)), ev)
-        lam = jnp.where(converged, v[0], lam_prev)
-        ev_loc = lax.dynamic_slice(ev, (row0,), (n_loc,))
-        return SolveResult(lam, ev_loc, i, converged)
+        # v is replicated (the gather completes every round), so the round
+        # is EXACTLY the single-chip matvec-form round — reuse its one
+        # definition (cond/body/epilogue) and slice the local ev after.
+        cond, body = _make_cond_body(next_v, eps, max_itr)
+        init = _init_carry(n, next_v, dtype, ev0)
+        res = _finish(lax.while_loop(cond, body, init), max_itr)
+        ev_loc = lax.dynamic_slice(res.eigenvector, (row0,), (n_loc,))
+        return res._replace(eigenvector=ev_loc)
 
     return solve_block
 
@@ -275,7 +276,7 @@ def solve_sharded_matvec(
     whose f32 copy would not fit are solved).
     """
     n = A.shape[0]
-    n_shards = mesh.shape[axis_name]
+    n_shards = require_axis(mesh, axis_name)
     if n % n_shards != 0:
         raise ValueError(f"dim {n} not divisible by {n_shards} shards")
     mesh_on_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
@@ -313,8 +314,13 @@ def _shard_matvec_ring_body(
     scalar reductions (max, stop, λ).
 
     Chunk partials are accumulated in source order (not arrival order) so
-    the row-sum reduction order — and therefore the float32 round count —
-    is identical on every shard and independent of P.
+    the reduction order — and therefore the float32 round count — is
+    identical on every SHARD (deterministic for a given P).  Across
+    DIFFERENT P the row dot is grouped into P partials, a different f32
+    rounding than one length-n dot, so cross-P round equality is only the
+    usual ±1 float32 slack (same caveat as the 2D body's pc partials);
+    Hilbert parity across the shipped mesh sizes is pinned empirically by
+    tests/test_parallel.py, not structurally guaranteed.
     """
 
     def solve_block(A_blk: jax.Array, ev0_scale: jax.Array) -> SolveResult:
@@ -365,6 +371,10 @@ def _shard_matvec_ring_body(
         # Round-2 loop structure: the stop predicate (already a pmin —
         # replicated) moves into the COND so the body is branch-free; the
         # converging round's ev update and λ readout run after the loop.
+        # Unlike the gathered/2D bodies this loop CANNOT reuse
+        # solver_matvec._make_cond_body: v stays SHARDED here, so stop/max/λ
+        # are collective forms (pmin wraparound, pmax, masked psum), not the
+        # replicated stop_check/jnp.max/v[0] expressions.
         def stop_only(v_loc):
             """Wraparound stop from shard-local slices: the neighbor of the
             last local element is the NEXT shard's first element (one tiny
@@ -445,7 +455,7 @@ def solve_sharded_matvec_ring(
     ``config.storage_dtype`` (bf16 fast mode) is honored: chunk GEMVs run
     in reduced precision with f32 accumulation, O(n) state stays f32."""
     n = A.shape[0]
-    n_shards = mesh.shape[axis_name]
+    n_shards = require_axis(mesh, axis_name)
     if n % n_shards != 0:
         raise ValueError(f"dim {n} not divisible by {n_shards} shards")
     A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
@@ -512,7 +522,7 @@ def solve_batched_rowsharded(
     B, n, n2 = As.shape
     if n != n2:
         raise ValueError(f"expected (B, n, n), got {As.shape}")
-    pb, pr = mesh.shape[batch_axis], mesh.shape[row_axis]
+    pb, pr = require_axis(mesh, batch_axis), require_axis(mesh, row_axis)
     if B % pb != 0:
         raise ValueError(f"batch {B} not divisible by {pb} shards")
     if n % pr != 0:
@@ -593,29 +603,15 @@ def _shard2d_matvec_body(
             return lax.all_gather(v_loc, row_axis, tiled=True)  # (n,)
 
         ev0 = jnp.ones((n,), dtype) * ev0_scale.astype(dtype)
-        v0 = next_v(ev0)
 
-        # Round-2 loop structure (ops/solver_matvec.py): stop check in the
-        # COND (v is replicated ⇒ replicated predicate, lockstep exit),
-        # branch-free body, converging round's ev update after the loop.
-        def cond(c):
-            ev, v, lam, i = c
-            return (i < max_itr) & jnp.logical_not(stop_check(v, eps))
-
-        def body(c):
-            ev, v, lam, i = c
-            m = jnp.max(v)
-            ev = ev * (v / m)
-            lam = v[0]
-            return (ev, next_v(ev), lam, i + 1)
-
-        init = (ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
-        ev, v, lam_prev, i = lax.while_loop(cond, body, init)
-        converged = i < max_itr
-        ev = jnp.where(converged, ev * (v / jnp.max(v)), ev)
-        lam = jnp.where(converged, v[0], lam_prev)
-        ev_loc = lax.dynamic_slice(ev, (row0,), (n_r,))
-        return SolveResult(lam, ev_loc, i, converged)
+        # v is replicated (psum + gather complete every round), so the
+        # round is EXACTLY the single-chip matvec-form round — reuse its
+        # one definition and slice the local ev after.
+        cond, body = _make_cond_body(next_v, eps, max_itr)
+        init = _init_carry(n, next_v, dtype, ev0)
+        res = _finish(lax.while_loop(cond, body, init), max_itr)
+        ev_loc = lax.dynamic_slice(res.eigenvector, (row0,), (n_r,))
+        return res._replace(eigenvector=ev_loc)
 
     return solve_block
 

@@ -536,3 +536,44 @@ class TestHostMajorValidation:
             assemble_blocksharded(np.ones((130, 130), np.float32), mesh)
         with pytest.raises(ValueError, match="square"):
             assemble_blocksharded(np.ones((64, 256), np.float32), mesh)
+
+    def test_assemble_rowsharded_rejects_2d_mesh(self):
+        """A 2D mesh's P(rows, None) would REPLICATE chunks this function
+        places as distinct blocks — must raise, not corrupt placement."""
+        from eigen_value_tpu.parallel.multihost import assemble_rowsharded
+        from eigen_value_tpu.parallel.sharded import make_mesh2d
+
+        mesh = make_mesh2d(2, 4)
+        with pytest.raises(ValueError, match="1-D mesh"):
+            assemble_rowsharded(np.ones((128, 128), np.float32), mesh)
+
+    def test_assemble_rowsharded_rejects_missing_axis(self):
+        from eigen_value_tpu.parallel.multihost import assemble_rowsharded
+
+        mesh = cpu_mesh(4)  # axis 'rows'
+        with pytest.raises(ValueError, match="no 'x' axis"):
+            assemble_rowsharded(np.ones((32, 128), np.float32), mesh, "x")
+
+
+class TestMeshAxisValidation:
+    """1D solver entries raise a descriptive error for a missing mesh axis
+    (previously a bare KeyError from mesh.shape) — mirroring the 2D path."""
+
+    def test_solve_sharded_matvec_names_the_axis(self):
+        from eigen_value_tpu.parallel.sharded import solve_sharded_matvec
+
+        H = fixtures.hilbert_matrix(128)
+        with pytest.raises(ValueError, match="no 'wrong' axis"):
+            solve_sharded_matvec(H, cpu_mesh(4), axis_name="wrong")
+
+    def test_ring_and_iterated_name_the_axis(self):
+        from eigen_value_tpu.parallel.sharded import (
+            solve_sharded,
+            solve_sharded_matvec_ring,
+        )
+
+        H = fixtures.hilbert_matrix(128)
+        with pytest.raises(ValueError, match="no 'w' axis"):
+            solve_sharded(H, cpu_mesh(4), axis_name="w")
+        with pytest.raises(ValueError, match="no 'w' axis"):
+            solve_sharded_matvec_ring(H, cpu_mesh(4), axis_name="w")
