@@ -377,13 +377,20 @@ def supervise() -> int:
     stdout (the one JSON line).  If the first attempt completes zero
     windows (tunnel wedged from the start), wait up to RETRY_BUDGET_S
     for the tunnel to recover and retry once."""
+    t0 = time.monotonic()
     out, rc = _run_worker(DEADLINE_S)
+    attempts = 1
     retry_ok = RETRY_BUDGET_S > 0 and os.environ.get("BENCH_DEVICE") != "cpu"
     if not out and retry_ok:
         # During the recovery wait there is no worker to forward TERM to:
         # a driver timeout here must still leave an explicit record.
         def _term_during_wait(signum, frame):
-            print(json.dumps(failure_record(rc)), flush=True)
+            print(
+                json.dumps(
+                    failure_record(rc, attempts, time.monotonic() - t0)
+                ),
+                flush=True,
+            )
             os._exit(1)
 
         signal.signal(signal.SIGTERM, _term_during_wait)
@@ -396,27 +403,37 @@ def supervise() -> int:
         if wait_for_tunnel(RETRY_BUDGET_S, PROBE_GAP_S):
             print("tunnel recovered — retrying measurement", file=sys.stderr)
             out, rc = _run_worker(DEADLINE_S)
+            attempts = 2
     if out:
         sys.stdout.write(out)
         return 0
     # No window ever completed (tunnel wedged throughout, or the worker
     # died before measuring).  Emit an explicit diagnostic record rather
     # than nothing, so the round's bench artifact explains itself.
-    print(json.dumps(failure_record(rc)), flush=True)
+    print(
+        json.dumps(failure_record(rc, attempts, time.monotonic() - t0)),
+        flush=True,
+    )
     return rc or 1
 
 
-def failure_record(worker_rc) -> dict:
-    """The JSON record emitted when no measurement window completed."""
+def failure_record(worker_rc, attempts: int = 1, elapsed_s: float = None) -> dict:
+    """The JSON record emitted when no measurement window completed.
+    ``attempts``/``elapsed_s`` keep the record honest when the recovery
+    retry ran (the rc is the LAST worker's; elapsed spans all attempts
+    plus any recovery wait)."""
+    elapsed = DEADLINE_S if elapsed_s is None else elapsed_s
     return {
         "metric": f"hilbert_{DIM}_e2e_device",
         "value": None,
         "unit": "ms",
         "vs_baseline": None,
+        "attempts": attempts,
         "retry_budget_s": RETRY_BUDGET_S,
         "error": (
-            "no measurement window completed within "
-            f"{DEADLINE_S:.0f}s (worker rc={worker_rc}); the remote-TPU "
+            f"no measurement window completed in {attempts} worker "
+            f"attempt(s) over {elapsed:.0f}s (last worker rc={worker_rc}, "
+            f"per-attempt deadline {DEADLINE_S:.0f}s); the remote-TPU "
             "tunnel was unresponsive — see docs/BENCH_RESULTS.md "
             "(chip-state drift / tunnel wedge notes) and "
             "`python -m eigen_value_tpu.utils.health`"

@@ -222,7 +222,43 @@ def power_eigenpair(
     y = matvec(x)
     lam = x @ y
     resid = jnp.linalg.norm(y - lam * x)
-    return PowerResult(lam, x, itr, resid <= eps * jnp.abs(lam), resid)
+    # converged requires BOTH the residual tolerance and loop exit before
+    # the cap: a capped run whose final (never-checked) update happens to
+    # land within tolerance may sit on a tied-magnitude pair — report the
+    # honest flag and let the caller judge by the returned residual.
+    converged = (itr < max_itr) & (resid <= eps * jnp.abs(lam))
+    return PowerResult(lam, x, itr, converged, resid)
+
+
+def _require_symmetric(A, fn_name: str) -> np.ndarray:
+    """float64 copy of ``A``, validated square and symmetric (Hotelling
+    deflation with the right eigenvector assumes left = right)."""
+    A64 = np.asarray(A, np.float64)
+    if A64.ndim != 2 or A64.shape[0] != A64.shape[1]:
+        raise ValueError(f"need a square matrix, got {A64.shape}")
+    if not np.allclose(A64, A64.T, rtol=1e-6, atol=1e-12):
+        raise ValueError(
+            f"{fn_name} requires a SYMMETRIC matrix (Hotelling deflation "
+            "with the right eigenvector assumes left = right)"
+        )
+    return A64
+
+
+def _deflation_seed(A64: np.ndarray, result, refine: bool):
+    """(λ₁, unit-2-norm v̂₁) in float64 from any solve result.  A
+    :class:`RefinedPair` is used as-is (already polished — callers who
+    also want the refined dominant pair pay the host work once);
+    otherwise ``refine=True`` polishes via :func:`refine_eigenpair`."""
+    if isinstance(result, RefinedPair):
+        lam1 = float(result.eigenvalue)
+        v1 = np.asarray(result.eigenvector, np.float64)
+    elif refine:
+        rp = refine_eigenpair(A64, result)
+        lam1, v1 = rp.eigenvalue, rp.eigenvector
+    else:
+        lam1 = float(result.eigenvalue)
+        v1 = np.asarray(result.eigenvector, np.float64)
+    return lam1, v1 / np.linalg.norm(v1)
 
 
 class SubdominantPair(NamedTuple):
@@ -244,9 +280,12 @@ def subdominant_eigenpair(
     gap (the report reads |λ₂/λ₁| off the λ history's decay; this
     computes λ₂ itself and cross-validates the estimate).
 
-    ``result`` is any converged solve's :class:`..solver.SolveResult`.
-    The dominant pair is first polished to f64 on the host
-    (:func:`refine_eigenpair`, ``refine=True``): the deflated operator
+    ``result`` is any converged solve's :class:`..solver.SolveResult` —
+    or an already-polished :class:`RefinedPair` (e.g. from a prior
+    :func:`refine_eigenpair` call), which is used as-is so callers who
+    also want the polished dominant pair pay the host refinement once.
+    Otherwise the dominant pair is first polished to f64 on the host
+    (``refine=True``): the deflated operator
     B = A − λ₁·v̂₁v̂₁ᵀ carries a spurious eigenvalue of order the dominant
     RESIDUAL in the v₁ direction, so an eps=1e-3 unpolished pair bounds
     λ₂'s accuracy at ~1e-3·λ₁ while the polished one is exact to f32
@@ -256,21 +295,8 @@ def subdominant_eigenpair(
     (Hotelling deflation needs the left eigenvector = right); requires
     |λ₂| > |λ₃| to converge.
     """
-    A64 = np.asarray(A, np.float64)
-    if A64.shape[0] != A64.shape[1]:
-        raise ValueError(f"need a square matrix, got {A64.shape}")
-    if not np.allclose(A64, A64.T, rtol=1e-6, atol=1e-12):
-        raise ValueError(
-            "subdominant_eigenpair requires a SYMMETRIC matrix (Hotelling "
-            "deflation with the right eigenvector assumes left = right)"
-        )
-    if refine:
-        rp = refine_eigenpair(A64, result)
-        lam1, v1 = rp.eigenvalue, rp.eigenvector
-    else:
-        lam1 = float(result.eigenvalue)
-        v1 = np.asarray(result.eigenvector, np.float64)
-    v1n = v1 / np.linalg.norm(v1)
+    A64 = _require_symmetric(A, "subdominant_eigenpair")
+    lam1, v1n = _deflation_seed(A64, result, refine)
 
     n = A64.shape[0]
     Aj = jnp.asarray(A64, dtype)
@@ -332,27 +358,17 @@ def top_k_eigenpairs(
 
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
-    A64 = np.asarray(A, np.float64)
+    A64 = _require_symmetric(A, "top_k_eigenpairs")
     n = A64.shape[0]
     if k > n:
         raise ValueError(f"k={k} exceeds the dimension n={n}")
-    if not np.allclose(A64, A64.T, rtol=1e-6, atol=1e-12):
-        raise ValueError(
-            "top_k_eigenpairs requires a SYMMETRIC matrix (Hotelling "
-            "deflation with the right eigenvector assumes left = right)"
-        )
-    if refine:
-        rp = refine_eigenpair(A64, result)
-        lam1, v1 = rp.eigenvalue, rp.eigenvector
-    else:
-        lam1 = float(result.eigenvalue)
-        v1 = np.asarray(result.eigenvector, np.float64)
-    v1 = v1 / np.linalg.norm(v1)
+    lam1, v1 = _deflation_seed(A64, result, refine)
 
     lams = [lam1]
     vecs = [v1.astype(dtype)]
     rounds = [0]
-    converged = [bool(result.converged)]
+    # a RefinedPair seed has no converged flag — its polish implies one
+    converged = [bool(getattr(result, "converged", True))]
     Aj = jnp.asarray(A64, dtype)
     for j in range(1, k):
         V = jnp.stack([jnp.asarray(v) for v in vecs], axis=1)  # (n, j)

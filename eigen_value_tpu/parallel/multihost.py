@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG, SolverConfig
 from ..ops.solver import SolveResult
-from .sharded import solve_sharded_matvec
+from .sharded import require_axis, solve_sharded_matvec
 
 
 def initialize(
@@ -126,10 +126,7 @@ def assemble_rowsharded(
     # default backend (an auxiliary accelerator plugin may be the default
     # and would report its own single-process view).
     flat = list(mesh.devices.flat)
-    if axis_name not in mesh.shape:
-        raise ValueError(
-            f"mesh has no '{axis_name}' axis (axes: {tuple(mesh.shape)})"
-        )
+    require_axis(mesh, axis_name)
     if mesh.shape[axis_name] != len(flat):
         raise ValueError(
             f"assemble_rowsharded needs a 1-D mesh over '{axis_name}' "

@@ -109,9 +109,11 @@ def main() -> None:
 
         # MEASURE the gap the report estimated: Hotelling deflation of the
         # refined dominant pair + device power iteration gives λ₂ itself.
+        # Passing the RefinedPair reuses the polish paid above (the f64
+        # host refinement is the expensive half at this n).
         from eigen_value_tpu.ops.spectral import subdominant_eigenpair
 
-        sub = subdominant_eigenpair(A64, res)
+        sub = subdominant_eigenpair(A64, ref)
         print(
             f"spectral gap: λ₂ = {sub.eigenvalue:.6e}, measured |λ₂/λ₁| = "
             f"{sub.ratio:.4f} (report estimated {rep.rate:.4f}; "

@@ -61,7 +61,10 @@ if [ "$STAGE" = all ] || [ "$STAGE" = artifacts ]; then
 fi
 
 if [ "$STAGE" = all ] || [ "$STAGE" = bench ]; then
-  # windowed headline record (adaptive extension up to 15 min)
-  run timeout 1500 python bench.py
+  # windowed headline record (adaptive extension up to 15 min).  The
+  # outer timeout must cover bench.py's own worst case — attempt (1200s)
+  # + recovery wait (900s) + retry attempt (1200s) — or the recovery
+  # retry can never run; 3500s > 3300s with headroom.
+  run timeout 3500 python bench.py
 fi
 echo "QUEUE DONE $(date -u)" | tee -a "$LOG"

@@ -273,6 +273,21 @@ class TestSubdominantEigenpair:
         with pytest.raises(ValueError, match="SYMMETRIC"):
             subdominant_eigenpair(A, res)
 
+    def test_accepts_refined_pair_without_repolishing(self):
+        """A RefinedPair seed is used as-is (callers who already polished
+        the dominant pair pay the f64 host work once) and gives the same
+        λ₂ as the internally-refined path."""
+        n = 48
+        H = fixtures.hilbert_matrix(n)
+        res = max_eigenvalue(H)
+        A64 = np.asarray(H, np.float64)
+        ref = refine_eigenpair(A64, res)
+        via_pair = subdominant_eigenpair(A64, ref)
+        via_solve = subdominant_eigenpair(A64, res)
+        assert via_pair.eigenvalue == pytest.approx(
+            via_solve.eigenvalue, rel=1e-6
+        )
+
 
 class TestTopKEigenpairs:
     def test_hilbert_top4_matches_numpy(self):
