@@ -278,3 +278,52 @@ def test_bench_py_end_to_end_cpu_with_extension():
     assert rec["unit"] == "ms"
     assert len(rec["windows_ms"]) > 2  # extension sampled past the base
     assert rec["value"] == rec["windows_ms"][0]
+
+
+def test_supervise_retries_once_after_recovery(bench, monkeypatch, capsys):
+    """First worker attempt yields no output, the probe reports recovery,
+    the retry's output is forwarded verbatim."""
+    calls = []
+
+    def fake_worker(deadline):
+        calls.append(deadline)
+        return ("", 1) if len(calls) == 1 else ('{"value": 5}\n', 0)
+
+    monkeypatch.setattr(bench, "_run_worker", fake_worker)
+    monkeypatch.setattr(bench, "wait_for_tunnel", lambda b, g: True)
+    monkeypatch.setattr(bench, "RETRY_BUDGET_S", 10.0)
+    monkeypatch.delenv("BENCH_DEVICE", raising=False)
+    assert bench.supervise() == 0
+    assert len(calls) == 2
+    assert '"value": 5' in capsys.readouterr().out
+
+
+def test_supervise_failure_record_counts_attempts(bench, monkeypatch, capsys):
+    """Both attempts fail: the record reports attempts=2 and the LAST
+    worker's rc, not the misleading single-deadline claim."""
+    monkeypatch.setattr(bench, "_run_worker", lambda d: ("", -9))
+    monkeypatch.setattr(bench, "wait_for_tunnel", lambda b, g: True)
+    monkeypatch.setattr(bench, "RETRY_BUDGET_S", 10.0)
+    monkeypatch.delenv("BENCH_DEVICE", raising=False)
+    assert bench.supervise() != 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["attempts"] == 2
+    assert "rc=-9" in rec["error"] and "2 worker" in rec["error"]
+
+
+def test_supervise_cpu_mode_never_retries(bench, monkeypatch, capsys):
+    """CPU test mode must not enter the recovery wait (there is no tunnel
+    to recover)."""
+    calls = []
+    monkeypatch.setattr(
+        bench, "_run_worker", lambda d: (calls.append(d), ("", 1))[1]
+    )
+    monkeypatch.setattr(
+        bench, "wait_for_tunnel",
+        lambda b, g: (_ for _ in ()).throw(AssertionError("must not probe")),
+    )
+    monkeypatch.setenv("BENCH_DEVICE", "cpu")
+    assert bench.supervise() != 0
+    assert len(calls) == 1
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["attempts"] == 1
