@@ -153,7 +153,14 @@ def save_exported(exported, path: str) -> str:
 
 def load_exported(path: str):
     """Load an artifact written by :func:`save_exported`.  Call it with
-    ``.call(A)`` — runs the embedded program for the current platform."""
+    ``.call(A)`` — runs the embedded program for the current platform.
+
+    ``call`` lowers for the platform the call EXECUTES on (the committed
+    device of ``A``, else the process default device) and raises if that
+    platform is not among ``exported.platforms``.  When the default
+    device differs from the artifact's target (e.g. a CPU-defaulted
+    process serving a tpu-only artifact), ``jax.device_put`` the input
+    onto the target device first — or export with both platforms."""
     from jax import export as jexport
 
     _register_solve_result()

@@ -15,7 +15,11 @@ Prints every fact needed to pick the fix without a second window:
   * the full traceback of the .call, stage by stage.
 """
 
+import os
+import sys
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

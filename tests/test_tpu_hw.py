@@ -91,13 +91,18 @@ def test_exported_artifact_runs_on_hardware(tmp_path):
     and solves with round parity on the chip."""
     from eigen_value_tpu.utils import aot
 
-    _tpu()
     cfg = SolverConfig(backend="matvec_pallas", interpret=False)
     path = aot.save_exported(
         aot.export_solver(1024, cfg, platforms=("tpu",)),
         str(tmp_path / "solver_tpu.bin"),
     )
-    res = aot.load_exported(path).call(np.asarray(fixtures.hilbert_matrix(1024)))
+    # Commit the input to the TPU: Exported.call lowers for the platform
+    # the call executes on, and conftest pins jax_default_device to CPU
+    # even under RUN_TPU_TESTS=1 — an uncommitted numpy arg would lower
+    # this tpu-only artifact for ('cpu',) and raise (diagnosed 2026-08-18,
+    # scratch/diag_export_hw.py: standalone the uncommitted call passes).
+    A = jax.device_put(np.asarray(fixtures.hilbert_matrix(1024)), _tpu())
+    res = aot.load_exported(path).call(A)
     assert int(res.rounds) == fixtures.HILBERT_ROUNDS[1024]
 
 
