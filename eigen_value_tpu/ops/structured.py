@@ -23,12 +23,34 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _fft_len(min_len: int) -> int:
     """Smallest power of two ≥ min_len (power-of-two FFTs are the fast
     path on TPU and everywhere else)."""
     return 1 << (min_len - 1).bit_length()
+
+
+def _spectrum_rfft(arr, m: int):
+    """rfft of a profile vector, as a HOST constant when possible.
+
+    The factories below close over the precomputed spectrum; for an
+    eagerly-built operator a ``jnp.fft.rfft`` result is a DEVICE array,
+    which jit must pull back to the host at trace time to embed as an
+    mlir constant — on the remote-TPU tunnel that complex64 transfer is
+    UNIMPLEMENTED (first observed running --suite operator on silicon,
+    2026-08-18), and even where it works the device constant is
+    serialized into every remote-compile payload (CLAUDE.md measurement
+    rules).  Computing the O(n) spectrum with numpy keeps it a plain
+    host constant (f64-computed, cast to complex64 — at worst last-ulp
+    different from the f32 device FFT; operator round counts carry a
+    documented ±1 tolerance).  Traced inputs (factory called under jit)
+    keep the jnp path.
+    """
+    if isinstance(arr, jax.core.Tracer):
+        return jnp.fft.rfft(arr.astype(jnp.float32), m)
+    return np.fft.rfft(np.asarray(arr, np.float32), m).astype(np.complex64)
 
 
 def hankel_matvec(h: jax.Array, n: int):
@@ -48,7 +70,7 @@ def hankel_matvec(h: jax.Array, n: int):
     # and cast back — the operator then composes with reduced-precision
     # solver state.
     m = _fft_len(2 * n - 1)
-    Hf = jnp.fft.rfft(h.astype(jnp.float32), m)
+    Hf = _spectrum_rfft(h, m)
 
     def matvec(x: jax.Array) -> jax.Array:
         z = jnp.fft.irfft(Hf * jnp.fft.rfft(x[::-1].astype(jnp.float32), m), m)
@@ -70,7 +92,7 @@ def toeplitz_matvec(c: jax.Array, r: jax.Array, n: int):
         raise ValueError(f"need len(c) == len(r) == n == {n}")
     t = jnp.concatenate([r[1:][::-1], c])  # t[k] = A[i][j] with i-j = k-(n-1)
     m = _fft_len(2 * n - 1)  # aliasing only corrupts the discarded prefix
-    Tf = jnp.fft.rfft(t.astype(jnp.float32), m)
+    Tf = _spectrum_rfft(t, m)
 
     def matvec(x: jax.Array) -> jax.Array:
         z = jnp.fft.irfft(Tf * jnp.fft.rfft(x.astype(jnp.float32), m), m)
@@ -97,7 +119,7 @@ def circulant_matvec(c: jax.Array, n: int):
     """
     if c.shape[0] != n:
         raise ValueError(f"need len(c) == n == {n}, got {c.shape[0]}")
-    Cf = jnp.fft.rfft(c.astype(jnp.float32))
+    Cf = _spectrum_rfft(c, n)
 
     def matvec(x: jax.Array) -> jax.Array:
         z = jnp.fft.irfft(Cf * jnp.fft.rfft(x.astype(jnp.float32)), n)
