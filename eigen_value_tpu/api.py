@@ -99,6 +99,12 @@ def _solve_fn(
             f"solver_matvec.py); got backend={backend!r}. Use backend='auto' "
             f"or 'matvec'/'matvec_pallas'."
         )
+    if config.eps_mode != "absolute" and backend == "pallas":
+        raise ValueError(
+            "eps_mode='relative' is not supported by the iterated-Pallas "
+            "backend (its fused kernel bakes the absolute stop); use the "
+            "matvec family or 'xla'"
+        )
     block_rows, block_cols = _resolve_blocks(config, n, backend)
     if backend == "pallas":
         from .ops.solver_pallas import solve_pallas
@@ -119,6 +125,7 @@ def _solve_fn(
             eps=config.eps,
             max_itr=config.max_itr,
             storage_dtype=config.storage_dtype,
+            eps_mode=config.eps_mode,
         )
     if backend == "matvec_pallas":
         from .ops.solver_matvec import solve_matvec_pallas
@@ -130,12 +137,20 @@ def _solve_fn(
             block_rows=block_rows,
             block_cols=block_cols,
             interpret=resolve_interpret(config.interpret, device),
+            eps_mode=config.eps_mode,
         )
     if backend == "matvec":
         from .ops.solver_matvec import solve_matvec
 
-        return partial(solve_matvec, eps=config.eps, max_itr=config.max_itr)
-    return partial(solve_xla, eps=config.eps, max_itr=config.max_itr)
+        return partial(
+            solve_matvec,
+            eps=config.eps,
+            max_itr=config.max_itr,
+            eps_mode=config.eps_mode,
+        )
+    return partial(
+        solve_xla, eps=config.eps, max_itr=config.max_itr, eps_mode=config.eps_mode
+    )
 
 
 def max_eigenvalue(
@@ -164,6 +179,12 @@ def max_eigenvalue(
         raise ValueError(f"must be a square matrix, got shape {mat.shape}")
     if mesh is not None:
         from .parallel.sharded import solve_sharded_2d, solve_sharded_matvec
+
+        if config.eps_mode != "absolute":
+            raise ValueError(
+                "eps_mode='relative' is not yet threaded through the "
+                "sharded solvers; solve single-chip or use solve_operator"
+            )
 
         # honor storage_dtype exactly like the single-chip path: a matrix
         # already in storage_dtype is solved as-is (no f32 copy is made)
@@ -240,10 +261,30 @@ def max_eigenvalue_operator(
     operator that is never materialized (structured matrices with fast
     matvecs, operator sums/products, matrices too large to store).  See
     :func:`eigen_value_tpu.ops.solver_matvec.solve_operator` for the
-    semantics and the round-count caveat.  Traced — jittable as-is."""
+    semantics and the round-count caveat.  Traced — jittable as-is.
+
+    λ-SCALE LIMIT of the default stop: the reference-exact ``eps_mode=
+    "absolute"`` compares adjacent row sums against a RAW eps=1e-3 while
+    the row sums converge to λ — f32 matvec rounding noise scales with
+    λ·n, so for operators with λ ≳ 10³ (e.g. Kronecker products of
+    unnormalized factors: λ = λ_B·λ_C) the check may never fire and the
+    solve exhausts ``max_itr`` (``converged=False``).  For such operators
+    pass ``config=SolverConfig(eps_mode="relative")`` (tol = eps·max|v|,
+    scale-invariant) or pre-scale with
+    :func:`~eigen_value_tpu.ops.structured.scale_matvec` (λ scales by
+    exactly α).  The reference never hits this: its only workload has
+    λ ≈ 2.6 (similarity_transform.hpp:4 semantics preserved as default).
+    """
     from .ops.solver_matvec import solve_operator
 
-    return solve_operator(matvec, n, config.eps, config.max_itr, dtype=config.dtype)
+    return solve_operator(
+        matvec,
+        n,
+        config.eps,
+        config.max_itr,
+        dtype=config.dtype,
+        eps_mode=config.eps_mode,
+    )
 
 
 class EigenValue:

@@ -719,9 +719,20 @@ def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
         kb, kc = jax.random.split(key)
         B = jax.random.uniform(kb, (p, p), jnp.float32, minval=0.1, maxval=1.0)
         C = jax.random.uniform(kc, (q, q), jnp.float32, minval=0.1, maxval=1.0)
+        from ..ops.solver_matvec import solve_matvec
+
+        lam_prod = float(solve_matvec(B, EPS, MAX_ITR).eigenvalue) * float(
+            solve_matvec(C, EPS, MAX_ITR).eigenvalue
+        )
+        # λ(B⊗C) = λ_B·λ_C reaches 10²–10³ for these random factors; past
+        # λ ~ 500 the f32 matvec noise floor (~λ·(p+q)·2⁻²⁴) crowds the
+        # ABSOLUTE eps=1e-3 stop (the round-2 silicon cap-exhaustion,
+        # docs/bench/operator_tpu_r2.jsonl rows 3-4) — those rows run the
+        # scale-invariant relative stop, recorded in the eps_mode column.
+        eps_mode = "relative" if lam_prod > 500.0 else "absolute"
         fnk = jax.jit(
-            lambda ev0, _B=B, _C=C, _n=n: solve_operator(
-                kron_matvec(_B, _C), _n, EPS, MAX_ITR, ev0=ev0
+            lambda ev0, _B=B, _C=C, _n=n, _m=eps_mode: solve_operator(
+                kron_matvec(_B, _C), _n, EPS, MAX_ITR, ev0=ev0, eps_mode=_m
             )
         )
         res = fnk(jnp.ones((n,), jnp.float32))
@@ -729,11 +740,6 @@ def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
 
         dev_ms = time_marginal(
             _operator_chain_step(fnk, n), jnp.float32(0.0), k=32, reps=reps
-        )
-        from ..ops.solver_matvec import solve_matvec
-
-        lam_prod = float(solve_matvec(B, EPS, MAX_ITR).eigenvalue) * float(
-            solve_matvec(C, EPS, MAX_ITR).eigenvalue
         )
         rows.append(
             {
@@ -744,6 +750,7 @@ def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
                 "ms_per_round": dev_ms / max(rounds, 1),
                 "rounds": rounds,
                 "eigenvalue": float(res.eigenvalue),
+                "eps_mode": eps_mode,
                 # λ(B⊗C) = λ(B)·λ(C) within the method's eps
                 "rounds_ok": bool(res.converged)
                 and abs(float(res.eigenvalue) - lam_prod) <= 2e-3 * lam_prod,

@@ -58,6 +58,14 @@ class SolverConfig:
 
     eps: float = EPS
     max_itr: int = MAX_ITR
+    #: Stop-tolerance semantics: "absolute" (reference-exact — its EPS is a
+    #: raw threshold, similarity_transform.hpp:4) or "relative" (opt-in:
+    #: tol = eps·max|v|, scale-invariant).  Absolute mode is silently
+    #: unsound for operators with large λ: f32 row-sum rounding noise
+    #: ~λ·n·2⁻²⁴ can exceed eps=1e-3 so the check never fires (see
+    #: ops.solver.stop_check).  Relative mode changes round counts, so the
+    #: parity tables only apply to the default.
+    eps_mode: str = "absolute"
     dtype: Any = jnp.float32
     backend: str = "auto"
     block_rows: Optional[int] = None
@@ -75,6 +83,10 @@ class SolverConfig:
             raise ValueError("max_itr must be >= 0")
         if self.eps <= 0:
             raise ValueError("eps must be > 0")
+        if self.eps_mode not in ("absolute", "relative"):
+            raise ValueError(
+                f"eps_mode must be 'absolute' or 'relative', got {self.eps_mode!r}"
+            )
         # Mosaic tiling constraints (pallas_guide): lane (last) dim blocks
         # must be multiples of 128, sublane (row) blocks multiples of 8.
         # Validate here so a bad explicit tile fails fast with a clear

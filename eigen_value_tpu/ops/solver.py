@@ -73,16 +73,33 @@ def scale_rowsum_xla(A: jax.Array, v: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return A, jnp.sum(A, axis=1)
 
 
-def stop_check(v: jax.Array, eps: float) -> jax.Array:
-    """Wraparound stop criterion: all |v[i] - v[(i+1) % n]| < eps.
+def stop_check(v: jax.Array, eps: float, eps_mode: str = "absolute") -> jax.Array:
+    """Wraparound stop criterion: all |v[i] - v[(i+1) % n]| < tol.
 
     Matches the reference's parallel `stop` kernel exactly — including the
     wraparound pair, which its subgroup-shuffle + boundary-read implements
     (similarity_transform.cpp:385-417).  Expressed as fused slices rather
     than ``jnp.roll`` (roll materializes a rotated copy on TPU; the slices
     fuse into the reduction — measured 5× faster at 2²⁵ elements).
+
+    ``eps_mode`` picks the tolerance semantics:
+
+    * ``"absolute"`` (default, reference-exact): ``tol = eps`` — the
+      reference's EPS is absolute (similarity_transform.hpp:4).  SCALE
+      LIMIT: the row sums converge to λ, whose float32 representation
+      carries rounding noise ~λ·n·2⁻²⁴ per matvec — once λ ≳ 10³ at
+      n ~ 10³⁺ that noise approaches eps=1e-3 and the check may NEVER
+      fire (the round-2 silicon failure mode of the Kronecker operator,
+      whose λ = λ_B·λ_C reaches 10²–10³).
+    * ``"relative"`` (opt-in): ``tol = eps · max|v|`` — scale-invariant;
+      sound for any λ.  Not the reference's semantics, so round counts
+      are NOT comparable to the parity tables.
     """
     e = jnp.asarray(eps, v.dtype)
+    if eps_mode == "relative":
+        e = e * jnp.max(jnp.abs(v))
+    elif eps_mode != "absolute":
+        raise ValueError(f"eps_mode must be 'absolute' or 'relative', got {eps_mode!r}")
     adjacent_ok = jnp.all(jnp.abs(v[1:] - v[:-1]) < e)
     wrap_ok = jnp.abs(v[-1] - v[0]) < e
     return adjacent_ok & wrap_ok
@@ -104,6 +121,7 @@ def solve_loop(
     eps: float,
     max_itr: int,
     ev0: jax.Array | None = None,
+    eps_mode: str = "absolute",
 ) -> SolveResult:
     """Run the convergence loop with pluggable O(n²) passes (traced; jit me).
 
@@ -129,7 +147,7 @@ def solve_loop(
         ev0 = jnp.ones((n,), dtype)  # initialise_eigen_vector, cpp:267-284
 
     def cond(c: _Carry) -> jax.Array:
-        return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps))
+        return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps, eps_mode))
 
     def body(c: _Carry) -> _Carry:
         v = c.v
@@ -147,9 +165,13 @@ def solve_loop(
     return SolveResult(lam, ev, out.i, converged)
 
 
-@partial(jax.jit, static_argnames=("eps", "max_itr"))
+@partial(jax.jit, static_argnames=("eps", "max_itr", "eps_mode"))
 def solve_xla(
-    A: jax.Array, eps: float, max_itr: int, ev0: jax.Array | None = None
+    A: jax.Array,
+    eps: float,
+    max_itr: int,
+    ev0: jax.Array | None = None,
+    eps_mode: str = "absolute",
 ) -> SolveResult:
     """Pure-XLA solver (no Pallas): the minimum end-to-end slice."""
     return solve_loop(
@@ -159,4 +181,5 @@ def solve_xla(
         eps=eps,
         max_itr=max_itr,
         ev0=ev0,
+        eps_mode=eps_mode,
     )

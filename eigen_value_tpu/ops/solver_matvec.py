@@ -50,7 +50,7 @@ class _Carry(NamedTuple):
     i: jax.Array
 
 
-def _make_cond_body(matvec, eps: float, max_itr: int):
+def _make_cond_body(matvec, eps: float, max_itr: int, eps_mode: str = "absolute"):
     """The ONE definition of the matvec-form round (shared by the plain
     and λ-traced loops so their semantics can never diverge).
 
@@ -64,7 +64,7 @@ def _make_cond_body(matvec, eps: float, max_itr: int):
     """
 
     def cond(c: _Carry) -> jax.Array:
-        return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps))
+        return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps, eps_mode))
 
     def body(c: _Carry) -> _Carry:
         v = c.v
@@ -104,7 +104,13 @@ def _finish(out: _Carry, max_itr: int) -> SolveResult:
 
 
 def solve_matvec_loop(
-    A: jax.Array, matvec, eps: float, max_itr: int, state_dtype=None, ev0=None
+    A: jax.Array,
+    matvec,
+    eps: float,
+    max_itr: int,
+    state_dtype=None,
+    ev0=None,
+    eps_mode: str = "absolute",
 ) -> SolveResult:
     """Convergence loop over a pluggable ``matvec(ev) -> (A @ ev) / ev``.
 
@@ -117,7 +123,7 @@ def solve_matvec_loop(
     scale-invariant in ev, solver_matvec module docstring) — used by the
     bench harness to thread inter-solve data dependence through one O(n)
     op per SOLVE instead of one per round."""
-    cond, body = _make_cond_body(matvec, eps, max_itr)
+    cond, body = _make_cond_body(matvec, eps, max_itr, eps_mode)
     init = _init_carry(A.shape[0], matvec, state_dtype or A.dtype, ev0)
     out = lax.while_loop(cond, body, init)
     return _finish(out, max_itr)
@@ -130,6 +136,7 @@ def solve_operator(
     max_itr: int,
     dtype=jnp.float32,
     ev0: jax.Array | None = None,
+    eps_mode: str = "absolute",
 ) -> SolveResult:
     """MATRIX-FREE solve: ``matvec(x) -> A @ x`` for an implicit positive
     matrix that is never materialized.
@@ -155,15 +162,19 @@ def solve_operator(
     def next_v(ev):
         return matvec(ev) / ev
 
-    cond, body = _make_cond_body(next_v, eps, max_itr)
+    cond, body = _make_cond_body(next_v, eps, max_itr, eps_mode)
     init = _init_carry(n, next_v, dtype, ev0)
     out = lax.while_loop(cond, body, init)
     return _finish(out, max_itr)
 
 
-@partial(jax.jit, static_argnames=("eps", "max_itr"))
+@partial(jax.jit, static_argnames=("eps", "max_itr", "eps_mode"))
 def solve_matvec(
-    A: jax.Array, eps: float, max_itr: int, ev0: jax.Array | None = None
+    A: jax.Array,
+    eps: float,
+    max_itr: int,
+    ev0: jax.Array | None = None,
+    eps_mode: str = "absolute",
 ) -> SolveResult:
     """Single-chip matvec-form solve (works for any n, no tile alignment).
 
@@ -173,7 +184,7 @@ def solve_matvec(
     def matvec(ev):
         return (A @ ev) / ev
 
-    return solve_matvec_loop(A, matvec, eps, max_itr, ev0=ev0)
+    return solve_matvec_loop(A, matvec, eps, max_itr, ev0=ev0, eps_mode=eps_mode)
 
 
 @partial(jax.jit, static_argnames=("eps", "max_itr"))
@@ -197,7 +208,8 @@ def solve_matvec_traced(A: jax.Array, eps: float, max_itr: int):
 
 
 def solve_operator_traced(
-    matvec, n: int, eps: float, max_itr: int, dtype=jnp.float32
+    matvec, n: int, eps: float, max_itr: int, dtype=jnp.float32,
+    eps_mode: str = "absolute",
 ):
     """:func:`solve_operator` with the per-round λ history of
     :func:`solve_matvec_traced` — convergence observability for
@@ -210,11 +222,13 @@ def solve_operator_traced(
     def next_v(ev):
         return matvec(ev) / ev
 
-    return _solve_traced(next_v, n, dtype, eps, max_itr)
+    return _solve_traced(next_v, n, dtype, eps, max_itr, eps_mode)
 
 
-def _solve_traced(next_v, n: int, dtype, eps: float, max_itr: int):
-    cond, body = _make_cond_body(next_v, eps, max_itr)
+def _solve_traced(
+    next_v, n: int, dtype, eps: float, max_itr: int, eps_mode: str = "absolute"
+):
+    cond, body = _make_cond_body(next_v, eps, max_itr, eps_mode)
     init = _init_carry(n, next_v, dtype)
     hist0 = jnp.zeros((max_itr,), dtype)
 
@@ -241,13 +255,16 @@ def _solve_traced(next_v, n: int, dtype, eps: float, max_itr: int):
     return res, hist
 
 
-@partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))
+@partial(
+    jax.jit, static_argnames=("eps", "max_itr", "storage_dtype", "eps_mode")
+)
 def solve_matvec_storage(
     A: jax.Array,
     eps: float,
     max_itr: int,
     storage_dtype=jnp.bfloat16,
     ev0: jax.Array | None = None,
+    eps_mode: str = "absolute",
 ) -> SolveResult:
     """Matvec-form solve with reduced-precision matrix STORAGE.
 
@@ -282,7 +299,8 @@ def solve_matvec_storage(
         return y / ev
 
     return solve_matvec_loop(
-        Aq, matvec, eps, max_itr, state_dtype=jnp.float32, ev0=ev0
+        Aq, matvec, eps, max_itr, state_dtype=jnp.float32, ev0=ev0,
+        eps_mode=eps_mode,
     )
 
 
@@ -403,7 +421,9 @@ def solve_matvec_pallas_fused(
 
 @partial(
     jax.jit,
-    static_argnames=("eps", "max_itr", "block_rows", "block_cols", "interpret"),
+    static_argnames=(
+        "eps", "max_itr", "block_rows", "block_cols", "interpret", "eps_mode",
+    ),
 )
 def solve_matvec_pallas(
     A: jax.Array,
@@ -413,6 +433,7 @@ def solve_matvec_pallas(
     block_cols: int = 512,
     interpret: bool = False,
     ev0: jax.Array | None = None,
+    eps_mode: str = "absolute",
 ) -> SolveResult:
     """Matvec-form solve with the Pallas matvec kernel (≈ HBM roofline).
 
@@ -426,4 +447,4 @@ def solve_matvec_pallas(
         )
         return y / ev
 
-    return solve_matvec_loop(A, matvec, eps, max_itr, ev0=ev0)
+    return solve_matvec_loop(A, matvec, eps, max_itr, ev0=ev0, eps_mode=eps_mode)

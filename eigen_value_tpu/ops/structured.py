@@ -35,22 +35,44 @@ def _fft_len(min_len: int) -> int:
 def _spectrum_rfft(arr, m: int):
     """rfft of a profile vector, as a HOST constant when possible.
 
-    The factories below close over the precomputed spectrum; for an
-    eagerly-built operator a ``jnp.fft.rfft`` result is a DEVICE array,
-    which jit must pull back to the host at trace time to embed as an
-    mlir constant — on the remote-TPU tunnel that complex64 transfer is
-    UNIMPLEMENTED (first observed running --suite operator on silicon,
-    2026-08-18), and even where it works the device constant is
-    serialized into every remote-compile payload (CLAUDE.md measurement
-    rules).  Computing the O(n) spectrum with numpy keeps it a plain
-    host constant (f64-computed, cast to complex64 — at worst last-ulp
-    different from the f32 device FFT; operator round counts carry a
-    documented ±1 tolerance).  Traced inputs (factory called under jit)
-    keep the jnp path.
+    The factories below close over the precomputed spectrum.  For an
+    eagerly-built operator a ``jnp.fft.rfft`` result is a DEVICE array;
+    embedding it as an mlir constant requires a trace-time device→host
+    pull, and that complex64 transfer is UNIMPLEMENTED on the remote-TPU
+    tunnel (first observed running --suite operator on silicon,
+    2026-08-18).  Computing the O(n) spectrum with numpy avoids exactly
+    that trace-time pull; the spectrum is still baked into every
+    remote-compile payload either way (acceptable: it is O(n), vs the
+    O(n²) arrays the measurement rules forbid closing over).  Precision:
+    the host spectrum is f64-computed then cast to complex64, so it
+    differs from a device f32 FFT by f32 accumulation error that grows
+    with m — covered by the operators' documented ±1 round-count
+    tolerance.  Traced inputs (factory called under jit) keep the jnp
+    path.
     """
     if isinstance(arr, jax.core.Tracer):
         return jnp.fft.rfft(arr.astype(jnp.float32), m)
     return np.fft.rfft(np.asarray(arr, np.float32), m).astype(np.complex64)
+
+
+def _matmul_f32(a, b):
+    """Matmul pinned to full float32 on every backend.
+
+    TPU MXU matmuls default to bf16 multiplies (f32 accumulate): fine for
+    ML, fatal for the operator stop check — a row-sum noise of
+    ~λ·2⁻⁸ dwarfs the ABSOLUTE eps=1e-3 stop whenever λ ≳ 1, so the
+    Kronecker/low-rank solves silently exhaust MAX_ITR on silicon while
+    converging on CPU (diagnosed from docs/bench/operator_tpu_r2.jsonl
+    rows 3-4: kron at λ≈300–2500 hit rounds=1000, rounds_ok=false).
+    ``Precision.HIGHEST`` (6-pass bf16) keeps f32-faithful products at a
+    FLOP cost that is irrelevant here (these matvecs are thin).
+    """
+    return jnp.matmul(
+        a,
+        b,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def hankel_matvec(h: jax.Array, n: int):
@@ -90,7 +112,16 @@ def toeplitz_matvec(c: jax.Array, r: jax.Array, n: int):
     """
     if c.shape[0] != n or r.shape[0] != n:
         raise ValueError(f"need len(c) == len(r) == n == {n}")
-    t = jnp.concatenate([r[1:][::-1], c])  # t[k] = A[i][j] with i-j = k-(n-1)
+    # t[k] = A[i][j] with i-j = k-(n-1).  Eager inputs build t on host:
+    # a jnp.concatenate would commit t to the default device (outside
+    # pytest: the tunneled remote TPU) only for _spectrum_rfft to pull it
+    # straight back — a pointless remote round trip per factory call.
+    if isinstance(c, jax.core.Tracer) or isinstance(r, jax.core.Tracer):
+        t = jnp.concatenate([r[1:][::-1], c])
+    else:
+        t = np.concatenate(
+            [np.asarray(r, np.float32)[1:][::-1], np.asarray(c, np.float32)]
+        )
     m = _fft_len(2 * n - 1)  # aliasing only corrupts the discarded prefix
     Tf = _spectrum_rfft(t, m)
 
@@ -151,7 +182,9 @@ def low_rank_matvec(U: jax.Array, V: jax.Array, diag: jax.Array | None = None):
         raise ValueError(f"need diag of shape ({n},), got {diag.shape}")
 
     def matvec(x: jax.Array) -> jax.Array:
-        y = U @ (V.T @ x)
+        # f32-pinned matmuls: default MXU precision breaks the absolute-eps
+        # stop for λ ≳ 1 (see _matmul_f32).
+        y = _matmul_f32(U, _matmul_f32(V.T, x)).astype(x.dtype)
         return y if diag is None else y + diag * x
 
     return matvec
@@ -218,9 +251,13 @@ def ell_matvec(cols: jax.Array, vals: jax.Array):
 def ell_from_coo(rows, cols, vals, n: int):
     """Pack COO triplets into the padded (cols, vals) ELL arrays of
     :func:`ell_matvec` (host-side preprocessing, NumPy in, jax.Array out).
-    k = max row degree; duplicate (row, col) entries are summed."""
-    import numpy as np
+    k = max row degree; duplicate (row, col) entries land in separate
+    slots, so the matvec's lane reduction sums them.
 
+    Fully vectorized (argsort + cumsum + one fancy-indexed scatter): the
+    dims this sparse path exists for are 10⁵–10⁶ rows, where a Python
+    per-row loop would take minutes.
+    """
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     if len(rows) and (rows.min() < 0 or rows.max() >= n):
@@ -228,16 +265,16 @@ def ell_from_coo(rows, cols, vals, n: int):
     if len(cols) and (cols.min() < 0 or cols.max() >= n):
         raise ValueError(f"col indices must be in [0, {n}), got [{cols.min()}, {cols.max()}]")
     order = np.argsort(rows, kind="stable")
-    rows, cols_s, vals_s = rows[order], cols[order], np.asarray(vals)[order]
-    counts = np.bincount(rows, minlength=n)
+    rows_s, cols_s, vals_s = rows[order], cols[order], np.asarray(vals)[order]
+    counts = np.bincount(rows_s, minlength=n) if len(rows) else np.zeros(n, np.int64)
     k = int(counts.max()) if len(rows) else 1
     ell_cols = np.zeros((n, max(k, 1)), np.int32)
     ell_vals = np.zeros((n, max(k, 1)), np.float32)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    for i in range(n):
-        s, e = starts[i], starts[i + 1]
-        ell_cols[i, : e - s] = cols_s[s:e]
-        ell_vals[i, : e - s] = vals_s[s:e]
+    if len(rows):
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slot = np.arange(len(rows_s)) - starts[rows_s]  # position within row
+        ell_cols[rows_s, slot] = cols_s
+        ell_vals[rows_s, slot] = vals_s
     return jnp.asarray(ell_cols), jnp.asarray(ell_vals)
 
 
@@ -292,6 +329,11 @@ def kron_matvec(B: jax.Array, C: jax.Array):
 
     def matvec(x: jax.Array) -> jax.Array:
         X = x.reshape(p, q)
-        return (B @ X @ C.T).reshape(-1)
+        # f32-pinned matmuls: at the λ = λ_B·λ_C scales Kronecker products
+        # reach (10²–10³ for random positive factors), default MXU bf16
+        # multiplies leave row-sum noise ≫ the absolute eps=1e-3 stop and
+        # the solve exhausts MAX_ITR on TPU (see _matmul_f32).
+        Y = _matmul_f32(_matmul_f32(B, X), C.T)
+        return Y.reshape(-1).astype(x.dtype)
 
     return matvec

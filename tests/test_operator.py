@@ -145,6 +145,24 @@ class TestStructuredMatvecs:
         with pytest.raises(ValueError, match="square"):
             kron_matvec(jnp.ones((3, 4)), jnp.ones((2, 2)))
 
+    def test_matmul_operators_pin_f32_precision(self):
+        """Every matmul-based operator must carry Precision.HIGHEST: at
+        default MXU precision (bf16 multiplies) the row-sum noise at the
+        λ-scales Kronecker products reach (10²–10³) dwarfs the absolute
+        eps=1e-3 stop and the solve silently exhausts MAX_ITR on TPU —
+        the round-2 silicon failure (docs/bench/operator_tpu_r2.jsonl
+        rows 3-4, diagnosed in docs/BENCH_RESULTS.md round 3)."""
+        from eigen_value_tpu.ops.structured import kron_matvec, low_rank_matvec
+
+        kron = jax.make_jaxpr(kron_matvec(jnp.ones((4, 4)), jnp.ones((8, 8))))(
+            jnp.ones(32)
+        )
+        assert str(kron).count("HIGHEST") >= 2, kron
+        lr = jax.make_jaxpr(
+            low_rank_matvec(jnp.ones((16, 2)), jnp.ones((16, 2)))
+        )(jnp.ones(16))
+        assert str(lr).count("HIGHEST") >= 2, lr
+
     def test_low_rank_matches_dense(self, rng):
         from eigen_value_tpu.ops.structured import low_rank_matvec
 
@@ -266,6 +284,28 @@ class TestSparseOperators:
         mv = ell_matvec(*ell_from_coo(rows, cols, vals, 2))
         y = np.asarray(mv(jnp.asarray([1.0, 1.0], dtype=jnp.float32)))
         np.testing.assert_allclose(y, [5.0, 4.0])
+
+    def test_ell_from_coo_packs_million_nnz_fast(self, rng):
+        """The packer is vectorized (argsort + cumsum + one scatter): a
+        ~10⁶-nnz matrix must pack in well under a second (the old per-row
+        Python loop took minutes at the 10⁵–10⁶-row dims this sparse path
+        exists for), and the result must match the equivalence oracle on a
+        sampled matvec."""
+        import time
+
+        n = 200_000
+        rows, cols, vals = self._random_sparse(rng, n, 4)  # 10⁶ nnz
+        from eigen_value_tpu.ops.structured import ell_from_coo, ell_matvec
+
+        t0 = time.perf_counter()
+        ell_cols, ell_vals = ell_from_coo(rows, cols, vals, n)
+        pack_s = time.perf_counter() - t0
+        assert pack_s < 1.0, f"packing 10⁶ nnz took {pack_s:.2f}s"
+        assert ell_cols.shape == ell_vals.shape and ell_cols.shape[0] == n
+        # row sums through the packed layout == COO row sums
+        got = np.asarray(ell_matvec(ell_cols, ell_vals)(jnp.ones((n,), jnp.float32)))
+        want = np.bincount(rows, weights=vals, minlength=n)
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-5)
 
     def test_ell_shape_validation(self):
         from eigen_value_tpu.ops.structured import ell_matvec

@@ -75,6 +75,86 @@ def test_eigenvector_max_component_is_one():
     assert abs(float(jnp.max(res.eigenvector)) - 1.0) < 1e-2
 
 
+class TestRelativeStop:
+    """eps_mode='relative' (VERDICT r2 item 3): scale-invariant stop for
+    large-λ inputs, absolute mode untouched as the reference-exact
+    default."""
+
+    def test_config_validates_eps_mode(self):
+        from eigen_value_tpu import SolverConfig
+
+        assert SolverConfig(eps_mode="relative").eps_mode == "relative"
+        with pytest.raises(ValueError, match="eps_mode"):
+            SolverConfig(eps_mode="rel")
+
+    def test_stop_check_relative_semantics(self):
+        from eigen_value_tpu.ops.solver import stop_check
+
+        v = jnp.asarray([1000.0, 1000.4, 1000.2], jnp.float32)
+        assert not bool(stop_check(v, 1e-3))  # absolute: 0.4 > 1e-3
+        assert bool(stop_check(v, 1e-3, "relative"))  # 0.4 < 1e-3·1000
+        with pytest.raises(ValueError, match="eps_mode"):
+            stop_check(v, 1e-3, "bogus")
+
+    def test_relative_mode_is_scale_invariant(self, rng):
+        """Scaling A by α scales every row sum by α: relative mode must
+        give the SAME rounds at any scale, where absolute mode's rounds
+        drift with α (that drift is the reference's semantics, kept as
+        the default)."""
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec
+
+        A = jnp.asarray(rng.random((128, 128), dtype=np.float32) + 0.1)
+        r1 = solve_matvec(A, EPS, MAX_ITR, eps_mode="relative")
+        r2 = solve_matvec(A * 1024.0, EPS, MAX_ITR, eps_mode="relative")
+        assert bool(r1.converged) and bool(r2.converged)
+        assert int(r1.rounds) == int(r2.rounds)
+        assert float(r2.eigenvalue) == pytest.approx(
+            1024.0 * float(r1.eigenvalue), rel=1e-5
+        )
+
+    def test_large_lambda_operator_needs_relative(self, rng):
+        """The round-2 silicon failure mode, reproduced on CPU: at
+        λ ~ 10⁶ the f32 matvec rounding noise (~λ·2⁻²⁴·n) exceeds the
+        absolute eps=1e-3 so the stop never fires; relative mode
+        converges and the eigen-pair is correct."""
+        from eigen_value_tpu import SolverConfig, max_eigenvalue_operator
+
+        n = 256
+        A = rng.random((n, n), dtype=np.float32) + np.float32(0.1)
+        Aj = jnp.asarray(A) * jnp.float32(1e6)
+        mv = lambda x: Aj @ x  # noqa: E731
+
+        res_abs = max_eigenvalue_operator(mv, n, SolverConfig(max_itr=200))
+        assert not bool(res_abs.converged)  # cap exhaustion — the bug class
+
+        res_rel = max_eigenvalue_operator(
+            mv, n, SolverConfig(max_itr=200, eps_mode="relative")
+        )
+        assert bool(res_rel.converged)
+        lam_np = 1e6 * np.max(np.real(np.linalg.eigvals(A.astype(np.float64))))
+        assert float(res_rel.eigenvalue) == pytest.approx(lam_np, rel=1e-3)
+
+    def test_parity_dims_unchanged_by_default(self):
+        """The default config's rounds are the parity table's — adding
+        eps_mode must not perturb the absolute path (guards accidental
+        default flips)."""
+        from eigen_value_tpu import SolverConfig, max_eigenvalue
+
+        res = max_eigenvalue(fixtures.hilbert_matrix(256), SolverConfig())
+        assert int(res.rounds) == fixtures.HILBERT_ROUNDS[256]
+
+    def test_mesh_path_rejects_relative(self):
+        from eigen_value_tpu import SolverConfig, max_eigenvalue
+        from eigen_value_tpu.parallel.sharded import make_row_mesh
+
+        with pytest.raises(ValueError, match="relative"):
+            max_eigenvalue(
+                fixtures.hilbert_matrix(128),
+                SolverConfig(eps_mode="relative"),
+                mesh=make_row_mesh(),
+            )
+
+
 def test_f64_end_to_end(rng):
     """f64 solve under x64 mode (VERDICT r1 item 8): the config guard's
     happy path.  Rounds must match the f64 parallel oracle exactly; λ must
