@@ -62,6 +62,8 @@ def main(argv=None) -> int:
             "calibrate",
             "drift",
             "operator",
+            "batched",
+            "large",
             "all",
         ],
         default="all",
@@ -87,6 +89,11 @@ def main(argv=None) -> int:
         "the interpret-mode 2^25 rows take minutes — pass smaller sizes)",
     )
     p.add_argument("--backends", nargs="*", help="e2e backends to run")
+    p.add_argument(
+        "--batch",
+        type=int,
+        help="batch size for --suite batched (default 256, config 4)",
+    )
     p.add_argument("--json", action="store_true", help="emit JSON lines")
     p.add_argument("--reps", type=int, default=5)
     p.add_argument(
@@ -165,6 +172,37 @@ def main(argv=None) -> int:
                     f"\t{r['device_ms']:>10.4f} ms dev (chained)"
                     f"\t{r['rounds']:>4} round(s){parity}"
                 )
+    if args.suite == "batched":
+        kw = {}
+        if args.dims:
+            kw["dim"] = args.dims[0]
+        if args.batch:
+            kw["batch"] = args.batch
+        rows = suite.bench_batched(reps=args.reps, **kw)
+        all_rows += rows
+        if not args.json:
+            for r in rows:
+                print(
+                    f"[batched] {r['batch']} x {r['dim']}^2: "
+                    f"{r['device_ms_per_batch']:.2f} ms/batch dev, "
+                    f"{r['solves_per_s']:.0f} solves/s, rounds {r['rounds_hist']}, "
+                    f"max resid {r['max_rel_residual']:.1e}"
+                    + ("" if r["rounds_ok"] else "   [CHECK FAILED]")
+                )
+    if args.suite == "large":
+        rows = suite.bench_large(reps=args.reps)
+        all_rows += rows
+        if not args.json:
+            for r in rows:
+                if "error" in r:
+                    print(f"[large:{r['backend']}] ERROR: {r['error']}")
+                else:
+                    print(
+                        f"[large:{r['backend']}] {r['dim']} x {r['dim']}: "
+                        f"{r['device_ms']:.1f} ms dev, {r['rounds']} round(s), "
+                        f"lam {r['eigenvalue']:.5f}"
+                        + ("" if r["rounds_ok"] else "   [CHECK FAILED]")
+                    )
     if args.suite == "sharded":
         rows = suite.bench_sharded(dim=(args.dims or [4096])[0], reps=args.reps)
         all_rows += rows

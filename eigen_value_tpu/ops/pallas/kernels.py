@@ -429,6 +429,247 @@ def round_matvec(
     return vnext[:, 0], evnew[0, :]
 
 
+def _multiround_kernel(
+    ev_in,
+    v_in,
+    lam_in,
+    budget_in,
+    a_ref,
+    ev_out,
+    v_out,
+    adv_out,
+    lam_out,
+    ev_s,
+    vrow_s,
+    vraw_s,
+    done_s,
+    adv_s,
+    lam_s,
+    *,
+    eps,
+    init,
+    eps_mode,
+    formulation,
+):
+    r = pl.program_id(0)  # round within the chunk (outermost)
+    i = pl.program_id(1)  # row block
+    k, g = pl.num_programs(0), pl.num_programs(1)
+    n = ev_s.shape[1]
+    br = a_ref.shape[0]
+
+    @pl.when((r == 0) & (i == 0))
+    def _():
+        ev_s[...] = ev_in[...]
+        vrow_s[...] = v_in[...]
+        done_s[0] = 0
+        adv_s[0] = 0
+        lam_s[0] = lam_in[0, 0]
+
+    # Round prologue (once per round): finish the previous round's
+    # division, then the production loop's COND + body-head — stop check
+    # on v, λ snapshot, max, eigenvector update.  Expressions match
+    # solver_matvec._make_cond_body / solver.stop_check bit-for-bit (the
+    # roll pairs element j with v[(j+1) % n], the reference wraparound).
+    @pl.when(i == 0)
+    def _():
+        active = done_s[0] == 0
+
+        @pl.when((r != 0) & active)
+        def _():
+            raw = (
+                vraw_s[...]
+                if formulation == "dot"
+                # vpu: raw row sums accumulated in column layout; one
+                # XLU transpose per round brings them to lane space
+                else jnp.transpose(vraw_s[...])
+            )
+            vrow_s[...] = raw / ev_s[...]
+
+        # init chunks compute v₀ at r == 0 with no check and no update
+        # (the pre-loop row-sum pass, solver_matvec._init_carry)
+        check = (active & (r != 0)) if init else active
+        v = vrow_s[...]
+        e = jnp.asarray(eps, v.dtype)
+        if eps_mode == "relative":
+            e = e * jnp.max(jnp.abs(v))
+        nbr = pltpu.roll(v, shift=n - 1, axis=1)
+        fired = jnp.all(jnp.abs(v - nbr) < e)
+        halt = fired | (adv_s[0] >= budget_in[0, 0])
+
+        @pl.when(check & halt)
+        def _():
+            done_s[0] = 1
+
+        @pl.when(check & jnp.logical_not(halt))
+        def _():
+            lam_s[0] = v[0, 0]
+            m = jnp.max(v)
+            ev_s[...] = ev_s[...] * (v / m)
+            adv_s[0] = adv_s[0] + 1
+
+    # The matvec: row block i of (A @ ev), written into the raw-v scratch.
+    # Runs UNCONDITIONALLY — frozen rounds recompute vraw from the frozen
+    # ev (bit-identical values, discarded at output; their block DMAs
+    # stream regardless, and a per-step done guard would put an SMEM
+    # load + branch on the hot path of every grid step).
+    # Formulations: "dot" contracts on the MXU and lands the partial
+    # directly in lane space (1, br); "vpu" uses the production matvec
+    # kernel's broadcast-multiply + lane reduction (identical f32
+    # reduction order ⇒ bit-identical v-sequence), landing in sublane
+    # space (br, 1) — transposed once per round in the prologue.
+    if formulation == "dot":
+        part = jax.lax.dot_general(
+            ev_s[...],
+            a_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        vraw_s[:, pl.ds(i * br, br)] = part.astype(vraw_s.dtype)
+    else:
+        part = jnp.sum(a_ref[...] * ev_s[...], axis=1, keepdims=True)
+        vraw_s[pl.ds(i * br, br), :] = part
+
+    @pl.when((r == k - 1) & (i == g - 1))
+    def _():
+        d = done_s[0] == 1
+        ev_out[...] = ev_s[...]
+        raw = (
+            vraw_s[...] if formulation == "dot" else jnp.transpose(vraw_s[...])
+        )
+        # an advanced final round leaves its division to us; a frozen one
+        # already holds the stop-checked v in vrow_s
+        v_out[...] = jnp.where(d, vrow_s[...], raw / ev_s[...])
+        adv_out[0, 0] = adv_s[0]
+        lam_out[0, 0] = lam_s[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "init", "eps", "eps_mode", "block_rows", "interpret",
+        "formulation",
+    ),
+)
+def multiround(
+    A: jax.Array,
+    ev: jax.Array,
+    v: jax.Array,
+    lam: jax.Array,
+    budget: jax.Array,
+    *,
+    chunk: int,
+    eps: float,
+    init: bool = False,
+    eps_mode: str = "absolute",
+    block_rows: int = 256,
+    interpret: bool = False,
+    formulation: str = "vpu",
+):
+    """Up to ``chunk`` matvec-form rounds in ONE Pallas invocation.
+
+    The round-3 rung of the optimization ladder (VERDICT r2 item 1): the
+    measured ~50 µs/round gap between the in-loop and standalone matvec
+    is per-invocation pipeline restart, which no single-round kernel can
+    recover — so the grid grows a ROUND axis (outermost), with the O(n)
+    state (ev, v, raw row sums) carried across rounds in VMEM scratch
+    (3·n·4B = 96 KB at 8192²) and the per-round O(n) glue (stop, max,
+    eigenvector update, λ snapshot) computed in a once-per-round prologue
+    at row-block 0.
+
+    Semantics are the production loop's, chunked bit-exactly: each round
+    checks the stop BEFORE advancing (reference break-before-update,
+    similarity_transform.cpp:39-54) and the kernel FREEZES at the
+    converging round — remaining grid steps stream their A blocks but
+    compute nothing — so ``(ev, v, λ, rounds_advanced)`` after any chunk
+    split equals the unchunked sequence (the checkpoint.step chunking
+    argument).  ``init=True`` makes round 0 the pre-loop row-sum pass
+    (no stop check, not counted).
+
+    Returns ``(ev', v', advanced, λ')``; the caller loops chunks until
+    its own stop/cap check fires (solver_matvec.solve_multiround).
+
+    The matvec is a full-width ``dot_general`` row per (round, row-block)
+    grid step at ``Precision.HIGHEST`` (f32-faithful on the MXU) — a
+    DIFFERENT f32 reduction order than :func:`matvec`'s VPU tree, so the
+    v-sequence differs in ulps; round-count parity is asserted by tests
+    at every benchmark dim (as with every tile-shape change, it held).
+    """
+    n, ncols = A.shape
+    assert n == ncols, (n, ncols)
+    assert formulation in ("dot", "vpu"), formulation
+    # Largest row-stripe ≤ block_rows that divides n and meets the store
+    # alignment: "vpu" writes (br, 1) partials at sublane offsets (br
+    # multiple of 8); "dot" writes (1, br) at lane offsets (multiple of
+    # 128, the f32 lane width).
+    step = 128 if formulation == "dot" else 8
+    top = min(block_rows, n) // step * step
+    br = next((b for b in range(top, step - 1, -step) if n % b == 0), None)
+    if br is None:
+        raise ValueError(
+            f"dim {n} admits no {formulation}-aligned row stripe "
+            f"(need a divisor that is a multiple of {step})"
+        )
+    g = n // br
+
+    lam_arr = jnp.asarray(lam, A.dtype).reshape(1, 1)
+    budget_arr = jnp.asarray(budget, jnp.int32).reshape(1, 1)
+    vraw_shape = (1, n) if formulation == "dot" else (n, 1)
+
+    evn, vn, adv, lamn = pl.pallas_call(
+        functools.partial(
+            _multiround_kernel,
+            eps=float(eps),
+            init=init,
+            eps_mode=eps_mode,
+            formulation=formulation,
+        ),
+        grid=(chunk, g),
+        in_specs=[
+            pl.BlockSpec((1, n), lambda r, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda r, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, n), lambda r, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n), lambda r, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda r, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), A.dtype),
+            jax.ShapeDtypeStruct((1, n), A.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), A.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n), A.dtype),  # ev
+            pltpu.VMEM((1, n), A.dtype),  # v (divided, stop-checked)
+            pltpu.VMEM(vraw_shape, A.dtype),  # raw A @ ev of the running round
+            pltpu.SMEM((1,), jnp.int32),  # done
+            pltpu.SMEM((1,), jnp.int32),  # rounds advanced
+            pltpu.SMEM((1,), A.dtype),  # λ snapshot
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * chunk * n * n,
+            bytes_accessed=chunk * n * n * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        # the double-buffered (br, n) A stripes dominate VMEM: budget
+        # 2.5× the stripe pair (Mosaic's measured stack overhead scales
+        # ~18% above the buffers) plus 4 MiB for the O(n) state/IO
+        # blocks, so big-stripe shapes compile instead of tripping the
+        # 16 MiB default scoped limit; the chip has 128 MiB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=5 * br * n * A.dtype.itemsize // 2 + (4 << 20),
+        ),
+        interpret=interpret,
+    )(ev[None, :], v[None, :], lam_arr, budget_arr, A)
+    return evn[0, :], vn[0, :], adv[0, 0], lamn[0, 0]
+
+
 def _round_fused_kernel(
     a_ref,
     evrow_ref,

@@ -43,6 +43,21 @@ from jax import lax
 from .solver import SolveResult, stop_check
 
 
+def dot_f32(A: jax.Array, x: jax.Array) -> jax.Array:
+    """``A @ x`` pinned to f32-faithful precision on every backend.
+
+    TPU MXU matmuls default to bf16 multiplies; the resulting row-sum
+    noise (~λ·2⁻⁸) dwarfs the absolute eps=1e-3 stop whenever λ ≳ 1 and
+    the solve silently exhausts MAX_ITR — the failure diagnosed on the
+    Kronecker operator in round 2 (ops/structured._matmul_f32) applies to
+    every dense matvec of a large-λ matrix (e.g. random-positive batches,
+    λ ≈ n/2).  Precision.HIGHEST costs extra MXU passes the memory-bound
+    gemv never notices.  The production Hilbert path uses the Pallas VPU
+    kernel (exact f32 by construction); this guards the jnp fallbacks.
+    """
+    return jnp.dot(A, x, precision=jax.lax.Precision.HIGHEST)
+
+
 class _Carry(NamedTuple):
     ev: jax.Array
     v: jax.Array
@@ -182,7 +197,7 @@ def solve_matvec(
     see :func:`solve_matvec_loop`)."""
 
     def matvec(ev):
-        return (A @ ev) / ev
+        return dot_f32(A, ev) / ev
 
     return solve_matvec_loop(A, matvec, eps, max_itr, ev0=ev0, eps_mode=eps_mode)
 
@@ -202,7 +217,7 @@ def solve_matvec_traced(A: jax.Array, eps: float, max_itr: int):
     """
 
     def next_v(ev):
-        return (A @ ev) / ev
+        return dot_f32(A, ev) / ev
 
     return _solve_traced(next_v, A.shape[0], A.dtype, eps, max_itr)
 
@@ -302,6 +317,77 @@ def solve_matvec_storage(
         Aq, matvec, eps, max_itr, state_dtype=jnp.float32, ev0=ev0,
         eps_mode=eps_mode,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "eps", "max_itr", "chunk", "block_rows", "interpret", "eps_mode",
+        "formulation",
+    ),
+)
+def solve_multiround(
+    A: jax.Array,
+    eps: float,
+    max_itr: int,
+    chunk: int = 18,
+    block_rows: int = 256,
+    interpret: bool = False,
+    ev0: jax.Array | None = None,
+    eps_mode: str = "absolute",
+    formulation: str = "vpu",
+) -> SolveResult:
+    """Matvec-form solve where up to ``chunk`` ROUNDS run per Pallas
+    invocation (:func:`..pallas.kernels.multiround`) — the round-3 attack
+    on the measured ~50 µs/round per-invocation pipeline restart
+    (docs/BENCH_RESULTS.md: in-loop vs standalone matvec gap; VERDICT r2
+    item 1).  A 17-round 8192² solve with the default ``chunk=18`` runs
+    ONE kernel invocation (init pass + 17 rounds) instead of 18.
+
+    Chunk semantics are bit-exact with :func:`solve_matvec_pallas`'s loop
+    given the same matvec arithmetic: the kernel checks the stop before
+    each round and freezes at convergence, the chunk loop re-checks
+    between invocations, and the epilogue is the shared :func:`_finish`.
+    The kernel's dot_general matvec is a different f32 reduction order
+    than the VPU kernel's, so the v-sequence differs in ulps (round-count
+    parity asserted by tests at every benchmark dim).
+
+    ``chunk`` trades per-invocation restart against convergence overshoot:
+    frozen in-chunk rounds stream their A blocks without computing, so a
+    solve converging at round c wastes ``(-c-1) mod chunk`` DMA passes.
+    Size it to the workload's known round count + 1 when available
+    (HILBERT_ROUNDS); the default matches the flagship 17-round solve.
+    """
+    from .pallas import kernels
+
+    n = A.shape[0]
+    dtype = A.dtype
+    if ev0 is None:
+        ev0 = jnp.ones((n,), dtype)
+    kw = dict(
+        chunk=chunk,
+        eps=eps,
+        eps_mode=eps_mode,
+        block_rows=block_rows,
+        interpret=interpret,
+        formulation=formulation,
+    )
+    ev, v, adv, lam = kernels.multiround(
+        A, ev0, ev0, jnp.asarray(0.0, dtype), max_itr, init=True, **kw
+    )
+    init = _Carry(ev, v, lam, adv)
+
+    def cond(c: _Carry) -> jax.Array:
+        return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps, eps_mode))
+
+    def body(c: _Carry) -> _Carry:
+        ev, v, adv, lam = kernels.multiround(
+            A, c.ev, c.v, c.lam, max_itr - c.i, init=False, **kw
+        )
+        return _Carry(ev, v, lam, c.i + adv)
+
+    out = lax.while_loop(cond, body, init)
+    return _finish(out, max_itr)
 
 
 @partial(

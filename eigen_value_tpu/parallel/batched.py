@@ -28,7 +28,7 @@ from .sharded import require_axis
 
 @partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))
 def solve_batched(
-    As: jax.Array, eps: float, max_itr: int, storage_dtype=None
+    As: jax.Array, eps: float, max_itr: int, storage_dtype=None, ev0=None
 ) -> SolveResult:
     """Solve a batch of positive matrices ``As`` of shape (B, n, n).
 
@@ -39,6 +39,10 @@ def solve_batched(
 
     ``storage_dtype`` (e.g. ``jnp.bfloat16``) enables the reduced-precision
     fast mode per matrix (see solver_matvec.solve_matvec_storage).
+
+    ``ev0`` (shape (n,), shared by every matrix) overrides the all-ones
+    start vector — scale-invariant (solver_matvec.py); the bench harness
+    threads inter-solve dependence through it.
     """
     if As.ndim != 3 or As.shape[1] != As.shape[2]:
         raise ValueError(f"expected (B, n, n), got {As.shape}")
@@ -46,9 +50,11 @@ def solve_batched(
         from ..ops.solver_matvec import solve_matvec_storage
 
         return jax.vmap(
-            lambda A: solve_matvec_storage(A, eps, max_itr, storage_dtype)
+            lambda A: solve_matvec_storage(
+                A, eps, max_itr, storage_dtype, ev0=ev0
+            )
         )(As)
-    return jax.vmap(lambda A: solve_matvec(A, eps, max_itr))(As)
+    return jax.vmap(lambda A: solve_matvec(A, eps, max_itr, ev0=ev0))(As)
 
 
 def solve_batched_sharded(

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, SolverConfig
 from ..device import pick_block
 from ..ops.solver import SolveResult, stop_check
-from ..ops.solver_matvec import _finish, _init_carry, _make_cond_body
+from ..ops.solver_matvec import _finish, _init_carry, _make_cond_body, dot_f32
 
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -196,7 +196,9 @@ def _shard_matvec_body(
                 return kernels.matvec(
                     A_blk, ev, block_rows=br, block_cols=bc, interpret=interpret
                 )
-            return A_blk @ ev
+            # f32-pinned: default MXU precision breaks the absolute stop
+            # for large-λ inputs (solver_matvec.dot_f32)
+            return dot_f32(A_blk, ev)
 
         def next_v(ev):
             # v[r] = (A0 @ ev)[r] / ev[r] for local rows, gathered to full
@@ -345,7 +347,7 @@ def _shard_matvec_ring_body(
                     Aq_blk, (jnp.int32(0), src * n_loc), (n_loc, n_loc)
                 )
                 if storage_dtype is None:
-                    y = blk @ chunk
+                    y = dot_f32(blk, chunk)
                 else:
                     y = jnp.dot(
                         blk,
@@ -590,7 +592,7 @@ def _shard2d_matvec_body(
         def next_v(ev):
             ev_cols = lax.dynamic_slice(ev, (col0,), (n_c,))
             if storage_dtype is None:
-                y = Aq_blk @ ev_cols
+                y = dot_f32(Aq_blk, ev_cols)
             else:
                 y = jnp.dot(
                     Aq_blk,

@@ -187,6 +187,140 @@ class TestCompiledShardedOnHardware:
         assert float(got.eigenvalue) == pytest.approx(2.44555, abs=1e-3)
 
 
+@pytest.mark.parametrize("n", [512, 2048])
+def test_multiround_parity_on_hardware(n):
+    """The round-3 multi-round kernel (bench.py's headline path) compiled
+    on silicon: round parity, λ, convergence — at a chunk that splits the
+    round sequence mid-solve AND at the bench's exact-fit chunk."""
+    import jax.numpy as jnp
+
+    from eigen_value_tpu.config import EPS, MAX_ITR
+    from eigen_value_tpu.ops.solver_matvec import solve_multiround
+
+    H = jax.device_put(np.asarray(fixtures.hilbert_matrix(n)), _tpu())
+    want = fixtures.HILBERT_ROUNDS[n]
+    for chunk in (5, want + 1):
+        res = jax.block_until_ready(
+            solve_multiround(H, EPS, MAX_ITR, chunk=chunk)
+        )
+        assert int(res.rounds) == want, (n, chunk)
+        assert bool(res.converged)
+    vec = np.asarray(res.eigenvector)
+    lam = float(res.eigenvalue)
+    Hn = np.asarray(fixtures.hilbert_matrix(n))
+    assert np.allclose(Hn @ vec, lam * vec, atol=1e-3)
+
+
+class TestOperatorsOnHardware:
+    """Matrix-free operators COMPILED on silicon (VERDICT r2 item 2: the
+    round-2 operator artifact recorded a silent Kronecker cap-exhaustion
+    on TPU — default MXU bf16 precision vs the absolute stop — and no hw
+    test existed to catch it).  These gate that failure class."""
+
+    def test_fft_hankel_converges(self):
+        from eigen_value_tpu import max_eigenvalue_operator
+        from eigen_value_tpu.ops.structured import hilbert_matvec
+
+        n = 1024
+        res = jax.block_until_ready(
+            jax.jit(lambda: max_eigenvalue_operator(hilbert_matvec(n), n))()
+        )
+        assert bool(res.converged)
+        assert abs(int(res.rounds) - fixtures.HILBERT_ROUNDS[n]) <= 1
+        assert float(res.eigenvalue) == pytest.approx(2.44555, rel=1e-3)
+
+    def test_kron_converges_with_f32_precision(self):
+        """The exact round-2 silicon failure (operator_tpu_r2.jsonl row 3):
+        32×32 Kronecker factors, λ ≈ 300, ABSOLUTE stop — must now
+        converge thanks to the Precision.HIGHEST pin in kron_matvec."""
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec, solve_operator
+        from eigen_value_tpu.ops.structured import kron_matvec
+
+        key = jax.random.key(1024)
+        kb, kc = jax.random.split(key)
+        B = jax.random.uniform(kb, (32, 32), minval=0.1, maxval=1.0)
+        C = jax.random.uniform(kc, (32, 32), minval=0.1, maxval=1.0)
+        res = jax.block_until_ready(
+            jax.jit(
+                lambda B, C: solve_operator(
+                    kron_matvec(B, C), 1024, EPS, MAX_ITR
+                )
+            )(B, C)
+        )
+        assert bool(res.converged), "kron cap-exhausted on TPU again"
+        lam_prod = float(solve_matvec(B, EPS, MAX_ITR).eigenvalue) * float(
+            solve_matvec(C, EPS, MAX_ITR).eigenvalue
+        )
+        assert float(res.eigenvalue) == pytest.approx(lam_prod, rel=2e-3)
+
+    def test_large_lambda_kron_converges_relative(self):
+        """λ ≈ λ_B·λ_C ~ 10³ (64×128 factors): beyond the absolute stop's
+        f32 soundness limit — must converge under eps_mode='relative'
+        (VERDICT r2 item 3's done-criterion)."""
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec, solve_operator
+        from eigen_value_tpu.ops.structured import kron_matvec
+
+        key = jax.random.key(8192)
+        kb, kc = jax.random.split(key)
+        B = jax.random.uniform(kb, (64, 64), minval=0.1, maxval=1.0)
+        C = jax.random.uniform(kc, (128, 128), minval=0.1, maxval=1.0)
+        res = jax.block_until_ready(
+            jax.jit(
+                lambda B, C: solve_operator(
+                    kron_matvec(B, C), 8192, EPS, MAX_ITR, eps_mode="relative"
+                )
+            )(B, C)
+        )
+        assert bool(res.converged)
+        lam_prod = float(solve_matvec(B, EPS, MAX_ITR).eigenvalue) * float(
+            solve_matvec(C, EPS, MAX_ITR).eigenvalue
+        )
+        assert float(res.eigenvalue) == pytest.approx(lam_prod, rel=3e-3)
+
+    def test_sparse_ell_converges(self):
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.ops.solver_matvec import solve_operator
+        from eigen_value_tpu.ops.structured import ell_from_coo, ell_matvec
+
+        n, deg = 1024, 8
+        rng = np.random.default_rng(n)
+        src = np.repeat(np.arange(n), deg)
+        dst = (src + 1 + rng.integers(0, n - 1, size=src.shape)) % n
+        vals = (rng.random(src.shape[0]) + 0.1).astype(np.float32)
+        rows = np.concatenate([src, np.arange(n)])
+        cols = np.concatenate([dst, np.arange(n)])
+        v = np.concatenate([vals, np.ones(n, np.float32)])
+        mv = ell_matvec(*ell_from_coo(rows, cols, v, n))
+        res = jax.block_until_ready(
+            jax.jit(lambda: solve_operator(mv, n, EPS, MAX_ITR))()
+        )
+        assert bool(res.converged)
+        resid = float(
+            jax.numpy.max(
+                jax.numpy.abs(
+                    mv(res.eigenvector) - res.eigenvalue * res.eigenvector
+                )
+            )
+        )
+        assert resid <= 1e-2 * float(res.eigenvalue)
+
+
+def test_batched_throughput_on_hardware():
+    """Reduced-batch config-4 sanity (VERDICT r2 item 4): a 32×512²
+    random-positive batch must fully converge on the chip (the f32
+    precision pin in solve_matvec — λ ≈ n/2 breaks at default MXU
+    precision) and sustain a sane throughput."""
+    from eigen_value_tpu.bench.suite import bench_batched
+
+    rows = bench_batched(batch=32, dim=512, reps=3, chain=4)
+    (r,) = rows
+    assert r["all_converged"], r
+    assert r["rounds_ok"], r
+    assert r["solves_per_s"] > 500, r
+
+
 class TestHardwarePerfGate:
     """Perf REGRESSION gate (VERDICT r1 item 5): a kernel regression must
     fail a test, not just drift in BENCH_r*.json.  Thresholds allow for
@@ -265,9 +399,31 @@ class TestHardwarePerfGate:
 
             return run
 
+        # CHIP-STATE-RELATIVE bound (VERDICT r2 item 8): the fixed 8.0 ms
+        # gate has ~20% headroom in the slow state, so a sub-20%
+        # structural regression could hide inside it.  Normalize by the
+        # matvec pass marginal sampled BEFORE AND AFTER the chain (the
+        # chip state drifts on a minutes timescale — a single sample can
+        # race the drift, observed 2026-08-19: one chain run caught a
+        # slow phase while the lone marginal caught a fast one and the
+        # gate false-positived): bound = 18 × max(pass samples) × 1.10 +
+        # 0.25 ms fixed slack (the solve's own structure overhead
+        # measures ≤ 5% of the pass budget; dry run
+        # scratch/exp_gate_dryrun.py: a +2-pass/solve injected regression
+        # fails this bound in every chip state while passing 8.0; the
+        # per-pass 80%-roofline test above covers kernel-level
+        # regressions).  The fixed 8.0 stays as the hard backstop.
+        from eigen_value_tpu.utils.timing import time_marginal
+
+        def pass_step(i, s):
+            Hi, xi = s
+            return (Hi, kernels.matvec(Hi, xi, block_rows=br, block_cols=bc))
+
+        x = jax.device_put(np.ones(self.DIM, np.float32), _tpu())
         long, short = chain(9), chain(1)
         float(np.asarray(long(H)))
         float(np.asarray(short(H)))
+        pass_before = time_marginal(pass_step, (H, x), k=64)
         best = float("inf")
         for _ in range(5):
             t0 = _time.perf_counter()
@@ -278,6 +434,83 @@ class TestHardwarePerfGate:
             ts = (_time.perf_counter() - t0) * 1e3
             best = min(best, (tl - ts) / 8)
         assert best < 8.0, f"headline chain {best:.2f} ms/solve (> 8.0)"
+        pass_after = time_marginal(pass_step, (H, x), k=64)
+        pass_ms = max(pass_before, pass_after)
+        bound = 18 * pass_ms * 1.10 + 0.25
+        assert best < bound, (
+            f"headline chain {best:.2f} ms vs chip-state bound {bound:.2f} "
+            f"(pass marginals {pass_before * 1e3:.0f}/{pass_after * 1e3:.0f} us)"
+            f" — structural regression"
+        )
+
+    def test_bf16_fast_mode_perf_gate(self):
+        """bf16 storage halves HBM bytes: its pass marginal must stay
+        ≤ 65% of the SAME-RUN f32 marginal (measured ~51%; a silent
+        upcast or layout regression reads ~100%) and the bf16 headline
+        chain must stay under 4.8 ms (recorded 3.62; slow-state floor
+        ~3.5).  VERDICT r2 item 6."""
+        import time as _time
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.device import matvec_blocks
+        from eigen_value_tpu.ops.pallas import kernels
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec_storage
+        from eigen_value_tpu.utils.timing import time_marginal
+
+        tpu = _tpu()
+        br, bc = matvec_blocks(self.DIM)
+        H = jax.device_put(np.asarray(fixtures.hilbert_matrix(self.DIM)), tpu)
+        Hb = jax.block_until_ready(H.astype(jnp.bfloat16))
+        x = jax.device_put(np.ones(self.DIM, np.float32), tpu)
+
+        def f32_step(i, s):
+            Hi, xi = s
+            return (Hi, kernels.matvec(Hi, xi, block_rows=br, block_cols=bc))
+
+        def bf16_step(i, s):
+            Hi, xi = s
+            y = jnp.dot(
+                Hi, xi.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+            )
+            return (Hi, y * jnp.float32(1e-3))  # keep magnitudes bounded
+
+        f32_ms = time_marginal(f32_step, (H, x), k=64)
+        bf16_ms = time_marginal(bf16_step, (Hb, x), k=64)
+        assert bf16_ms <= 0.65 * f32_ms, (
+            f"bf16 pass {bf16_ms * 1e3:.0f} us vs f32 {f32_ms * 1e3:.0f} us "
+            f"— the half-bytes fast mode regressed"
+        )
+
+        def chain(k):
+            @jax.jit
+            def run(Hb):
+                def body(i, acc):
+                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+                    ev0 = jnp.ones((self.DIM,), jnp.float32) * s
+                    return solve_matvec_storage(
+                        Hb, EPS, MAX_ITR, storage_dtype=jnp.bfloat16, ev0=ev0
+                    ).eigenvalue
+
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            return run
+
+        long, short = chain(9), chain(1)
+        float(np.asarray(long(Hb)))
+        float(np.asarray(short(Hb)))
+        best = float("inf")
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            float(np.asarray(long(Hb)))
+            tl = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            float(np.asarray(short(Hb)))
+            ts = (_time.perf_counter() - t0) * 1e3
+            best = min(best, (tl - ts) / 8)
+        assert best < 4.8, f"bf16 headline chain {best:.2f} ms/solve (> 4.8)"
 
     def test_drift_suite_on_hardware(self):
         """`--suite drift` must produce sane hardware rows: at least one
