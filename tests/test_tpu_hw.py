@@ -307,6 +307,21 @@ class TestOperatorsOnHardware:
         assert resid <= 1e-2 * float(res.eigenvalue)
 
 
+@pytest.mark.slow
+def test_max_size_solves_on_hardware():
+    """The max-size rungs as a regression test (VERDICT r2 item 5): the
+    32768² f32 and 65536² bf16 solves must converge with the pinned
+    rounds/λ (artifact rows: docs/bench/large_r3.jsonl).  ~5 min
+    (generation + compile dominate); excluded by `-m "not slow"`."""
+    from eigen_value_tpu.bench.suite import bench_large
+
+    rows = bench_large(reps=1)
+    assert len(rows) == 2
+    for r in rows:
+        assert "error" not in r, r
+        assert r["converged"] and r["rounds_ok"], r
+
+
 def test_batched_throughput_on_hardware():
     """Reduced-batch config-4 sanity (VERDICT r2 item 4): a 32×512²
     random-positive batch must fully converge on the chip (the f32
