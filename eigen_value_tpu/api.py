@@ -92,6 +92,11 @@ def _solve_fn(
     """Build the solve callable for ``backend``; ``n`` (when known) adapts
     the Pallas tile shape to the dim so every 128-aligned dim works;
     ``device`` (when pinned) decides the Pallas interpret default."""
+    if config.storage_dtype is not None and backend == "multiround":
+        raise ValueError(
+            "storage_dtype is not supported by the multiround backend yet; "
+            "use 'matvec_pallas'/'matvec' (solve_matvec_storage)"
+        )
     if config.storage_dtype is not None and backend in ("xla", "pallas"):
         raise ValueError(
             f"storage_dtype={config.storage_dtype} requires a matvec-family "
@@ -125,6 +130,17 @@ def _solve_fn(
             eps=config.eps,
             max_itr=config.max_itr,
             storage_dtype=config.storage_dtype,
+            eps_mode=config.eps_mode,
+        )
+    if backend == "multiround":
+        from .ops.solver_matvec import solve_multiround
+
+        return partial(
+            solve_multiround,
+            eps=config.eps,
+            max_itr=config.max_itr,
+            chunk=config.chunk or 18,
+            interpret=resolve_interpret(config.interpret, device),
             eps_mode=config.eps_mode,
         )
     if backend == "matvec_pallas":

@@ -32,7 +32,8 @@ class SolverConfig:
       dtype: compute dtype. The reference device path is float32 throughout
         (include/similarity_transform.hpp:8-9); its sequential oracle is
         float64 (main.py NumPy default).
-      backend: "auto" | "xla" | "pallas" | "matvec" | "matvec_pallas" —
+      backend: "auto" | "xla" | "pallas" | "matvec" | "matvec_pallas" |
+        "multiround" —
         the optimization ladder (mirroring the reference's benchmark
         variants v0/v1/v2):
           * "xla": pure-jnp iterated round body (3 n² passes/round — the
@@ -42,7 +43,12 @@ class SolverConfig:
           * "matvec": power-form solver — one matvec against the ORIGINAL
             A per round (1 read, no writes; see solver_matvec.py).
           * "matvec_pallas": matvec form with the Pallas matvec kernel
-            (≈ HBM roofline). THE production path.
+            (≈ HBM roofline). THE production path for arbitrary inputs.
+          * "multiround": up to ``chunk`` rounds per Pallas invocation
+            (the bench.py headline path) — fastest for HBM-resident dims
+            (n ≳ 4096 f32) with predictable round counts; below ~4096²
+            the while-loop backends keep A resident in VMEM across
+            rounds, which multiround's per-block streaming cannot.
         "auto" picks matvec_pallas on TPU for tile-aligned dims, matvec
         otherwise.
       block_rows / block_cols: Pallas tile shape for the n² passes. These
@@ -75,10 +81,21 @@ class SolverConfig:
     #: HBM traffic per round on the matvec path; O(n) state stays float32.
     #: Accuracy loosens to ~2e-3 (see solver_matvec.solve_matvec_storage).
     storage_dtype: Optional[Any] = None
+    #: Rounds per Pallas invocation for backend="multiround" (None = 18,
+    #: the flagship family's 17 rounds + the initial row-sum pass).  Size
+    #: it to the workload's expected round count + 1: convergence inside
+    #: a chunk freezes compute but the remaining rounds' A blocks still
+    #: stream, so oversize chunks waste DMA.  Semantics never change —
+    #: the stop is checked every round regardless (solve_multiround).
+    chunk: Optional[int] = None
 
     def __post_init__(self) -> None:
-        if self.backend not in ("auto", "xla", "pallas", "matvec", "matvec_pallas"):
+        if self.backend not in (
+            "auto", "xla", "pallas", "matvec", "matvec_pallas", "multiround"
+        ):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.chunk is not None and self.chunk < 1:
+            raise ValueError(f"chunk must be >= 1, got {self.chunk}")
         if self.max_itr < 0:
             raise ValueError("max_itr must be >= 0")
         if self.eps <= 0:

@@ -143,6 +143,46 @@ def test_tiny_unalignable_dim_raises():
         )
 
 
+def test_config_backend_multiround():
+    """The 'multiround' backend is reachable through the public config
+    (SolverConfig(backend="multiround", chunk=...) → max_eigenvalue)."""
+    from eigen_value_tpu import SolverConfig, max_eigenvalue
+
+    H = fixtures.hilbert_matrix(256)
+    res = max_eigenvalue(
+        H, SolverConfig(backend="multiround", chunk=11, interpret=True)
+    )
+    assert int(res.rounds) == fixtures.HILBERT_ROUNDS[256]
+    assert bool(res.converged)
+    with pytest.raises(ValueError, match="chunk"):
+        SolverConfig(backend="multiround", chunk=0)
+    with pytest.raises(ValueError, match="storage_dtype"):
+        max_eigenvalue(
+            H,
+            SolverConfig(
+                backend="multiround", storage_dtype=jnp.bfloat16, interpret=True
+            ),
+        )
+
+
+def test_batched_and_large_suite_row_schemas():
+    """The round-3 suite rungs emit self-describing rows (CPU smoke; the
+    silicon artifacts are docs/bench/batched_tpu_r3.jsonl /
+    large_r3.jsonl)."""
+    from eigen_value_tpu.bench.suite import bench_batched
+
+    (r,) = bench_batched(batch=4, dim=64, reps=2, chain=3)
+    for key in (
+        "solves_per_s",
+        "rounds_hist",
+        "all_converged",
+        "max_rel_residual",
+        "rounds_ok",
+    ):
+        assert key in r, key
+    assert r["all_converged"] and r["rounds_ok"]
+
+
 def test_jittable_and_composes():
     H = fixtures.hilbert_matrix(128)
     res = jax.jit(

@@ -187,7 +187,7 @@ class TestCompiledShardedOnHardware:
         assert float(got.eigenvalue) == pytest.approx(2.44555, abs=1e-3)
 
 
-@pytest.mark.parametrize("n", [512, 2048])
+@pytest.mark.parametrize("n", [128, 512, 2048])
 def test_multiround_parity_on_hardware(n):
     """The round-3 multi-round kernel (bench.py's headline path) compiled
     on silicon: round parity, λ, convergence — at a chunk that splits the
