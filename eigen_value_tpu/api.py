@@ -92,11 +92,6 @@ def _solve_fn(
     """Build the solve callable for ``backend``; ``n`` (when known) adapts
     the Pallas tile shape to the dim so every 128-aligned dim works;
     ``device`` (when pinned) decides the Pallas interpret default."""
-    if config.storage_dtype is not None and backend == "multiround":
-        raise ValueError(
-            "storage_dtype is not supported by the multiround backend yet; "
-            "use 'matvec_pallas'/'matvec' (solve_matvec_storage)"
-        )
     if config.storage_dtype is not None and backend in ("xla", "pallas"):
         raise ValueError(
             f"storage_dtype={config.storage_dtype} requires a matvec-family "
@@ -142,6 +137,7 @@ def _solve_fn(
             chunk=config.chunk or 18,
             interpret=resolve_interpret(config.interpret, device),
             eps_mode=config.eps_mode,
+            storage_dtype=config.storage_dtype,
         )
     if backend == "matvec_pallas":
         from .ops.solver_matvec import solve_matvec_pallas
@@ -225,7 +221,7 @@ def max_eigenvalue(
     prequantized = (
         config.storage_dtype is not None
         and mat.dtype == jnp.dtype(config.storage_dtype)
-        and backend in ("matvec", "matvec_pallas")
+        and backend in ("matvec", "matvec_pallas", "multiround")
     )
     if not prequantized:  # storage path accepts its own dtype — no f32 copy
         mat = mat.astype(config.dtype)

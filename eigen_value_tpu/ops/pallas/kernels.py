@@ -520,14 +520,19 @@ def _multiround_kernel(
     if formulation == "dot":
         part = jax.lax.dot_general(
             ev_s[...],
-            a_ref[...],
+            a_ref[...].astype(ev_s.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         vraw_s[:, pl.ds(i * br, br)] = part.astype(vraw_s.dtype)
     else:
-        part = jnp.sum(a_ref[...] * ev_s[...], axis=1, keepdims=True)
+        # reduced-precision STORAGE keeps full-precision products: bf16
+        # values are exactly representable in f32, so cast-then-multiply
+        # loses nothing (tighter than bf16×bf16 product rounding)
+        part = jnp.sum(
+            a_ref[...].astype(ev_s.dtype) * ev_s[...], axis=1, keepdims=True
+        )
         vraw_s[pl.ds(i * br, br), :] = part
 
     @pl.when((r == k - 1) & (i == g - 1))
@@ -612,7 +617,8 @@ def multiround(
         )
     g = n // br
 
-    lam_arr = jnp.asarray(lam, A.dtype).reshape(1, 1)
+    state_dt = ev.dtype  # f32 even when A is reduced-precision STORAGE
+    lam_arr = jnp.asarray(lam, state_dt).reshape(1, 1)
     budget_arr = jnp.asarray(budget, jnp.int32).reshape(1, 1)
     vraw_shape = (1, n) if formulation == "dot" else (n, 1)
 
@@ -639,18 +645,18 @@ def multiround(
             pl.BlockSpec((1, 1), lambda r, i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n), A.dtype),
-            jax.ShapeDtypeStruct((1, n), A.dtype),
+            jax.ShapeDtypeStruct((1, n), state_dt),
+            jax.ShapeDtypeStruct((1, n), state_dt),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), A.dtype),
+            jax.ShapeDtypeStruct((1, 1), state_dt),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, n), A.dtype),  # ev
-            pltpu.VMEM((1, n), A.dtype),  # v (divided, stop-checked)
-            pltpu.VMEM(vraw_shape, A.dtype),  # raw A @ ev of the running round
+            pltpu.VMEM((1, n), state_dt),  # ev
+            pltpu.VMEM((1, n), state_dt),  # v (divided, stop-checked)
+            pltpu.VMEM(vraw_shape, state_dt),  # raw A @ ev of the round
             pltpu.SMEM((1,), jnp.int32),  # done
             pltpu.SMEM((1,), jnp.int32),  # rounds advanced
-            pltpu.SMEM((1,), A.dtype),  # λ snapshot
+            pltpu.SMEM((1,), state_dt),  # λ snapshot
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * chunk * n * n,

@@ -323,7 +323,7 @@ def solve_matvec_storage(
     jax.jit,
     static_argnames=(
         "eps", "max_itr", "chunk", "block_rows", "interpret", "eps_mode",
-        "formulation",
+        "formulation", "storage_dtype",
     ),
 )
 def solve_multiround(
@@ -336,6 +336,7 @@ def solve_multiround(
     ev0: jax.Array | None = None,
     eps_mode: str = "absolute",
     formulation: str = "vpu",
+    storage_dtype=None,
 ) -> SolveResult:
     """Matvec-form solve where up to ``chunk`` ROUNDS run per Pallas
     invocation (:func:`..pallas.kernels.multiround`) — the round-3 attack
@@ -361,7 +362,17 @@ def solve_multiround(
     from .pallas import kernels
 
     n = A.shape[0]
-    dtype = A.dtype
+    if storage_dtype is not None:
+        # reduced-precision STORAGE (solve_matvec_storage semantics): A is
+        # cast once — halving HBM traffic per in-kernel round for bf16 —
+        # while all O(n) state (ev, v, stop, λ) stays float32; products
+        # are computed in f32 inside the kernel (bf16 storage values are
+        # exact in f32).  Accuracy/round-count caveats as documented at
+        # solve_matvec_storage (±1 round, ~1e-3 relative λ).
+        A = A.astype(storage_dtype)
+        dtype = jnp.float32
+    else:
+        dtype = A.dtype
     if ev0 is None:
         ev0 = jnp.ones((n,), dtype)
     kw = dict(

@@ -156,13 +156,33 @@ def test_config_backend_multiround():
     assert bool(res.converged)
     with pytest.raises(ValueError, match="chunk"):
         SolverConfig(backend="multiround", chunk=0)
-    with pytest.raises(ValueError, match="storage_dtype"):
-        max_eigenvalue(
-            H,
-            SolverConfig(
-                backend="multiround", storage_dtype=jnp.bfloat16, interpret=True
-            ),
-        )
+
+
+def test_multiround_bf16_storage():
+    """storage_dtype composes with multiround: bf16 matrix, f32 state —
+    rounds within ±1 of the storage-path solver, λ within the documented
+    ~1e-3 relative (product precision differs: the kernel multiplies
+    f32-upcast bf16 values, tighter than jnp.dot's bf16 products)."""
+    from eigen_value_tpu import SolverConfig, max_eigenvalue
+    from eigen_value_tpu.ops.solver_matvec import solve_matvec_storage
+
+    H = fixtures.hilbert_matrix(256)
+    want = solve_matvec_storage(H, EPS, MAX_ITR)
+    got = max_eigenvalue(
+        H,
+        SolverConfig(
+            backend="multiround",
+            chunk=12,
+            storage_dtype=jnp.bfloat16,
+            interpret=True,
+        ),
+    )
+    assert abs(int(got.rounds) - int(want.rounds)) <= 1
+    assert bool(got.converged)
+    assert float(got.eigenvalue) == pytest.approx(
+        float(want.eigenvalue), rel=2e-3
+    )
+    assert got.eigenvalue.dtype == jnp.float32  # state stays f32
 
 
 def test_batched_and_large_suite_row_schemas():

@@ -315,7 +315,12 @@ def test_max_size_solves_on_hardware():
     (generation + compile dominate); excluded by `-m "not slow"`."""
     from eigen_value_tpu.bench.suite import bench_large
 
-    rows = bench_large(reps=1)
+    # conftest pins jax_default_device to CPU even under RUN_TPU_TESTS=1;
+    # the suite builds its matrices on the default device, so point it at
+    # the chip for the duration (outside pytest the CLI sees the TPU
+    # default and needs no such override)
+    with jax.default_device(_tpu()):
+        rows = bench_large(reps=1)
     assert len(rows) == 2
     for r in rows:
         assert "error" not in r, r
