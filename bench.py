@@ -22,23 +22,39 @@ transparency.
 Because the chip's sustained HBM state drifts on a minutes timescale
 (see WINDOWS below), the measurement repeats in several spaced windows;
 ``value`` is the best window (min-of-reps convention) and every window's
-reading plus the median is in the JSON so the spread is visible.  When
+reading plus the median is in the JSON so the spread is visible, along
+with the drift suite's chip-state classification per window
+(``classify_chip_state``) so a slow-state record explains itself.  When
 none of the base windows catches the chip's fast state, sampling extends
-adaptively (``should_extend``) up to EXTEND_BUDGET_S — the fast state
-can stay away for many minutes, and the record is only comparable
-across rounds if each run had a real chance of seeing it.
+adaptively (``should_extend``) up to EXTEND_BUDGET_S, capped by the wall
+remaining before the supervisor's DEADLINE_S (``extension_budget``) —
+the fast state can stay away for many minutes, and the record is only
+comparable across rounds if each run had a real chance of seeing it.
+The bf16 secondary metric is measured right after the base windows,
+BEFORE any extension, and rides the SIGTERM partial-emission state: no
+termination mode can drop it from the record.
 """
 
 import json
 import os
 import signal
 import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+# Worker exec epoch: the extension budget is measured against DEADLINE_S
+# from HERE (process start), not from the first measurement window — jax
+# init + Hilbert generation + compile + warmup over the tunnel cost
+# 2-6 min and used to silently eat the "headroom" the old first-window
+# clock claimed to leave, so the round-3 driver record was SIGTERM'd
+# mid-extension and lost its bf16 secondary (BENCH_r03.json forensics,
+# docs/BENCH_RESULTS.md round 4).
+T_EXEC = time.monotonic()
 
 BASELINE_MS = 126.0  # reference best-CPU 8192² e2e (BASELINE.md)
 # BENCH_DIM / BENCH_DEVICE are test knobs (drive the full path off-TPU at a
@@ -64,10 +80,20 @@ WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "22"))
 # sampling spaced windows until EXTEND_BUDGET_S from the first window.
 # A fast reading stops the extension immediately (more sampling can't
 # improve a min that already hit the target).  BENCH_WINDOWS=1 (quick
-# mode) never extends.  The budget leaves DEADLINE_S headroom so the
-# supervisor's SIGTERM partial-emission path stays a last resort.
+# mode) never extends.  The effective budget is capped so the worker
+# finishes emitting BEFORE the supervisor's DEADLINE_S: see
+# :func:`extension_budget` (the cap is measured from worker EXEC, so
+# startup/compile time can no longer eat the emission headroom — the
+# round-3 failure mode).
 FAST_TARGET_MS = float(os.environ.get("BENCH_FAST_TARGET_MS", "6.1"))
 EXTEND_BUDGET_S = float(os.environ.get("BENCH_EXTEND_S", "900"))
+# Wall reserved (from DEADLINE_S) for summarizing + printing the record
+# and the supervisor's pipe read after the last extension window.
+RESERVE_S = float(os.environ.get("BENCH_RESERVE_S", "75"))
+# The bf16 secondary runs on a watchdog: a wedged-tunnel RPC never
+# returns and must not delay the already-complete headline record
+# (advisor r3 finding).
+BF16_DEADLINE_S = float(os.environ.get("BENCH_BF16_DEADLINE_S", "180"))
 # The remote-TPU tunnel can wedge entirely (a blocked RPC never returns, so
 # no Python-level signal handler ever runs).  bench.py therefore supervises
 # itself: the entry process re-execs a worker and enforces a wall deadline —
@@ -110,7 +136,66 @@ def _split_suspect(windows, floor_ms):
     return clean, [w for w in windows if w[0] < floor_ms]
 
 
-def summarize(windows, rounds, backend, floor_ms=0.0, extra=None):
+def extension_budget(
+    extend_s, deadline_s, reserve_s, startup_s
+) -> float:
+    """Effective extension budget (seconds, measured from the FIRST
+    window like ``should_extend``'s elapsed): the configured extension
+    cap, further capped by the wall actually remaining before the
+    supervisor's deadline — worker startup (jax init + matrix gen +
+    compile + warmup, ``startup_s``) plus ``reserve_s`` of emission
+    headroom are subtracted so a full extension can never run into the
+    SIGTERM.  Pure so the policy is unit-testable."""
+    return max(0.0, min(extend_s, deadline_s - reserve_s - startup_s))
+
+
+def classify_chip_state(device_ms, rounds, peak_gbps, dim=None):
+    """HBM state implied by one headline window, on the drift suite's
+    nameplate-relative thresholds (bench/suite.py): the chip drifts
+    between a ~745 GB/s and a ~930+ GB/s sustained state on a minutes
+    timescale, and a slow-state reading is a chip-state fact, not a
+    kernel regression — the record carries the classification so a
+    below-target value is self-explaining.  'fast' > 100% of nameplate
+    sustained (the genuine fast state reaches ~114%), 'mid' ≥ 94%,
+    'slow' below.  None when the peak is unknown (CPU test mode)."""
+    n = DIM if dim is None else dim
+    if not peak_gbps or peak_gbps != peak_gbps or device_ms <= 0:
+        return None
+    passes = rounds + 1  # initial row-sum + one matvec per round
+    gbps = passes * n * n * 4 / (device_ms * 1e-3) / 1e9
+    pct = 100.0 * gbps / peak_gbps
+    return "fast" if pct > 100.0 else ("mid" if pct >= 94.0 else "slow")
+
+
+def _call_with_deadline(fn, seconds):
+    """Run ``fn()`` on a daemon thread and give up after ``seconds``.
+    SIGALRM cannot reliably interrupt a C call blocked on a wedged
+    tunnel RPC, but a join can always stop waiting; the abandoned
+    thread stays blocked and is reaped at process exit (daemon).  If it
+    is instead merely slow, later device calls from the main thread may
+    interleave with its still-pending RPC — windows are min-of-reps, so
+    one polluted window cannot lower the record."""
+    result = {}
+
+    def run():
+        try:
+            result["value"] = fn()
+        except BaseException as e:  # noqa: BLE001 - re-raised on the caller
+            result["error"] = e
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(seconds)
+    if th.is_alive():
+        raise TimeoutError(f"exceeded {seconds:.0f}s deadline")
+    if "error" in result:
+        raise result["error"]
+    return result["value"]
+
+
+def summarize(
+    windows, rounds, backend, floor_ms=0.0, extra=None, peak_gbps=None
+):
     """Fold per-window readings into the one-line JSON record.
 
     ``windows``: list of (device_ms, wall_chain_ms, wall_single_ms), one
@@ -122,6 +207,12 @@ def summarize(windows, rounds, backend, floor_ms=0.0, extra=None):
     ``suspect_windows_ms``.  If EVERY window is sub-floor the record
     still reports the min but carries ``"suspect": true`` — such a run
     is a transport diagnosis, not a perf record.
+
+    ``peak_gbps`` (when known) adds the drift suite's chip-state
+    classification (:func:`classify_chip_state`): the state of the best
+    window, a histogram over the clean windows, and — when no window
+    ever left the slow state — a note computing the slow-state physical
+    floor, so a below-target record explains itself.
     """
     clean, suspect = _split_suspect(windows, floor_ms)
     pool = clean or windows
@@ -149,6 +240,25 @@ def summarize(windows, rounds, backend, floor_ms=0.0, extra=None):
         rec["floor_ms"] = round(floor_ms, 3)
     if not clean:
         rec["suspect"] = True
+    states = [
+        classify_chip_state(wv[0], rounds, peak_gbps) for wv in pool
+    ]
+    if any(states):
+        rec["chip_state"] = classify_chip_state(device_ms, rounds, peak_gbps)
+        rec["chip_states"] = {
+            s: states.count(s) for s in ("slow", "mid", "fast") if s in states
+        }
+        if set(rec["chip_states"]) == {"slow"}:
+            passes = rounds + 1
+            slow_floor = passes * DIM * DIM * 4 / (0.94 * peak_gbps * 1e6)
+            rec["chip_state_note"] = (
+                f"all {len(states)} clean windows sat in the slow HBM "
+                f"state (<94% of the {peak_gbps:.0f} GB/s nameplate "
+                f"sustained); the {passes}-pass physical floor there is "
+                f"~{slow_floor:.2f} ms — readings at the fast-state "
+                f"target ({FAST_TARGET_MS} ms) need a mid/fast window "
+                "(chip-state drift, docs/BENCH_RESULTS.md)"
+            )
     if extra:
         rec.update(extra)
     return rec
@@ -198,7 +308,7 @@ def main() -> None:
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
     from eigen_value_tpu import SolverConfig, fixtures
-    from eigen_value_tpu.api import _resolve_blocks, resolve_backend
+    from eigen_value_tpu.api import resolve_backend
     from eigen_value_tpu.config import EPS, MAX_ITR
     from eigen_value_tpu.device import auto_interpret
     from eigen_value_tpu.ops.solver_matvec import solve_matvec_loop
@@ -208,8 +318,7 @@ def main() -> None:
     H = jax.block_until_ready(fixtures.hilbert_matrix(DIM))
 
     expected = fixtures.HILBERT_ROUNDS.get(DIM, ROUNDS_EXPECTED)
-    use_pallas = backend == "matvec_pallas"
-    br, bc = _resolve_blocks(cfg, DIM)
+    use_pallas = backend in ("matvec_pallas", "multiround")
     interpret = auto_interpret()
     # The TPU headline path is the round-3 multi-round kernel: up to
     # `chunk` rounds per Pallas invocation (ops/pallas/kernels.multiround)
@@ -325,7 +434,8 @@ def main() -> None:
 
     from eigen_value_tpu.utils.timing import detect_peak_hbm_gbps
 
-    floor_ms = physical_floor_ms(rounds, detect_peak_hbm_gbps())
+    peak_gbps = detect_peak_hbm_gbps()
+    floor_ms = physical_floor_ms(rounds, peak_gbps)
     windows = []
     extra = {}
     emitted = False
@@ -333,9 +443,16 @@ def main() -> None:
     def emit_partial(signum, frame):
         # A driver timeout mid-sampling must still record a result: emit
         # the summary of the windows completed so far and exit cleanly.
+        # ``extra`` already holds the bf16 secondary when the base windows
+        # finished (it runs before any extension), so a mid-extension kill
+        # keeps it.
         if windows and not emitted:
             print(
-                json.dumps(summarize(windows, rounds, backend, floor_ms, extra)),
+                json.dumps(
+                    summarize(
+                        windows, rounds, backend, floor_ms, extra, peak_gbps
+                    )
+                ),
                 flush=True,
             )
         os._exit(0 if windows else 1)
@@ -343,26 +460,27 @@ def main() -> None:
     signal.signal(signal.SIGTERM, emit_partial)
     signal.signal(signal.SIGINT, emit_partial)
 
-    t_start = time.monotonic()
-    w = 0
-    while True:
-        if w:
-            time.sleep(WINDOW_GAP_S)
+    def take_window(w: int) -> None:
         dev_ms, t_long, t_short = window()
         windows.append((dev_ms, t_long, t_short))
-        print(f"window {w}: {dev_ms:.3f} ms/solve", file=sys.stderr)
-        w += 1
-        if w < WINDOWS:
-            continue
-        if WINDOWS == 1 or not should_extend(
-            windows, time.monotonic() - t_start, floor_ms=floor_ms
-        ):
-            break
+        state = classify_chip_state(dev_ms, rounds, peak_gbps)
+        note = f" ({state} state)" if state else ""
+        print(f"window {w}: {dev_ms:.3f} ms/solve{note}", file=sys.stderr)
 
-    # The bf16 secondary metric (one window, after the headline sampling
-    # so it can never displace a headline window; best-effort).
+    t_start = time.monotonic()
+    for w in range(WINDOWS):
+        if w:
+            time.sleep(WINDOW_GAP_S)
+        take_window(w)
+
+    # The bf16 secondary metric — BEFORE any extension sampling, so a
+    # deadline kill mid-extension can never erase it again (the round-3
+    # driver record lost it exactly that way; the SIGTERM handler emits
+    # ``extra`` as-is).  One window; the headline windows are already
+    # complete, so it displaces nothing.  Watchdogged: a wedged tunnel
+    # must not block the record (advisor r3).
     try:
-        bf16_ms = measure_bf16()
+        bf16_ms = _call_with_deadline(measure_bf16, BF16_DEADLINE_S)
         extra.update(
             {
                 "bf16_ms": round(bf16_ms, 3),
@@ -373,8 +491,23 @@ def main() -> None:
                 ),
             }
         )
+        print(f"bf16 secondary: {bf16_ms:.3f} ms/solve", file=sys.stderr)
     except Exception as e:  # pragma: no cover - diagnostic only
         print(f"WARNING: bf16 secondary metric failed: {e}", file=sys.stderr)
+
+    # Adaptive extension, budgeted against the REMAINING wall before the
+    # supervisor's deadline (startup measured from worker exec, T_EXEC).
+    budget_s = extension_budget(
+        EXTEND_BUDGET_S, DEADLINE_S, RESERVE_S, t_start - T_EXEC
+    )
+    w = WINDOWS
+    while WINDOWS > 1 and should_extend(
+        windows, time.monotonic() - t_start, budget_s=budget_s,
+        floor_ms=floor_ms,
+    ):
+        time.sleep(WINDOW_GAP_S)
+        take_window(w)
+        w += 1
 
     # flush=True: os._exit in the TERM handler skips interpreter-exit
     # buffer flushing, so an unflushed final line could be silently lost.
@@ -382,7 +515,9 @@ def main() -> None:
     # at worst duplicate the line (consumers read the last line), whereas
     # the reverse order could exit with no record at all.
     print(
-        json.dumps(summarize(windows, rounds, backend, floor_ms, extra)),
+        json.dumps(
+            summarize(windows, rounds, backend, floor_ms, extra, peak_gbps)
+        ),
         flush=True,
     )
     emitted = True

@@ -150,6 +150,67 @@ def test_should_extend_ignores_suspect_fast_window(bench):
     )
 
 
+def test_extension_budget_caps_by_deadline(bench):
+    # Plenty of wall left: the configured extension cap applies.
+    assert bench.extension_budget(900.0, 1200.0, 75.0, 100.0) == 900.0
+    # Startup ate the wall (the round-3 failure): cap shrinks so the
+    # worker still emits before the supervisor's SIGTERM.
+    assert bench.extension_budget(900.0, 1200.0, 75.0, 400.0) == 725.0
+    # Degenerate: startup alone overran — no extension at all.
+    assert bench.extension_budget(900.0, 1200.0, 75.0, 1150.0) == 0.0
+
+
+def test_classify_chip_state(bench):
+    # 18 passes × 8192² × 4 B = 4.832 GB; nameplate 819 GB/s.
+    # 6.39 ms → 756 GB/s = 92% → slow; 6.0 ms → 805 GB/s = 98% → mid;
+    # 5.5 ms → 879 GB/s = 107% → fast.
+    assert bench.classify_chip_state(6.39, 17, 819.0, dim=8192) == "slow"
+    assert bench.classify_chip_state(6.0, 17, 819.0, dim=8192) == "mid"
+    assert bench.classify_chip_state(5.5, 17, 819.0, dim=8192) == "fast"
+    # Unknown peak (CPU test mode) disables classification.
+    assert bench.classify_chip_state(6.0, 17, float("nan"), dim=8192) is None
+    assert bench.classify_chip_state(6.0, 17, None, dim=8192) is None
+
+
+def test_summarize_chip_state_fields(bench, monkeypatch):
+    monkeypatch.setattr(bench, "DIM", 8192)
+    windows = [(6.39, 90.0, 36.0), (6.0, 88.0, 35.0), (6.5, 91.0, 37.0)]
+    rec = bench.summarize(
+        windows, rounds=17, backend="multiround_pallas", peak_gbps=819.0
+    )
+    assert rec["chip_state"] == "mid"  # state of the best window
+    assert rec["chip_states"] == {"slow": 2, "mid": 1}
+    assert "chip_state_note" not in rec  # a mid window was seen
+
+
+def test_summarize_all_slow_note(bench, monkeypatch):
+    monkeypatch.setattr(bench, "DIM", 8192)
+    windows = [(6.45, 90.0, 36.0), (6.5, 91.0, 37.0)]
+    rec = bench.summarize(
+        windows, rounds=17, backend="multiround_pallas", peak_gbps=819.0
+    )
+    assert rec["chip_states"] == {"slow": 2}
+    assert "slow HBM state" in rec["chip_state_note"]
+    # the note names the slow-state physical floor (~6.27 ms here)
+    assert "6.2" in rec["chip_state_note"] or "6.3" in rec["chip_state_note"]
+
+
+def test_summarize_without_peak_has_no_chip_state(bench):
+    rec = bench.summarize([(6.4, 88.0, 35.0)], rounds=17, backend="xla")
+    assert "chip_state" not in rec
+    assert "chip_states" not in rec
+
+
+def test_call_with_deadline(bench):
+    assert bench._call_with_deadline(lambda: 41 + 1, 5.0) == 42
+    with pytest.raises(TimeoutError):
+        bench._call_with_deadline(lambda: __import__("time").sleep(3), 0.2)
+    with pytest.raises(RuntimeError, match="boom"):
+        bench._call_with_deadline(
+            lambda: (_ for _ in ()).throw(RuntimeError("boom")), 5.0
+        )
+
+
 def test_failure_record_shape(bench):
     rec = bench.failure_record(worker_rc=-9)
     line = json.dumps(rec, allow_nan=False)
@@ -248,9 +309,11 @@ def test_bench_py_emits_diagnostic_when_no_window_completes():
 @pytest.mark.slow
 def test_bench_py_end_to_end_cpu_with_extension():
     """Run bench.py itself off-TPU (BENCH_DEVICE=cpu, 128²) with the
-    extension forced on (impossible fast target, ~12 s budget): the JSON
-    record must be valid, round parity must hold (9 @ 128²), and the
-    window list must show beyond-base sampling."""
+    extension forced on (impossible fast target, ~25 s budget — wide
+    enough that the bf16 secondary, which now runs before the extension
+    and shares its clock, cannot starve it): the JSON record must be
+    valid, round parity must hold (9 @ 128²), and the window list must
+    show beyond-base sampling."""
     import subprocess
     import sys
 
@@ -266,7 +329,7 @@ def test_bench_py_end_to_end_cpu_with_extension():
             BENCH_WINDOWS="2",
             BENCH_WINDOW_GAP_S="0.1",
             BENCH_FAST_TARGET_MS="0",  # unreachable: always "slow"
-            BENCH_EXTEND_S="12",  # ~2 s of extra windows, then stop
+            BENCH_EXTEND_S="25",  # a few seconds of extra windows, then stop
             BENCH_DEADLINE_S="240",
         ),
         timeout=300,
@@ -278,6 +341,13 @@ def test_bench_py_end_to_end_cpu_with_extension():
     assert rec["unit"] == "ms"
     assert len(rec["windows_ms"]) > 2  # extension sampled past the base
     assert rec["value"] == rec["windows_ms"][0]
+    # The bf16 secondary must be in the record even though the run
+    # extended — it is measured BEFORE the extension (the round-3 driver
+    # record lost it to a mid-extension SIGTERM; now it can't).
+    assert "bf16_ms" in rec and rec["bf16_ms"] > 0
+    # stderr ordering proves the sequencing: bf16 line precedes the
+    # first beyond-base window line.
+    assert out.stderr.index("bf16 secondary") < out.stderr.index("window 2")
 
 
 def test_supervise_retries_once_after_recovery(bench, monkeypatch, capsys):
