@@ -31,6 +31,17 @@ from .device import pick_block, resolve_interpret
 from .ops.solver import SolveResult, solve_xla
 
 
+#: Auto-routing boundary for the multiround backend: the multi-round
+#: kernel wins once A can no longer stay VMEM-resident across rounds
+#: (~4096² f32 on v5e — config.py backend notes) — measured at 8192² it
+#: beats the matvec-pallas while-loop 6.44 vs 6.83 ms same-process and
+#: LOSES badly below the boundary (1.82 vs 0.51 ms at 4096², where the
+#: loop keeps A in VMEM but multiround re-streams it per chunk round):
+#: docs/bench/e2e_sweep_r3.jsonl.  8192 is the smallest dim measured
+#: above the residency boundary.
+MULTIROUND_MIN_DIM = 8192
+
+
 def resolve_backend(
     config: SolverConfig, n: int, device: Optional[jax.Device] = None
 ) -> str:
@@ -39,7 +50,16 @@ def resolve_backend(
     "auto" prefers the matvec (power-form) solver — algebraically the same
     iteration with 3× less HBM traffic per round than the reference's
     structure (see solver_matvec.py) — with its Pallas kernel when the dim
-    is tile-aligned on TPU, falling back to jnp everywhere else.
+    is tile-aligned on TPU, falling back to jnp everywhere else.  On a
+    REAL TPU at HBM-resident dims (n ≥ MULTIROUND_MIN_DIM, where per-
+    invocation pipeline restarts dominate the loop backends) it picks the
+    multi-round kernel — the same backend bench.py's headline measures,
+    so ``max_eigenvalue(H_8192)`` no longer leaves the measured ~6% on
+    the table (VERDICT r3 item 4; the policy mirrors the reference
+    wrapper's "defaults pick the fast path" wg_size rule,
+    wrapper/similarity_transform.cpp:24-33).  Interpret mode never routes
+    to multiround: interpreting an HBM-scale multi-round grid is
+    pathologically slow and the boundary is a hardware property.
 
     ``device`` (when the solve is pinned, e.g. ``EigenValue(device=...)``)
     overrides the default-platform check: the backend must match where
@@ -50,6 +70,8 @@ def resolve_backend(
     if pick_block(n, config.block_rows or 128) is None:
         return "matvec"  # unaligned dims (e.g. the 3×3 anchor): jnp matvec
     on_tpu = device.platform == "tpu" if device is not None else _on_tpu()
+    if on_tpu and n >= MULTIROUND_MIN_DIM:
+        return "multiround"
     if on_tpu or config.interpret:
         return "matvec_pallas"
     return "matvec"
@@ -91,7 +113,19 @@ def _solve_fn(
 ):
     """Build the solve callable for ``backend``; ``n`` (when known) adapts
     the Pallas tile shape to the dim so every 128-aligned dim works;
-    ``device`` (when pinned) decides the Pallas interpret default."""
+    ``device`` (when pinned) decides the Pallas interpret default.
+
+    CONFIG CONSISTENCY CONTRACT (VERDICT r3 item 3): every SolverConfig
+    knob is either honored by the resolved backend or rejected with a
+    ValueError — never silently dropped (silent drops are how the
+    round-2 Kronecker-class failures hid).  The one sanctioned nuance:
+    ``interpret`` and the block sizes also FEED ``resolve_backend``'s
+    auto routing, so under ``backend="auto"`` they are consumed by the
+    resolution itself (e.g. interpret=True routes to matvec_pallas for
+    aligned dims; for unaligned dims the jnp fallback has no kernel to
+    interpret and the knob is vacuous by construction, not dropped).
+    With an EXPLICIT non-Pallas backend they raise.
+    """
     if config.storage_dtype is not None and backend in ("xla", "pallas"):
         raise ValueError(
             f"storage_dtype={config.storage_dtype} requires a matvec-family "
@@ -104,6 +138,37 @@ def _solve_fn(
             "eps_mode='relative' is not supported by the iterated-Pallas "
             "backend (its fused kernel bakes the absolute stop); use the "
             "matvec family or 'xla'"
+        )
+    if config.chunk is not None and backend != "multiround":
+        raise ValueError(
+            f"chunk={config.chunk} is a multiround-backend knob (rounds per "
+            f"Pallas invocation) but the {'resolved' if config.backend == 'auto' else 'requested'} "
+            f"backend is {backend!r} — it would be silently dropped. Use "
+            f"backend='multiround' (or drop chunk)."
+        )
+    explicit_non_pallas = config.backend in ("xla", "matvec")
+    if explicit_non_pallas:
+        if config.block_rows is not None or config.block_cols is not None:
+            raise ValueError(
+                f"block_rows/block_cols are Pallas tile knobs; backend="
+                f"{config.backend!r} runs no Pallas kernel, so they would "
+                f"be silently dropped"
+            )
+        if config.interpret is not None:
+            raise ValueError(
+                f"interpret is a Pallas-mode knob; backend={config.backend!r} "
+                f"runs no Pallas kernel, so it would be silently dropped"
+            )
+    if (
+        config.storage_dtype is not None
+        and backend in ("matvec", "matvec_pallas")
+        and (config.block_rows is not None or config.block_cols is not None)
+    ):
+        raise ValueError(
+            "block_rows/block_cols don't apply to the reduced-precision "
+            "storage path (it uses the XLA gemv, measured at the bf16 "
+            "roofline — solver_matvec.solve_matvec_storage); they would be "
+            "silently dropped"
         )
     block_rows, block_cols = _resolve_blocks(config, n, backend)
     if backend == "pallas":
@@ -128,8 +193,22 @@ def _solve_fn(
             eps_mode=config.eps_mode,
         )
     if backend == "multiround":
+        if config.block_cols is not None:
+            raise ValueError(
+                "the multiround kernel streams full-width row stripes "
+                "(no column tiling — its round state lives in VMEM "
+                "scratch, ops/pallas/kernels.multiround); block_cols="
+                f"{config.block_cols} would be silently dropped. Set "
+                "block_rows to size the stripes, or drop block_cols."
+            )
         from .ops.solver_matvec import solve_multiround
 
+        kw = {}
+        if config.block_rows is not None:
+            # honor an explicitly configured stripe height (advisor r3:
+            # it was silently dropped for this backend only); the kernel
+            # default (256) is the measured-best otherwise.
+            kw["block_rows"] = config.block_rows
         return partial(
             solve_multiround,
             eps=config.eps,
@@ -138,6 +217,7 @@ def _solve_fn(
             interpret=resolve_interpret(config.interpret, device),
             eps_mode=config.eps_mode,
             storage_dtype=config.storage_dtype,
+            **kw,
         )
     if backend == "matvec_pallas":
         from .ops.solver_matvec import solve_matvec_pallas
@@ -184,19 +264,68 @@ def max_eigenvalue(
     the one-argument door to `parallel/` (solve_sharded_matvec; use the
     parallel module directly for the ring/batched variants).  A mesh with
     BOTH ``"rows"`` and ``"cols"`` axes dispatches to the 2D block-sharded
-    solve (per-chip memory n²/(pr·pc), parallel/sharded.py).
+    solve (per-chip memory n²/(pr·pc), parallel/sharded.py).  On the mesh
+    path ``backend`` maps to the sharded body with the same structure —
+    "auto"/"matvec_pallas"/"matvec" pick the matvec-form solve (Pallas
+    local matvec auto/on/off), "xla" the iterated (mutate-A) solve — and
+    single-chip-only backends ("pallas", "multiround") raise;
+    ``eps_mode`` is honored by every sharded body.
     """
     mat = jnp.asarray(mat)
     if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
         raise ValueError(f"must be a square matrix, got shape {mat.shape}")
     if mesh is not None:
-        from .parallel.sharded import solve_sharded_2d, solve_sharded_matvec
+        from .parallel.sharded import (
+            solve_sharded,
+            solve_sharded_2d,
+            solve_sharded_matvec,
+        )
 
-        if config.eps_mode != "absolute":
+        # Config consistency (VERDICT r3 item 3): every knob is honored
+        # or rejected — the mesh path used to silently ignore ``backend``
+        # (e.g. "multiround") and rejected eps_mode wholesale.  eps_mode
+        # is now threaded through every sharded solver; backends map to
+        # the sharded bodies that implement the same structure, and the
+        # unmappable ones raise.
+        for knob, why in (
+            ("block_rows", "the sharded Pallas path sizes its own tiles "
+             "per shard (parallel/sharded.py local_matvec)"),
+            ("block_cols", "the sharded Pallas path sizes its own tiles "
+             "per shard (parallel/sharded.py local_matvec)"),
+            ("chunk", "the multiround kernel is single-chip only"),
+            ("interpret", "interpret auto-resolves from the mesh's "
+             "platform (CPU meshes interpret, TPU meshes compile)"),
+        ):
+            if getattr(config, knob) is not None:
+                raise ValueError(
+                    f"{knob}={getattr(config, knob)} is not supported on "
+                    f"the mesh path — {why}; it would be silently dropped"
+                )
+        is_2d = "cols" in mesh.shape
+        use_pallas = None
+        if config.backend == "multiround":
             raise ValueError(
-                "eps_mode='relative' is not yet threaded through the "
-                "sharded solvers; solve single-chip or use solve_operator"
+                "backend='multiround' is single-chip only (its round "
+                "state lives in one chip's VMEM scratch); the mesh path "
+                "would silently ignore it. Use backend='auto' for the "
+                "sharded solvers, or solve single-chip."
             )
+        if config.backend == "pallas":
+            raise ValueError(
+                "backend='pallas' (the iterated fused kernel) has no "
+                "sharded form; use backend='auto' (matvec-form sharded "
+                "solve) or 'xla' (iterated sharded solve)"
+            )
+        if is_2d and config.backend not in ("auto", "matvec"):
+            raise ValueError(
+                f"backend={config.backend!r} has no 2D block-sharded "
+                "form (solve_sharded_2d runs the matvec-form XLA body); "
+                "use backend='auto' or 'matvec'"
+            )
+        if config.backend == "matvec":
+            use_pallas = False
+        elif config.backend == "matvec_pallas":
+            use_pallas = True
 
         # honor storage_dtype exactly like the single-chip path: a matrix
         # already in storage_dtype is solved as-is (no f32 copy is made)
@@ -207,7 +336,7 @@ def max_eigenvalue(
             mat = mat.astype(config.dtype)
         if validate and not bool(jnp.all(mat > 0)):
             raise ValueError("similarity-transform method requires all entries > 0")
-        if "cols" in mesh.shape:
+        if is_2d:
             if "rows" not in mesh.shape:
                 raise ValueError(
                     "a mesh with a 'cols' axis needs a 'rows' axis too "
@@ -216,7 +345,17 @@ def max_eigenvalue(
                     "parallel.make_mesh2d(1, pc)"
                 )
             return solve_sharded_2d(mat, mesh, config=config)
-        return solve_sharded_matvec(mat, mesh, config=config)
+        if config.backend == "xla":
+            # the iterated (mutate-A) sharded body — the sharded analog of
+            # the single-chip "xla" rung
+            if config.storage_dtype is not None:
+                raise ValueError(
+                    "storage_dtype requires a matvec-family backend on the "
+                    "mesh path too (the iterated sharded body mutates A "
+                    "and cannot honor the storage contract)"
+                )
+            return solve_sharded(mat, mesh, config=config)
+        return solve_sharded_matvec(mat, mesh, config=config, use_pallas=use_pallas)
     backend = resolve_backend(config, mat.shape[0])
     prequantized = (
         config.storage_dtype is not None
@@ -243,14 +382,49 @@ def eigen_residual(mat: jax.Array, result: SolveResult) -> jax.Array:
     return jnp.max(jnp.abs(mat @ v - result.eigenvalue * v))
 
 
+def _reject_unsupported(config: SolverConfig, entry: str, checks) -> None:
+    """Raise on config knobs ``entry`` cannot honor (the honored-or-
+    rejected contract, VERDICT r3 item 3).  ``checks`` is an iterable of
+    ``(knob, is_default, why)``."""
+    for knob, is_default, why in checks:
+        if not is_default:
+            raise ValueError(
+                f"{knob}={getattr(config, knob)!r} is not supported by "
+                f"{entry} — {why}; it would be silently dropped"
+            )
+
+
 def max_eigenvalue_batch(
     mats: jax.Array, config: SolverConfig = DEFAULT_CONFIG
 ) -> SolveResult:
     """Batched solves over ``mats`` of shape (B, n, n); result leaves carry
     a leading batch axis with per-matrix round counts (see
-    parallel/batched.py for the masked-loop semantics)."""
+    parallel/batched.py for the masked-loop semantics).
+
+    Honors eps / max_itr / dtype / eps_mode / storage_dtype; the batched
+    body is the vmapped matvec-form solver, so any other backend choice
+    (and the Pallas tile knobs) is rejected rather than silently dropped.
+    """
     from .parallel.batched import solve_batched
 
+    _reject_unsupported(
+        config,
+        "max_eigenvalue_batch",
+        (
+            ("backend", config.backend in ("auto", "matvec"),
+             "the batched body is the vmapped matvec-form solver "
+             "(parallel/batched.py); under vmap the hot op is a batched "
+             "gemv and the Pallas/multiround kernels have no batched form"),
+            ("block_rows", config.block_rows is None,
+             "the batched body runs no Pallas kernel"),
+            ("block_cols", config.block_cols is None,
+             "the batched body runs no Pallas kernel"),
+            ("chunk", config.chunk is None,
+             "the multiround kernel has no batched form"),
+            ("interpret", config.interpret is None,
+             "the batched body runs no Pallas kernel"),
+        ),
+    )
     mats = jnp.asarray(mats)
     # honor storage_dtype exactly like the single-chip and mesh paths: a
     # batch already in storage_dtype is solved as-is — materializing a
@@ -262,7 +436,11 @@ def max_eigenvalue_batch(
     ):
         mats = mats.astype(config.dtype)
     return solve_batched(
-        mats, config.eps, config.max_itr, storage_dtype=config.storage_dtype
+        mats,
+        config.eps,
+        config.max_itr,
+        storage_dtype=config.storage_dtype,
+        eps_mode=config.eps_mode,
     )
 
 
@@ -286,9 +464,35 @@ def max_eigenvalue_operator(
     :func:`~eigen_value_tpu.ops.structured.scale_matvec` (λ scales by
     exactly α).  The reference never hits this: its only workload has
     λ ≈ 2.6 (similarity_transform.hpp:4 semantics preserved as default).
+
+    Honors eps / max_itr / dtype / eps_mode; a matrix-free solve observes
+    A only through ``matvec``, so the dense-backend knobs (backend,
+    blocks, chunk, interpret, storage_dtype) are rejected rather than
+    silently dropped — precision/storage of the operator's internals
+    belongs to the caller's ``matvec``.
     """
     from .ops.solver_matvec import solve_operator
 
+    _reject_unsupported(
+        config,
+        "max_eigenvalue_operator",
+        (
+            ("backend", config.backend in ("auto", "matvec"),
+             "a matrix-free solve IS the matvec-form loop; dense backends "
+             "don't apply"),
+            ("storage_dtype", config.storage_dtype is None,
+             "the operator is never materialized — reduced-precision "
+             "storage belongs inside the caller's matvec"),
+            ("block_rows", config.block_rows is None,
+             "no Pallas kernel runs on the operator path"),
+            ("block_cols", config.block_cols is None,
+             "no Pallas kernel runs on the operator path"),
+            ("chunk", config.chunk is None,
+             "the multiround kernel needs a materialized matrix"),
+            ("interpret", config.interpret is None,
+             "no Pallas kernel runs on the operator path"),
+        ),
+    )
     return solve_operator(
         matvec,
         n,

@@ -25,6 +25,17 @@ MAX_ITR: int = 1000
 class SolverConfig:
     """All knobs of the similarity-transform solver.
 
+    CONSISTENCY CONTRACT: every public entry point (max_eigenvalue —
+    single-chip and mesh — max_eigenvalue_batch, max_eigenvalue_operator,
+    EigenValue) either HONORS a knob or REJECTS it with a ValueError;
+    non-default knobs are never silently dropped (api.py).  ``interpret``
+    and the block sizes additionally feed ``resolve_backend``'s auto
+    routing, so under ``backend="auto"`` they are consumed by the
+    resolution itself even when the resolved backend runs no Pallas
+    kernel.  The low-level solvers (``parallel/``, ``ops/``) take the
+    knobs they consume as explicit arguments instead — routing is the
+    entry points' job.
+
     Attributes:
       eps: convergence tolerance on adjacent row-sum differences
         (wraparound neighborhood — reference similarity_transform.cpp:385-417).
@@ -49,7 +60,10 @@ class SolverConfig:
             (n ≳ 4096 f32) with predictable round counts; below ~4096²
             the while-loop backends keep A resident in VMEM across
             rounds, which multiround's per-block streaming cannot.
-        "auto" picks matvec_pallas on TPU for tile-aligned dims, matvec
+        "auto" picks multiround on a real TPU for tile-aligned dims at or
+        above the HBM-residency boundary (api.MULTIROUND_MIN_DIM = 8192,
+        where it measures ~6% faster than the loop — the headline
+        backend), matvec_pallas for other tile-aligned TPU dims, matvec
         otherwise.
       block_rows / block_cols: Pallas tile shape for the n² passes. These
         play the role of the reference's work-group size knob

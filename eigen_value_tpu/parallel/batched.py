@@ -26,9 +26,14 @@ from ..ops.solver_matvec import solve_matvec
 from .sharded import require_axis
 
 
-@partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype"))
+@partial(jax.jit, static_argnames=("eps", "max_itr", "storage_dtype", "eps_mode"))
 def solve_batched(
-    As: jax.Array, eps: float, max_itr: int, storage_dtype=None, ev0=None
+    As: jax.Array,
+    eps: float,
+    max_itr: int,
+    storage_dtype=None,
+    ev0=None,
+    eps_mode: str = "absolute",
 ) -> SolveResult:
     """Solve a batch of positive matrices ``As`` of shape (B, n, n).
 
@@ -39,6 +44,11 @@ def solve_batched(
 
     ``storage_dtype`` (e.g. ``jnp.bfloat16``) enables the reduced-precision
     fast mode per matrix (see solver_matvec.solve_matvec_storage).
+
+    ``eps_mode`` applies per matrix with the single-chip semantics
+    (ops/solver.stop_check): ``"relative"`` is the sound stop for
+    large-λ batches — e.g. random-positive matrices at large n, whose
+    λ ≈ n/2 crowds the absolute eps once λ ≳ 10³.
 
     ``ev0`` (shape (n,), shared by every matrix) overrides the all-ones
     start vector — scale-invariant (solver_matvec.py); the bench harness
@@ -51,10 +61,12 @@ def solve_batched(
 
         return jax.vmap(
             lambda A: solve_matvec_storage(
-                A, eps, max_itr, storage_dtype, ev0=ev0
+                A, eps, max_itr, storage_dtype, ev0=ev0, eps_mode=eps_mode
             )
         )(As)
-    return jax.vmap(lambda A: solve_matvec(A, eps, max_itr, ev0=ev0))(As)
+    return jax.vmap(
+        lambda A: solve_matvec(A, eps, max_itr, ev0=ev0, eps_mode=eps_mode)
+    )(As)
 
 
 def solve_batched_sharded(
@@ -86,19 +98,31 @@ def solve_batched_sharded(
         NamedSharding(mesh, P(axis_name)),
     )
     return _batched_sharded_jit(
-        config.eps, config.max_itr, config.storage_dtype, out_sharding
+        config.eps,
+        config.max_itr,
+        config.storage_dtype,
+        out_sharding,
+        config.eps_mode,
     )(As)
 
 
 @lru_cache(maxsize=None)
 def _batched_sharded_jit(
-    eps: float, max_itr: int, storage_dtype, out_sharding: SolveResult
+    eps: float,
+    max_itr: int,
+    storage_dtype,
+    out_sharding: SolveResult,
+    eps_mode: str = "absolute",
 ):
     """Cache the jitted executable per config+sharding — a fresh jax.jit
     wrapper per call would re-trace on every invocation."""
     return jax.jit(
         partial(
-            solve_batched, eps=eps, max_itr=max_itr, storage_dtype=storage_dtype
+            solve_batched,
+            eps=eps,
+            max_itr=max_itr,
+            storage_dtype=storage_dtype,
+            eps_mode=eps_mode,
         ),
         out_shardings=out_sharding,
     )

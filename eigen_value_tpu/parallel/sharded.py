@@ -57,7 +57,9 @@ def require_axis(mesh: Mesh, axis_name: str) -> int:
     return mesh.shape[axis_name]
 
 
-def _shard_round_body(eps: float, max_itr: int, axis_name: str):
+def _shard_round_body(
+    eps: float, max_itr: int, axis_name: str, eps_mode: str = "absolute"
+):
     """Build the per-shard while_loop solver. Runs under shard_map."""
 
     def solve_block(A_blk: jax.Array) -> SolveResult:
@@ -79,7 +81,12 @@ def _shard_round_body(eps: float, max_itr: int, axis_name: str):
         # update runs after the loop.  Same v-sequence bit-for-bit.
         def cond(c):
             A_blk, v, ev, lam, i = c
-            return (i < max_itr) & jnp.logical_not(stop_check(v, eps))
+            # v is replicated (gather completes every round), so the
+            # single-chip stop — including eps_mode="relative"'s
+            # tol = eps·max|v| — evaluates identically on every shard.
+            return (i < max_itr) & jnp.logical_not(
+                stop_check(v, eps, eps_mode)
+            )
 
         def body(c):
             A_blk, v, ev, lam, i = c
@@ -108,9 +115,11 @@ def _shard_round_body(eps: float, max_itr: int, axis_name: str):
     return solve_block
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr"))
-def _solve_sharded_jit(A, mesh, axis_name, eps, max_itr):
-    solve_block = _shard_round_body(eps, max_itr, axis_name)
+@partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "eps", "max_itr", "eps_mode")
+)
+def _solve_sharded_jit(A, mesh, axis_name, eps, max_itr, eps_mode="absolute"):
+    solve_block = _shard_round_body(eps, max_itr, axis_name, eps_mode)
     fn = shard_map(
         solve_block,
         mesh=mesh,
@@ -138,7 +147,9 @@ def solve_sharded(
     if n % n_shards != 0:
         raise ValueError(f"dim {n} not divisible by {n_shards} shards")
     A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
-    return _solve_sharded_jit(A, mesh, axis_name, config.eps, config.max_itr)
+    return _solve_sharded_jit(
+        A, mesh, axis_name, config.eps, config.max_itr, config.eps_mode
+    )
 
 
 def _shard_matvec_body(
@@ -148,6 +159,7 @@ def _shard_matvec_body(
     use_pallas: bool = False,
     interpret: bool = False,
     storage_dtype=None,
+    eps_mode: str = "absolute",
 ):
     """Per-shard matvec-form loop (see ops/solver_matvec.py for the algebra):
     each round is one local matvec against the ORIGINAL row shard plus one
@@ -210,8 +222,9 @@ def _shard_matvec_body(
 
         # v is replicated (the gather completes every round), so the round
         # is EXACTLY the single-chip matvec-form round — reuse its one
-        # definition (cond/body/epilogue) and slice the local ev after.
-        cond, body = _make_cond_body(next_v, eps, max_itr)
+        # definition (cond/body/epilogue, incl. the eps_mode tolerance
+        # semantics) and slice the local ev after.
+        cond, body = _make_cond_body(next_v, eps, max_itr, eps_mode)
         init = _init_carry(n, next_v, dtype, ev0)
         res = _finish(lax.while_loop(cond, body, init), max_itr)
         ev_loc = lax.dynamic_slice(res.eigenvector, (row0,), (n_loc,))
@@ -230,6 +243,7 @@ def _shard_matvec_body(
         "use_pallas",
         "interpret",
         "storage_dtype",
+        "eps_mode",
     ),
 )
 def _solve_sharded_matvec_jit(
@@ -242,9 +256,10 @@ def _solve_sharded_matvec_jit(
     interpret=False,
     storage_dtype=None,
     ev0_scale=None,
+    eps_mode="absolute",
 ):
     solve_block = _shard_matvec_body(
-        eps, max_itr, axis_name, use_pallas, interpret, storage_dtype
+        eps, max_itr, axis_name, use_pallas, interpret, storage_dtype, eps_mode
     )
     fn = shard_map(
         solve_block,
@@ -276,6 +291,11 @@ def solve_sharded_matvec(
     all O(n) state stays float32.  A may also arrive pre-cast in
     ``storage_dtype`` (no f32 copy is ever made — how shard-scale dims
     whose f32 copy would not fit are solved).
+
+    ``config.eps_mode`` is honored with the single-chip semantics (the
+    gathered v is replicated, so the relative tolerance eps·max|v| needs
+    no extra collective) — the sound stop for operator-scale λ matrices
+    that need multi-chip memory (VERDICT r3 item 6).
     """
     n = A.shape[0]
     n_shards = require_axis(mesh, axis_name)
@@ -296,11 +316,16 @@ def solve_sharded_matvec(
         interpret,
         config.storage_dtype,
         ev0_scale,
+        config.eps_mode,
     )
 
 
 def _shard_matvec_ring_body(
-    eps: float, max_itr: int, axis_name: str, storage_dtype=None
+    eps: float,
+    max_itr: int,
+    axis_name: str,
+    storage_dtype=None,
+    eps_mode: str = "absolute",
 ):
     """Fully distributed matvec-form loop with RING-pipelined communication.
 
@@ -380,8 +405,13 @@ def _shard_matvec_ring_body(
         def stop_only(v_loc):
             """Wraparound stop from shard-local slices: the neighbor of the
             last local element is the NEXT shard's first element (one tiny
-            ppermute); replicated via pmin."""
+            ppermute); replicated via pmin.  In relative mode the
+            tolerance is eps·max|v| — v stays sharded here, so the global
+            max|v| needs one extra scalar pmax (the other bodies read it
+            from the replicated v for free)."""
             e = jnp.asarray(eps, dtype)
+            if eps_mode == "relative":
+                e = e * lax.pmax(jnp.max(jnp.abs(v_loc)), axis_name)
             first_of_next = lax.ppermute(
                 v_loc[0],
                 axis_name,
@@ -423,12 +453,17 @@ def _shard_matvec_ring_body(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis_name", "eps", "max_itr", "storage_dtype"),
+    static_argnames=(
+        "mesh", "axis_name", "eps", "max_itr", "storage_dtype", "eps_mode",
+    ),
 )
 def _solve_sharded_ring_jit(
-    A, mesh, axis_name, eps, max_itr, storage_dtype=None, ev0_scale=None
+    A, mesh, axis_name, eps, max_itr, storage_dtype=None, ev0_scale=None,
+    eps_mode="absolute",
 ):
-    solve_block = _shard_matvec_ring_body(eps, max_itr, axis_name, storage_dtype)
+    solve_block = _shard_matvec_ring_body(
+        eps, max_itr, axis_name, storage_dtype, eps_mode
+    )
     fn = shard_map(
         solve_block,
         mesh=mesh,
@@ -455,7 +490,9 @@ def solve_sharded_matvec_ring(
     meshes where O(n) wire time rivals the O(n²/P) local pass.
 
     ``config.storage_dtype`` (bf16 fast mode) is honored: chunk GEMVs run
-    in reduced precision with f32 accumulation, O(n) state stays f32."""
+    in reduced precision with f32 accumulation, O(n) state stays f32.
+    ``config.eps_mode`` is honored (relative mode costs one extra scalar
+    pmax per round — see the body's ``stop_only``)."""
     n = A.shape[0]
     n_shards = require_axis(mesh, axis_name)
     if n % n_shards != 0:
@@ -469,6 +506,7 @@ def solve_sharded_matvec_ring(
         config.max_itr,
         config.storage_dtype,
         ev0_scale,
+        config.eps_mode,
     )
 
 
@@ -481,13 +519,15 @@ def solve_sharded_matvec_ring(
         "eps",
         "max_itr",
         "storage_dtype",
+        "eps_mode",
     ),
 )
 def _solve_batched_rowsharded_jit(
-    As, mesh, batch_axis, row_axis, eps, max_itr, storage_dtype=None
+    As, mesh, batch_axis, row_axis, eps, max_itr, storage_dtype=None,
+    eps_mode="absolute",
 ):
     solve_block = _shard_matvec_body(
-        eps, max_itr, row_axis, storage_dtype=storage_dtype
+        eps, max_itr, row_axis, storage_dtype=storage_dtype, eps_mode=eps_mode
     )
     fn = shard_map(
         jax.vmap(solve_block, in_axes=(0, None)),
@@ -519,7 +559,8 @@ def solve_batched_rowsharded(
     are replicated across row shards so the loop stays in lockstep.
 
     ``config.storage_dtype`` (bf16 fast mode) applies per matrix with the
-    single-chip semantics (f32 accumulation, f32 O(n) state).
+    single-chip semantics (f32 accumulation, f32 O(n) state);
+    ``config.eps_mode`` applies per matrix too (replicated-v stop).
     """
     B, n, n2 = As.shape
     if n != n2:
@@ -538,6 +579,7 @@ def solve_batched_rowsharded(
         config.eps,
         config.max_itr,
         config.storage_dtype,
+        config.eps_mode,
     )
 
 
@@ -548,6 +590,7 @@ def _shard2d_matvec_body(
     col_axis: str,
     n_rows_shards: int,
     storage_dtype=None,
+    eps_mode: str = "absolute",
 ):
     """Per-shard matvec-form loop for a 2D (rows × cols) block sharding.
 
@@ -608,8 +651,8 @@ def _shard2d_matvec_body(
 
         # v is replicated (psum + gather complete every round), so the
         # round is EXACTLY the single-chip matvec-form round — reuse its
-        # one definition and slice the local ev after.
-        cond, body = _make_cond_body(next_v, eps, max_itr)
+        # one definition (incl. eps_mode) and slice the local ev after.
+        cond, body = _make_cond_body(next_v, eps, max_itr, eps_mode)
         init = _init_carry(n, next_v, dtype, ev0)
         res = _finish(lax.while_loop(cond, body, init), max_itr)
         ev_loc = lax.dynamic_slice(res.eigenvector, (row0,), (n_r,))
@@ -627,10 +670,12 @@ def _shard2d_matvec_body(
         "eps",
         "max_itr",
         "storage_dtype",
+        "eps_mode",
     ),
 )
 def _solve_sharded_2d_jit(
-    A, mesh, row_axis, col_axis, eps, max_itr, storage_dtype=None, ev0_scale=None
+    A, mesh, row_axis, col_axis, eps, max_itr, storage_dtype=None,
+    ev0_scale=None, eps_mode="absolute",
 ):
     solve_block = _shard2d_matvec_body(
         eps,
@@ -639,6 +684,7 @@ def _solve_sharded_2d_jit(
         col_axis,
         mesh.shape[row_axis],
         storage_dtype,
+        eps_mode,
     )
     fn = shard_map(
         solve_block,
@@ -675,7 +721,9 @@ def solve_sharded_2d(
 
     ``config.storage_dtype`` (bf16 fast mode) is honored with single-chip
     semantics; A may arrive pre-cast (no f32 copy is ever made).
-    ``ev0_scale`` threads bench-chain data dependence (scale-invariant).
+    ``config.eps_mode`` is honored (replicated-v stop, no extra
+    collective).  ``ev0_scale`` threads bench-chain data dependence
+    (scale-invariant).
 
     Round-count caveat: splitting each row sum into pc partials changes
     the float32 reduction grouping, so round counts are guaranteed only
@@ -704,6 +752,7 @@ def solve_sharded_2d(
         config.max_itr,
         config.storage_dtype,
         ev0_scale,
+        config.eps_mode,
     )
 
 

@@ -139,6 +139,38 @@ def test_resolve_backend_honors_pinned_device_platform():
     assert resolve_backend(cfg, 256, device=cpu) == "matvec"
 
 
+def test_auto_picks_multiround_at_hbm_resident_dims():
+    """VERDICT r3 item 4: the headline-winning backend must be the
+    default at the flagship dim.  Auto routes to multiround on a real
+    TPU at n ≥ MULTIROUND_MIN_DIM (8192, the measured HBM-residency
+    boundary — e2e_sweep_r3.jsonl), to matvec_pallas below it, and
+    NEVER under interpret mode (the boundary is a hardware property)."""
+    import types
+
+    from eigen_value_tpu.api import MULTIROUND_MIN_DIM
+
+    cfg = SolverConfig(backend="auto")
+    tpu = types.SimpleNamespace(platform="tpu")
+    cpu = types.SimpleNamespace(platform="cpu")
+    assert MULTIROUND_MIN_DIM == 8192
+    assert resolve_backend(cfg, 8192, device=tpu) == "multiround"
+    assert resolve_backend(cfg, 16384, device=tpu) == "multiround"
+    assert resolve_backend(cfg, 4096, device=tpu) == "matvec_pallas"
+    # unaligned dims above the boundary still fall back to jnp
+    assert resolve_backend(cfg, 8192 + 64, device=tpu) == "matvec"
+    # interpret mode (CI sanitizer) keeps the single-round kernel
+    assert (
+        resolve_backend(SolverConfig(backend="auto", interpret=True), 8192,
+                        device=cpu)
+        == "matvec_pallas"
+    )
+    # explicit backend always wins over the auto policy
+    assert (
+        resolve_backend(SolverConfig(backend="matvec_pallas"), 8192, device=tpu)
+        == "matvec_pallas"
+    )
+
+
 def test_storage_dtype_with_non_storage_backend_raises():
     """storage_dtype + an iterated backend (xla/pallas) is a contradictory
     config: those solvers mutate A and cannot honor the reduced-precision
