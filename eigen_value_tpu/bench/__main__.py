@@ -21,10 +21,15 @@ def _fmt_e2e(rows) -> str:
             backend = r["backend"]
             out.append(f"\nSimilarity Transform (backend: {backend})\n")
         parity = "" if r["rounds_ok"] else "   [PARITY BREAK]"
+        dev = (
+            f"{r['device_ms']:.3f} ms"
+            if r["device_ms"] is not None
+            else "below chain resolution"
+        )
         out.append(
             f"{r['dim']:<5} x {r['dim']:>5}\t\t{r['ms']:>10.3f} ms"
             f"\t\t{r['rounds']:>6} round(s)"
-            f"\t\t(device {r['device_ms']:.3f} ms, chained){parity}"
+            f"\t\t(device {dev}, chained){parity}"
         )
     return "\n".join(out)
 
@@ -167,9 +172,14 @@ def main(argv=None) -> int:
         if not args.json:
             for r in rows:
                 parity = "" if r.get("rounds_ok", True) else "   [PARITY BREAK]"
+                dev = (
+                    f"{r['device_ms']:>10.4f} ms dev (chained)"
+                    if r["device_ms"] is not None
+                    else "  below chain resolution  "
+                )
                 print(
                     f"[{r['backend']}] {r['dim']:<5} x {r['dim']:>5}"
-                    f"\t{r['device_ms']:>10.4f} ms dev (chained)"
+                    f"\t{dev}"
                     f"\t{r['rounds']:>4} round(s){parity}"
                 )
     if args.suite == "batched":

@@ -130,6 +130,29 @@ def _operator_chain_step(fn, n: int):
     return step
 
 
+def _marginal_resolved(
+    step, init, k: int, reps: int = 5, min_signal_ms: float = 4.0,
+    max_k: int = 4096,
+):
+    """``time_marginal`` with RESOLUTION escalation: the chain length
+    quadruples until the measured long-vs-short wall difference
+    (``dev_ms · k``) clears ``min_signal_ms`` — comfortably above the
+    tunnel's ±1.5 ms per-launch jitter — so a committed timing is always
+    a real number, never the clamped-to-zero artifact of a solve faster
+    than the chain can resolve (VERDICT r3 item 5: the 2-round
+    kron_64x128 row recorded ``device_ms: 0.0``).  Returns
+    ``(device_ms | None, k_used, resolved)``: when even ``max_k`` chained
+    solves stay under the signal floor the timing is reported as None
+    with ``resolved=False`` rather than a fabricated number."""
+    while True:
+        ms = time_marginal(step, init, k=k, reps=reps)
+        if ms * k >= min_signal_ms:
+            return ms, k, True
+        if k >= max_k:
+            return None, k, False
+        k = min(k * 4, max_k)
+
+
 def _e2e_chain_len(n: int) -> int:
     """Longer chains at smaller dims so per-launch jitter (±1.5 ms on the
     tunnel) divided by k stays well under the per-solve device time."""
@@ -163,28 +186,32 @@ def bench_e2e(
             res = fn(A)  # compile + warm
             rounds = int(res.rounds)
             ms = time_call(lambda: fn(A), reps=reps)
-            dev_ms = time_marginal(
+            dev_ms, chain_k, resolved = _marginal_resolved(
                 _e2e_chain_step(fn),
                 (A, jnp.float32(0.0)),
                 k=_e2e_chain_len(n),
                 reps=reps,
             )
-            rows.append(
-                {
-                    "bench": "e2e",
-                    "backend": name,
-                    "dim": n,
-                    "ms": ms,
-                    "device_ms": dev_ms,
-                    "ms_per_round": dev_ms / max(rounds, 1),
-                    # north-star metric: elements touched per second per chip
-                    # (matvec form touches n² once per round)
-                    "elems_per_s": rounds * n * n / max(dev_ms * 1e-3, 1e-9),
-                    "rounds": rounds,
-                    "eigenvalue": float(res.eigenvalue),
-                    "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),
-                }
-            )
+            row = {
+                "bench": "e2e",
+                "backend": name,
+                "dim": n,
+                "ms": ms,
+                "device_ms": dev_ms,
+                "ms_per_round": dev_ms / max(rounds, 1) if resolved else None,
+                # north-star metric: elements touched per second per chip
+                # (matvec form touches n² once per round)
+                "elems_per_s": (
+                    rounds * n * n / (dev_ms * 1e-3) if resolved else None
+                ),
+                "rounds": rounds,
+                "eigenvalue": float(res.eigenvalue),
+                "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),
+                "chain_k": chain_k,
+            }
+            if not resolved:
+                row["below_resolution"] = True
+            rows.append(row)
     return rows
 
 
@@ -705,22 +732,24 @@ def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
         res = fn(jnp.ones((n,), jnp.float32))
         rounds = int(res.rounds)
 
-        dev_ms = time_marginal(
+        dev_ms, chain_k, resolved = _marginal_resolved(
             _operator_chain_step(fn, n), jnp.float32(0.0), k=32, reps=reps
         )
         want = fixtures.HILBERT_ROUNDS.get(n, rounds)
-        rows.append(
-            {
-                "bench": "operator",
-                "backend": "hankel_fft",
-                "dim": n,
-                "device_ms": dev_ms,
-                "ms_per_round": dev_ms / max(rounds, 1),
-                "rounds": rounds,
-                "eigenvalue": float(res.eigenvalue),
-                "rounds_ok": abs(rounds - want) <= 1,
-            }
-        )
+        row = {
+            "bench": "operator",
+            "backend": "hankel_fft",
+            "dim": n,
+            "device_ms": dev_ms,
+            "ms_per_round": dev_ms / max(rounds, 1) if resolved else None,
+            "rounds": rounds,
+            "eigenvalue": float(res.eigenvalue),
+            "rounds_ok": abs(rounds - want) <= 1,
+            "chain_k": chain_k,
+        }
+        if not resolved:
+            row["below_resolution"] = True
+        rows.append(row)
     # Kronecker operator: B ⊗ C at n = dim via two MXU matmuls — the
     # compute-dense operator rung (O(n·(p+q)) per round vs the FFT rows'
     # O(n log n) and the dense rows' O(n²)); factors are random-positive,
@@ -755,24 +784,29 @@ def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
         res = fnk(jnp.ones((n,), jnp.float32))
         rounds = int(res.rounds)
 
-        dev_ms = time_marginal(
+        # the 2-round large-λ kron solve is exactly the workload whose
+        # k=32 chain clamped to 0.0 in round 3 (operator_tpu_r3.jsonl) —
+        # _marginal_resolved escalates the chain until the diff resolves
+        dev_ms, chain_k, resolved = _marginal_resolved(
             _operator_chain_step(fnk, n), jnp.float32(0.0), k=32, reps=reps
         )
-        rows.append(
-            {
-                "bench": "operator",
-                "backend": f"kron_{p}x{q}",
-                "dim": n,
-                "device_ms": dev_ms,
-                "ms_per_round": dev_ms / max(rounds, 1),
-                "rounds": rounds,
-                "eigenvalue": float(res.eigenvalue),
-                "eps_mode": eps_mode,
-                # λ(B⊗C) = λ(B)·λ(C) within the method's eps
-                "rounds_ok": bool(res.converged)
-                and abs(float(res.eigenvalue) - lam_prod) <= 2e-3 * lam_prod,
-            }
-        )
+        row = {
+            "bench": "operator",
+            "backend": f"kron_{p}x{q}",
+            "dim": n,
+            "device_ms": dev_ms,
+            "ms_per_round": dev_ms / max(rounds, 1) if resolved else None,
+            "rounds": rounds,
+            "eigenvalue": float(res.eigenvalue),
+            "eps_mode": eps_mode,
+            # λ(B⊗C) = λ(B)·λ(C) within the method's eps
+            "rounds_ok": bool(res.converged)
+            and abs(float(res.eigenvalue) - lam_prod) <= 2e-3 * lam_prod,
+            "chain_k": chain_k,
+        }
+        if not resolved:
+            row["below_resolution"] = True
+        rows.append(row)
     # Sparse ELL operator: random nonnegative matrix with positive diagonal
     # (primitive ⇒ converges) and DEG off-diagonal entries per row, solved
     # through the padded-ELL gather matvec — O(n·DEG)/round, the
@@ -801,25 +835,27 @@ def bench_operator(dims: List[int] = MATRIX_DIMS, reps: int = 5) -> List[dict]:
         res = fns(jnp.ones((n,), jnp.float32))
         rounds = int(res.rounds)
 
-        dev_ms = time_marginal(
+        dev_ms, chain_k, resolved = _marginal_resolved(
             _operator_chain_step(fns, n), jnp.float32(0.0), k=32, reps=reps
         )
         lam = float(res.eigenvalue)
         resid = float(
             jnp.max(jnp.abs(mv(res.eigenvector) - res.eigenvalue * res.eigenvector))
         )
-        rows.append(
-            {
-                "bench": "operator",
-                "backend": f"sparse_ell_deg{DEG + 1}",
-                "dim": n,
-                "device_ms": dev_ms,
-                "ms_per_round": dev_ms / max(rounds, 1),
-                "rounds": rounds,
-                "eigenvalue": lam,
-                "rounds_ok": bool(res.converged) and resid <= 1e-2 * max(lam, 1.0),
-            }
-        )
+        row = {
+            "bench": "operator",
+            "backend": f"sparse_ell_deg{DEG + 1}",
+            "dim": n,
+            "device_ms": dev_ms,
+            "ms_per_round": dev_ms / max(rounds, 1) if resolved else None,
+            "rounds": rounds,
+            "eigenvalue": lam,
+            "rounds_ok": bool(res.converged) and resid <= 1e-2 * max(lam, 1.0),
+            "chain_k": chain_k,
+        }
+        if not resolved:
+            row["below_resolution"] = True
+        rows.append(row)
     # the dense production rows for the same dims, for the side-by-side
     rows += [
         dict(r, bench="operator")

@@ -105,18 +105,49 @@ def test_package_main_entry():
     assert "9 round(s)" in out.stdout
 
 
+def test_marginal_resolved_escalates_then_nulls():
+    """A step too fast for even the max chain to resolve must come back
+    as (None, max_k, False) — never a fabricated number; a resolvable
+    step must return a positive marginal (VERDICT r3 item 5)."""
+    import jax.numpy as jnp
+
+    # scalar add: ~ns per step, 4096 chained ≪ the 4 ms signal floor
+    fast = lambda i, s: s + jnp.float32(1.0)  # noqa: E731
+    ms, k, resolved = suite._marginal_resolved(
+        fast, jnp.float32(0.0), k=32, reps=1
+    )
+    assert ms is None and not resolved and k == 4096
+
+    # a 512³ matmul chain (~ms/step on CPU) resolves at the initial k
+    import jax
+
+    A = jax.random.uniform(jax.random.key(0), (512, 512), jnp.float32)
+
+    def step(i, s):
+        return (s @ A) * jnp.float32(1e-3) + jnp.float32(1.0)
+
+    ms, k, resolved = suite._marginal_resolved(
+        step, jnp.ones((512, 512), jnp.float32), k=32, reps=1
+    )
+    assert resolved and ms > 0
+
+
 def test_bench_operator_rows():
     rows = suite.bench_operator([256], reps=1)
     kinds = {r["backend"] for r in rows}
     assert kinds == {"hankel_fft", "kron_16x16", "sparse_ell_deg9", "matvec"}
     for r in rows:
         assert r["rounds_ok"], r
-        # EVERY 256² solve is ~µs-scale on CPU: any row's chained marginal
-        # can legitimately round to 0 under suite load (observed once for
-        # a non-kron row in a full parallel-suite run), so per-row we only
-        # require non-negative...
-        assert r["device_ms"] >= 0, r
+        # honored-or-null timing contract (VERDICT r3 item 5): a chained
+        # marginal beneath chain resolution — even after _marginal_resolved
+        # escalates the chain length — is reported as None with a
+        # below_resolution flag, NEVER committed as a fabricated 0.0.
+        if r["device_ms"] is None:
+            assert r.get("below_resolution") is True, r
+            assert r["ms_per_round"] is None, r
+        else:
+            assert r["device_ms"] > 0, r
         assert r["bench"] == "operator"
-    # ...but ALL rows reading 0 would mean the chain dependence is broken
+    # ALL rows unresolved would mean the chain dependence is broken
     # (the hoist bug class fixed in _e2e_chain_step) — keep that canary.
-    assert any(r["device_ms"] > 0 for r in rows), rows
+    assert any(r["device_ms"] for r in rows), rows
