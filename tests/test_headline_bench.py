@@ -350,6 +350,61 @@ def test_bench_py_end_to_end_cpu_with_extension():
     assert out.stderr.index("bf16 secondary") < out.stderr.index("window 2")
 
 
+@pytest.mark.slow
+def test_sigterm_mid_extension_record_keeps_bf16():
+    """VERDICT r3 item 1's done-criterion, simulated end-to-end: a worker
+    SIGTERM'd DURING the extension (the exact way round 3 lost its bf16
+    secondary) must still emit a record containing bf16_ms.  We run the
+    WORKER directly (BENCH_SUPERVISED=1, so no in-process supervisor
+    forwards/absorbs the signal), wait for the bf16 stderr marker that
+    proves base windows + secondary completed, then SIGTERM it."""
+    import signal as _signal
+    import subprocess
+    import sys
+    import time
+
+    from conftest import subprocess_env
+
+    proc = subprocess.Popen(
+        [sys.executable, str(Path(__file__).resolve().parent.parent / "bench.py")],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=subprocess_env(
+            BENCH_SUPERVISED="1",
+            BENCH_DEVICE="cpu",
+            BENCH_DIM="128",
+            BENCH_WINDOWS="2",
+            BENCH_WINDOW_GAP_S="8",  # wide gaps: plenty of room to TERM
+            BENCH_FAST_TARGET_MS="0",  # unreachable: extension guaranteed
+            BENCH_EXTEND_S="600",
+            BENCH_DEADLINE_S="600",
+        ),
+    )
+    # poll stderr until the bf16 marker, then TERM mid-extension (the
+    # 8 s inter-window sleep makes the timing deterministic enough)
+    import threading
+
+    lines = []
+    got_bf16 = threading.Event()
+
+    def drain():
+        for line in proc.stderr:
+            lines.append(line)
+            if "bf16 secondary" in line:
+                got_bf16.set()
+
+    th = threading.Thread(target=drain, daemon=True)
+    th.start()
+    assert got_bf16.wait(timeout=240), f"no bf16 marker; stderr: {lines[-5:]}"
+    time.sleep(2.0)  # let the extension loop enter its window gap
+    proc.send_signal(_signal.SIGTERM)
+    out, _ = proc.communicate(timeout=60)
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["bf16_ms"] > 0  # the round-3 loss mode, closed
+    assert len(rec["windows_ms"]) >= 2
+
+
 def test_supervise_retries_once_after_recovery(bench, monkeypatch, capsys):
     """First worker attempt yields no output, the probe reports recovery,
     the retry's output is forwarded verbatim."""

@@ -187,23 +187,33 @@ class TestCompiledShardedOnHardware:
         assert float(got.eigenvalue) == pytest.approx(2.44555, abs=1e-3)
 
 
-@pytest.mark.parametrize("n", [128, 512, 2048])
+@pytest.mark.parametrize("n", [96, 128, 512, 2048])
 def test_multiround_parity_on_hardware(n):
     """The round-3 multi-round kernel (bench.py's headline path) compiled
     on silicon: round parity, λ, convergence — at a chunk that splits the
-    round sequence mid-solve AND at the bench's exact-fit chunk."""
+    round sequence mid-solve AND at the bench's exact-fit chunk.
+
+    n=96 exercises the NON-lane-aligned fallback compiled by Mosaic
+    (8-aligned stripe, padded lane tiles for the roll/transpose — advisor
+    r3: it only ever ran in interpret mode); no parity-table entry exists
+    there, so the anchor is the single-round solver on the same device
+    with a ±1 round slack for the kernels' different f32 dot orders."""
     import jax.numpy as jnp
 
     from eigen_value_tpu.config import EPS, MAX_ITR
-    from eigen_value_tpu.ops.solver_matvec import solve_multiround
+    from eigen_value_tpu.ops.solver_matvec import solve_matvec, solve_multiround
 
     H = jax.device_put(np.asarray(fixtures.hilbert_matrix(n)), _tpu())
-    want = fixtures.HILBERT_ROUNDS[n]
+    if n in fixtures.HILBERT_ROUNDS:
+        want, slack = fixtures.HILBERT_ROUNDS[n], 0
+    else:
+        want = int(jax.block_until_ready(solve_matvec(H, EPS, MAX_ITR)).rounds)
+        slack = 1
     for chunk in (5, want + 1):
         res = jax.block_until_ready(
             solve_multiround(H, EPS, MAX_ITR, chunk=chunk)
         )
-        assert int(res.rounds) == want, (n, chunk)
+        assert abs(int(res.rounds) - want) <= slack, (n, chunk)
         assert bool(res.converged)
     vec = np.asarray(res.eigenvector)
     lam = float(res.eigenvalue)
@@ -380,10 +390,13 @@ class TestHardwarePerfGate:
         )
 
     def test_headline_chain_within_tolerance(self):
-        """Full-solve chained differencing (bench.py's exact measurement)
-        must stay under 8.0 ms — the recorded best is 6.55 ms and the
-        slow-state floor ~6.8; anything over 8 is a structural regression
-        (e.g. an extra O(n²) pass would land at ~9.8)."""
+        """Full-solve chained differencing over the MATVEC-LOOP backend
+        must stay under 8.0 ms — the production path for arbitrary dims
+        (the headline backend itself, multiround, has its own gate below:
+        test_multiround_headline_gate).  Recorded bests: 6.19 ms via
+        multiround (docs/bench/headline_r3.json), ~6.4 via this loop;
+        the slow-state 18-pass floor is ~6.4 — anything over 8 is a
+        structural regression (e.g. an extra O(n²) pass lands at ~9.8)."""
         import time as _time
 
         import jax.numpy as jnp
@@ -461,6 +474,145 @@ class TestHardwarePerfGate:
             f"headline chain {best:.2f} ms vs chip-state bound {bound:.2f} "
             f"(pass marginals {pass_before * 1e3:.0f}/{pass_after * 1e3:.0f} us)"
             f" — structural regression"
+        )
+
+    def test_multiround_headline_gate(self):
+        """The HEADLINE backend (bench.py: multiround kernel, exact-fit
+        chunk) gated chip-state-relative, plus the A/B invariant that
+        justifies its existence: multiround must not lose to the
+        matvec-loop chain, compared via PER-REP deltas (both arms run
+        inside each ~0.5 s rep, so the chip-state drift — minutes
+        timescale — cancels; independent per-arm minima do NOT cancel
+        it: a state flip during one arm's slot produced a sub-floor
+        5.70 ms artifact in the first dry run).  VERDICT r3 item 2:
+        until round 4 the only silicon perf gate chained the OLD loop
+        backend, so a Mosaic change stalling the multiround kernel's
+        block streaming failed no test.  Dry-run validated
+        (scratch/exp_multiround_gate_dryrun.{py,out}): an injected
+        streaming regression (block_rows=8 → inefficient DMAs, 8.66 ms
+        = +35%) fails the chip-state bound AND the A/B invariant in
+        every chip state; healthy multiround measures median(A−loop)
+        ≈ −0.10 ms.  (chunk=1 measures only ~+0.1 ms — round 3's
+        "~50 µs/round restart" was mostly chip-state lottery, so
+        per-invocation restart is NOT the regression class this gates.)
+
+        Also pins the auto routing on silicon: resolve_backend must pick
+        multiround at the flagship dim (VERDICT r3 item 4:
+        `max_eigenvalue(H_8192)` uses the backend bench.py measures)."""
+        import time as _time
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        from eigen_value_tpu import SolverConfig
+        from eigen_value_tpu.api import resolve_backend
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.device import matvec_blocks
+        from eigen_value_tpu.ops.pallas import kernels
+        from eigen_value_tpu.ops.solver_matvec import (
+            solve_matvec_loop,
+            solve_multiround,
+        )
+        from eigen_value_tpu.utils.timing import time_marginal
+
+        tpu = _tpu()
+        assert (
+            resolve_backend(SolverConfig(), self.DIM, device=tpu)
+            == "multiround"
+        )
+        H = jax.device_put(np.asarray(fixtures.hilbert_matrix(self.DIM)), tpu)
+        br, bc = matvec_blocks(self.DIM)
+        chunk = fixtures.HILBERT_ROUNDS[self.DIM] + 1  # bench.py's chunk
+
+        def chain_multiround(k):
+            @jax.jit
+            def run(H):
+                def body(i, acc):
+                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+                    ev0 = jnp.ones((self.DIM,), jnp.float32) * s
+                    return solve_multiround(
+                        H, EPS, MAX_ITR, chunk=chunk, ev0=ev0
+                    ).eigenvalue
+
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            return run
+
+        def chain_loop(k):
+            @jax.jit
+            def run(H):
+                def body(i, acc):
+                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+
+                    def matvec(ev):
+                        return kernels.matvec(
+                            H, ev, block_rows=br, block_cols=bc
+                        ) / ev
+
+                    ev0 = jnp.ones((self.DIM,), jnp.float32) * s
+                    return solve_matvec_loop(
+                        H, matvec, EPS, MAX_ITR, ev0=ev0
+                    ).eigenvalue
+
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            return run
+
+        mr_long, mr_short = chain_multiround(9), chain_multiround(1)
+        lp_long, lp_short = chain_loop(9), chain_loop(1)
+        for f in (mr_long, mr_short, lp_long, lp_short):
+            float(np.asarray(f(H)))  # compile + warm
+
+        def pass_step(i, s):
+            Hi, xi = s
+            return (Hi, kernels.matvec(Hi, xi, block_rows=br, block_cols=bc))
+
+        x = jax.device_put(np.ones(self.DIM, np.float32), tpu)
+        pass_before = time_marginal(pass_step, (H, x), k=64)
+        mr_ms, lp_ms = [], []
+        for _ in range(7):
+            # per-rep interleaving: each rep runs both arms back-to-back
+            # (~0.5 s total) so both see the same chip state
+            t0 = _time.perf_counter()
+            float(np.asarray(mr_long(H)))
+            tl = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            float(np.asarray(mr_short(H)))
+            ts = (_time.perf_counter() - t0) * 1e3
+            mr_ms.append((tl - ts) / 8)
+            t0 = _time.perf_counter()
+            float(np.asarray(lp_long(H)))
+            tl = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            float(np.asarray(lp_short(H)))
+            ts = (_time.perf_counter() - t0) * 1e3
+            lp_ms.append((tl - ts) / 8)
+        pass_after = time_marginal(pass_step, (H, x), k=64)
+        pass_ms = max(pass_before, pass_after)
+        best_mr = min(mr_ms)
+
+        # chip-state-relative bound, same math as the loop gate: 18
+        # passes × the same-run pass marginal × 10% + 0.25 ms fixed slack
+        bound = 18 * pass_ms * 1.10 + 0.25
+        assert best_mr < bound, (
+            f"multiround chain {best_mr:.2f} ms vs chip-state bound "
+            f"{bound:.2f} (pass marginals {pass_before * 1e3:.0f}/"
+            f"{pass_after * 1e3:.0f} us) — block-streaming regression"
+        )
+        assert best_mr < 8.0, f"multiround chain {best_mr:.2f} ms (> 8.0)"
+        # the A/B invariant via the MEDIAN of per-rep deltas: a real
+        # regression shifts every rep's delta (+2.3 ms for the injected
+        # block_rows=8, dry-run record) while chip-state drift and
+        # per-launch jitter (±0.4 ms/rep observed) average out; healthy
+        # runs measured medians of −0.10 and +0.04 ms, so 0.15 leaves
+        # ~2σ of margin against a false failure and ~15× against the
+        # injected regression.
+        deltas = sorted(m - l for m, l in zip(mr_ms, lp_ms))
+        med = (deltas[(len(deltas) - 1) // 2] + deltas[len(deltas) // 2]) / 2
+        assert med <= 0.15, (
+            f"multiround LOST to the matvec loop: median per-rep delta "
+            f"{med:+.3f} ms (multiround {mr_ms}, loop {lp_ms}) — its "
+            f"block streaming regressed"
         )
 
     def test_bf16_fast_mode_perf_gate(self):
