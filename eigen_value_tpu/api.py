@@ -61,6 +61,15 @@ def resolve_backend(
     to multiround: interpreting an HBM-scale multi-round grid is
     pathologically slow and the boundary is a hardware property.
 
+    OVERSHOOT CAVEAT (config.py `chunk` notes): the auto default
+    chunk=18 is the exact fit for the benchmark family's 17-round
+    flagship solve; an input converging much earlier still streams the
+    remainder of its final chunk (frozen compute, real DMA — up to
+    chunk−1 wasted O(n²) passes).  For workloads with known small round
+    counts at these dims, set ``chunk ≈ rounds + 1`` or force
+    ``backend="matvec_pallas"`` (which wastes nothing but pays a
+    per-round restart).
+
     ``device`` (when the solve is pinned, e.g. ``EigenValue(device=...)``)
     overrides the default-platform check: the backend must match where
     the computation actually runs, not the global default.
@@ -395,15 +404,22 @@ def _reject_unsupported(config: SolverConfig, entry: str, checks) -> None:
 
 
 def max_eigenvalue_batch(
-    mats: jax.Array, config: SolverConfig = DEFAULT_CONFIG
+    mats: jax.Array, config: SolverConfig = DEFAULT_CONFIG, mesh=None
 ) -> SolveResult:
     """Batched solves over ``mats`` of shape (B, n, n); result leaves carry
     a leading batch axis with per-matrix round counts (see
     parallel/batched.py for the masked-loop semantics).
 
+    ``mesh`` mirrors :func:`max_eigenvalue`'s one-argument door to
+    `parallel/`: a mesh with a ``"batch"`` axis shards the batch (DP-like,
+    solve_batched_sharded); a mesh with BOTH ``"batch"`` and ``"rows"``
+    axes also shards each matrix's rows (DP×TP composition,
+    solve_batched_rowsharded — BASELINE config 4's layout).
+
     Honors eps / max_itr / dtype / eps_mode / storage_dtype; the batched
-    body is the vmapped matvec-form solver, so any other backend choice
-    (and the Pallas tile knobs) is rejected rather than silently dropped.
+    bodies are the vmapped matvec-form solver, so any other backend
+    choice (and the Pallas tile knobs) is rejected rather than silently
+    dropped.
     """
     from .parallel.batched import solve_batched
 
@@ -435,6 +451,20 @@ def max_eigenvalue_batch(
         and mats.dtype == jnp.dtype(config.storage_dtype)
     ):
         mats = mats.astype(config.dtype)
+    if mesh is not None:
+        if "batch" not in mesh.shape:
+            raise ValueError(
+                f"a batched mesh needs a 'batch' axis — got axes "
+                f"{tuple(mesh.shape)}; build it with "
+                "Mesh(devs, ('batch',)) or make_mesh2d(pb, pr, 'batch', 'rows')"
+            )
+        if "rows" in mesh.shape:
+            from .parallel.sharded import solve_batched_rowsharded
+
+            return solve_batched_rowsharded(mats, mesh, config=config)
+        from .parallel.batched import solve_batched_sharded
+
+        return solve_batched_sharded(mats, mesh, config=config)
     return solve_batched(
         mats,
         config.eps,

@@ -50,6 +50,22 @@ def entry_batch(cfg):
     return max_eigenvalue_batch(As, cfg)
 
 
+def entry_batch_mesh(cfg):
+    import jax
+    from jax.sharding import Mesh
+
+    As = jnp.stack([fixtures.hilbert_matrix(N)] * 4)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("batch",))
+    return max_eigenvalue_batch(As, cfg, mesh=mesh)
+
+
+def entry_batch_mesh2d(cfg):
+    As = jnp.stack([fixtures.hilbert_matrix(N)] * 2)
+    return max_eigenvalue_batch(
+        As, cfg, mesh=make_mesh2d(2, 2, "batch", "rows")
+    )
+
+
 def entry_operator(cfg):
     H = fixtures.hilbert_matrix(N)
     return max_eigenvalue_operator(lambda x: H @ x, N, cfg)
@@ -60,6 +76,8 @@ ENTRIES = {
     "mesh1d": entry_mesh1d,
     "mesh2d": entry_mesh2d,
     "batch": entry_batch,
+    "batch_mesh": entry_batch_mesh,
+    "batch_mesh2d": entry_batch_mesh2d,
     "operator": entry_operator,
 }
 
@@ -123,7 +141,9 @@ MATRIX = [
 @pytest.mark.parametrize("entry", list(ENTRIES))
 def test_knob_honored_or_rejected(entry, knobs, expectations):
     cfg = SolverConfig(**knobs)
-    expect = expectations[entry]
+    # the mesh-batched entries share the plain batch contract (same
+    # vmapped matvec-form body, same rejections)
+    expect = expectations[entry if entry in expectations else "batch"]
     if expect == "raise":
         with pytest.raises(ValueError):
             ENTRIES[entry](cfg)
@@ -223,6 +243,34 @@ class TestNewlyThreadedSemantics:
         cfg = SolverConfig(max_itr=200, eps_mode="relative")
         got = solve_batched_sharded(As, mesh, config=cfg)
         assert bool(np.asarray(got.converged).all())
+
+    def test_batch_mesh_door_matches_unsharded(self, rng):
+        """The round-4 mesh door on max_eigenvalue_batch: both mesh
+        layouts (batch-sharded; batch×rows) must reproduce the unsharded
+        batched results per matrix, and a mesh without a batch axis must
+        raise."""
+        import jax
+        from jax.sharding import Mesh
+
+        As = jnp.asarray(rng.random((4, N, N), dtype=np.float32) + 0.1)
+        want = max_eigenvalue_batch(As)
+        mesh_b = Mesh(np.array(jax.devices("cpu")[:4]), ("batch",))
+        got = max_eigenvalue_batch(As, mesh=mesh_b)
+        np.testing.assert_array_equal(
+            np.asarray(got.rounds), np.asarray(want.rounds)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvalue), np.asarray(want.eigenvalue), rtol=1e-6
+        )
+        got2 = max_eigenvalue_batch(
+            As, mesh=make_mesh2d(2, 2, "batch", "rows")
+        )
+        assert bool(np.asarray(got2.converged).all())
+        np.testing.assert_allclose(
+            np.asarray(got2.eigenvalue), np.asarray(want.eigenvalue), rtol=1e-4
+        )
+        with pytest.raises(ValueError, match="batch"):
+            max_eigenvalue_batch(As, mesh=make_row_mesh(4))
 
     def test_multiround_block_rows_honored(self):
         """Advisor r3: an explicitly configured block_rows reached every
