@@ -150,31 +150,33 @@ def extension_budget(
 
 
 def classify_chip_state(device_ms, rounds, peak_gbps, dim=None):
-    """HBM state implied by one headline window, on the drift suite's
-    nameplate-relative thresholds (bench/suite.py): the chip drifts
-    between a ~745 GB/s and a ~930+ GB/s sustained state on a minutes
-    timescale, and a slow-state reading is a chip-state fact, not a
-    kernel regression — the record carries the classification so a
-    below-target value is self-explaining.  'fast' > 100% of nameplate
-    sustained (the genuine fast state reaches ~114%), 'mid' ≥ 94%,
-    'slow' below.  None when the peak is unknown (CPU test mode)."""
+    """HBM state implied by one headline window, via the SHARED
+    chip-state thresholds (utils/timing.classify_state_pct — the same
+    definition the drift suite's rows use, so the two records cross-read
+    exactly): the chip drifts between a ~745 GB/s and a ~930+ GB/s
+    sustained state on a minutes timescale, and a slow-state reading is
+    a chip-state fact, not a kernel regression — the record carries the
+    classification so a below-target value is self-explaining.  None
+    when the peak is unknown (CPU test mode)."""
+    from eigen_value_tpu.utils.timing import classify_state_pct
+
     n = DIM if dim is None else dim
     if not peak_gbps or peak_gbps != peak_gbps or device_ms <= 0:
         return None
     passes = rounds + 1  # initial row-sum + one matvec per round
     gbps = passes * n * n * 4 / (device_ms * 1e-3) / 1e9
-    pct = 100.0 * gbps / peak_gbps
-    return "fast" if pct > 100.0 else ("mid" if pct >= 94.0 else "slow")
+    return classify_state_pct(100.0 * gbps / peak_gbps)
 
 
 def _call_with_deadline(fn, seconds):
     """Run ``fn()`` on a daemon thread and give up after ``seconds``.
     SIGALRM cannot reliably interrupt a C call blocked on a wedged
     tunnel RPC, but a join can always stop waiting; the abandoned
-    thread stays blocked and is reaped at process exit (daemon).  If it
-    is instead merely slow, later device calls from the main thread may
-    interleave with its still-pending RPC — windows are min-of-reps, so
-    one polluted window cannot lower the record."""
+    thread stays blocked and is reaped at process exit (daemon).
+    CALLER CONTRACT: after a timeout the rogue thread may still be
+    issuing device RPCs, so no further timing windows may be sampled in
+    this process — main() skips the extension on a bf16 timeout (its
+    windows would read self-inflicted contention as chip state)."""
     result = {}
 
     def run():
@@ -249,15 +251,19 @@ def summarize(
             s: states.count(s) for s in ("slow", "mid", "fast") if s in states
         }
         if set(rec["chip_states"]) == {"slow"}:
+            from eigen_value_tpu.utils.timing import MID_STATE_PCT
+
             passes = rounds + 1
-            slow_floor = passes * DIM * DIM * 4 / (0.94 * peak_gbps * 1e6)
+            slow_floor = passes * DIM * DIM * 4 / (
+                MID_STATE_PCT / 100.0 * peak_gbps * 1e6
+            )
             rec["chip_state_note"] = (
                 f"all {len(states)} clean windows sat in the slow HBM "
-                f"state (<94% of the {peak_gbps:.0f} GB/s nameplate "
-                f"sustained); the {passes}-pass physical floor there is "
-                f"~{slow_floor:.2f} ms — readings at the fast-state "
-                f"target ({FAST_TARGET_MS} ms) need a mid/fast window "
-                "(chip-state drift, docs/BENCH_RESULTS.md)"
+                f"state (<{MID_STATE_PCT:.0f}% of the {peak_gbps:.0f} "
+                f"GB/s nameplate sustained); the {passes}-pass physical "
+                f"floor there is ~{slow_floor:.2f} ms — readings at the "
+                f"fast-state target ({FAST_TARGET_MS} ms) need a "
+                "mid/fast window (chip-state drift, docs/BENCH_RESULTS.md)"
             )
     if extra:
         rec.update(extra)
@@ -479,6 +485,7 @@ def main() -> None:
     # ``extra`` as-is).  One window; the headline windows are already
     # complete, so it displaces nothing.  Watchdogged: a wedged tunnel
     # must not block the record (advisor r3).
+    bf16_timed_out = False
     try:
         bf16_ms = _call_with_deadline(measure_bf16, BF16_DEADLINE_S)
         extra.update(
@@ -492,6 +499,19 @@ def main() -> None:
             }
         )
         print(f"bf16 secondary: {bf16_ms:.3f} ms/solve", file=sys.stderr)
+    except TimeoutError as e:
+        # The abandoned daemon thread is still blocked on (or issuing)
+        # device RPCs; extension windows sampled next to it would read
+        # self-inflicted contention and mislabel it as chip state — and
+        # a tunnel that can't finish one bf16 window in BF16_DEADLINE_S
+        # is too unhealthy for more sampling to help.  Keep the base
+        # record and say why (review finding, round 4).
+        bf16_timed_out = True
+        extra["bf16_note"] = (
+            f"bf16 secondary timed out ({e}); extension skipped — its "
+            "windows would race the abandoned bf16 RPCs"
+        )
+        print(f"WARNING: bf16 secondary timed out: {e}", file=sys.stderr)
     except Exception as e:  # pragma: no cover - diagnostic only
         print(f"WARNING: bf16 secondary metric failed: {e}", file=sys.stderr)
 
@@ -501,7 +521,7 @@ def main() -> None:
         EXTEND_BUDGET_S, DEADLINE_S, RESERVE_S, t_start - T_EXEC
     )
     w = WINDOWS
-    while WINDOWS > 1 and should_extend(
+    while WINDOWS > 1 and not bf16_timed_out and should_extend(
         windows, time.monotonic() - t_start, budget_s=budget_s,
         floor_ms=floor_ms,
     ):

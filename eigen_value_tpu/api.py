@@ -79,7 +79,11 @@ def resolve_backend(
     if pick_block(n, config.block_rows or 128) is None:
         return "matvec"  # unaligned dims (e.g. the 3×3 anchor): jnp matvec
     on_tpu = device.platform == "tpu" if device is not None else _on_tpu()
-    if on_tpu and n >= MULTIROUND_MIN_DIM:
+    # not config.interpret: forcing interpret mode (the CI sanitizer)
+    # must never route to an HBM-scale multi-round grid — see the
+    # docstring's invariant (found as a hole in review: on_tpu +
+    # interpret=True used to slip through to multiround)
+    if on_tpu and n >= MULTIROUND_MIN_DIM and not config.interpret:
         return "multiround"
     if on_tpu or config.interpret:
         return "matvec_pallas"
@@ -168,17 +172,22 @@ def _solve_fn(
                 f"interpret is a Pallas-mode knob; backend={config.backend!r} "
                 f"runs no Pallas kernel, so it would be silently dropped"
             )
-    if (
-        config.storage_dtype is not None
-        and backend in ("matvec", "matvec_pallas")
-        and (config.block_rows is not None or config.block_cols is not None)
-    ):
-        raise ValueError(
-            "block_rows/block_cols don't apply to the reduced-precision "
-            "storage path (it uses the XLA gemv, measured at the bf16 "
-            "roofline — solver_matvec.solve_matvec_storage); they would be "
-            "silently dropped"
-        )
+    if config.storage_dtype is not None and backend in ("matvec", "matvec_pallas"):
+        if config.block_rows is not None or config.block_cols is not None:
+            raise ValueError(
+                "block_rows/block_cols don't apply to the reduced-precision "
+                "storage path (it uses the XLA gemv, measured at the bf16 "
+                "roofline — solver_matvec.solve_matvec_storage); they would "
+                "be silently dropped"
+            )
+        if config.interpret is not None:
+            raise ValueError(
+                "interpret doesn't apply to the reduced-precision storage "
+                "path (the XLA gemv runs no Pallas kernel — "
+                "solver_matvec.solve_matvec_storage); it would be silently "
+                "dropped. The multiround backend honors storage_dtype AND "
+                "interpret together."
+            )
     block_rows, block_cols = _resolve_blocks(config, n, backend)
     if backend == "pallas":
         from .ops.solver_pallas import solve_pallas

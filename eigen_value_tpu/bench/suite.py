@@ -35,6 +35,7 @@ from ..ops.solver_matvec import (
 )
 from ..ops.solver_pallas import solve_pallas
 from ..utils.timing import (
+    classify_state_pct,
     detect_peak_hbm_gbps,
     roofline_pct,
     time_call,
@@ -1103,7 +1104,10 @@ def bench_drift(
         # drift_r2b.jsonl window 6).
         state = None
         if pct is not None and not suspect:
-            state = "fast" if pct > 100.0 else ("mid" if pct >= 94.0 else "slow")
+            # the ONE shared threshold definition (utils/timing.py) —
+            # the headline record (bench.py) classifies with the same
+            # function so the two artifacts cross-read exactly
+            state = classify_state_pct(pct)
         rows.append(
             {
                 "bench": "drift",

@@ -98,6 +98,27 @@ def roofline_pct(ms: float, bytes_moved: int, peak_gbps: float) -> float:
     return 100.0 * achieved / peak_gbps
 
 
+#: Chip-state boundaries, % of NAMEPLATE HBM bandwidth sustained — the
+#: ONE definition shared by the drift suite's per-window rows and the
+#: headline record's classification (bench.py), so retuning a boundary
+#: can never desynchronize records that are meant to be cross-read.
+#: The tunneled v5e drifts between a ~745 GB/s (slow, ~91%) and a
+#: ~930+ GB/s (fast, up to ~114% of nameplate — real, not an error)
+#: sustained state on a minutes timescale (docs/BENCH_RESULTS.md r2).
+FAST_STATE_PCT = 100.0
+MID_STATE_PCT = 94.0
+
+
+def classify_state_pct(pct) -> str | None:
+    """'fast' / 'mid' / 'slow' from a nameplate-relative sustained-HBM
+    percentage; None for unknown (NaN/None — e.g. CPU test mode)."""
+    if pct is None or pct != pct:
+        return None
+    if pct > FAST_STATE_PCT:
+        return "fast"
+    return "mid" if pct >= MID_STATE_PCT else "slow"
+
+
 def detect_peak_hbm_gbps() -> float:
     """Peak HBM bandwidth of the attached device (GB/s), by generation."""
     try:

@@ -158,10 +158,17 @@ def test_auto_picks_multiround_at_hbm_resident_dims():
     assert resolve_backend(cfg, 4096, device=tpu) == "matvec_pallas"
     # unaligned dims above the boundary still fall back to jnp
     assert resolve_backend(cfg, 8192 + 64, device=tpu) == "matvec"
-    # interpret mode (CI sanitizer) keeps the single-round kernel
+    # interpret mode (CI sanitizer) keeps the single-round kernel — ON
+    # TPU TOO (review round 4: on_tpu + interpret=True slipped through
+    # to multiround, whose HBM-scale grid is pathological to interpret)
     assert (
         resolve_backend(SolverConfig(backend="auto", interpret=True), 8192,
                         device=cpu)
+        == "matvec_pallas"
+    )
+    assert (
+        resolve_backend(SolverConfig(backend="auto", interpret=True), 8192,
+                        device=tpu)
         == "matvec_pallas"
     )
     # explicit backend always wins over the auto policy

@@ -130,6 +130,12 @@ MATRIX = [
     (dict(storage_dtype=jnp.bfloat16, backend="xla"),
      dict(single="raise", mesh1d="raise", mesh2d="raise", batch="raise",
           operator="raise")),
+    # review round 4: interpret was silently dropped on the storage path
+    # (solve_matvec_storage is a plain XLA gemv) while blocks on the
+    # identical path raised — now both raise.
+    (dict(storage_dtype=jnp.bfloat16, backend="matvec_pallas", interpret=True),
+     dict(single="raise", mesh1d="raise", mesh2d="raise", batch="raise",
+          operator="raise")),
 ]
 
 

@@ -351,6 +351,41 @@ def test_bench_py_end_to_end_cpu_with_extension():
 
 
 @pytest.mark.slow
+def test_bf16_timeout_skips_extension():
+    """A bf16 watchdog timeout must (a) still emit the base-window
+    record with a self-explaining note and (b) skip the extension —
+    the abandoned thread's RPCs would pollute every extension window
+    and mislabel self-inflicted contention as chip state (review
+    finding, round 4)."""
+    import subprocess
+    import sys
+
+    from conftest import subprocess_env
+
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve().parent.parent / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=subprocess_env(
+            BENCH_DEVICE="cpu",
+            BENCH_DIM="128",
+            BENCH_WINDOWS="2",
+            BENCH_WINDOW_GAP_S="0.1",
+            BENCH_FAST_TARGET_MS="0",  # would force extension...
+            BENCH_EXTEND_S="600",
+            BENCH_DEADLINE_S="240",
+            BENCH_BF16_DEADLINE_S="0.001",  # ...but bf16 times out first
+        ),
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(rec["windows_ms"]) == 2  # base only — no extension
+    assert "bf16_ms" not in rec
+    assert "timed out" in rec["bf16_note"]
+
+
+@pytest.mark.slow
 def test_sigterm_mid_extension_record_keeps_bf16():
     """VERDICT r3 item 1's done-criterion, simulated end-to-end: a worker
     SIGTERM'd DURING the extension (the exact way round 3 lost its bf16

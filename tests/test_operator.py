@@ -297,10 +297,16 @@ class TestSparseOperators:
         rows, cols, vals = self._random_sparse(rng, n, 4)  # 10⁶ nnz
         from eigen_value_tpu.ops.structured import ell_from_coo, ell_matvec
 
-        t0 = time.perf_counter()
-        ell_cols, ell_vals = ell_from_coo(rows, cols, vals, n)
-        pack_s = time.perf_counter() - t0
-        assert pack_s < 1.0, f"packing 10⁶ nnz took {pack_s:.2f}s"
+        # min-of-3: the single-shot wall raced transient host load and
+        # flaked twice on 2026-08-19/20 (measured 0.03-0.2 s nominal); a
+        # real regression to per-row Python packing is >10 s, so the
+        # bound still bites
+        pack_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ell_cols, ell_vals = ell_from_coo(rows, cols, vals, n)
+            pack_s = min(pack_s, time.perf_counter() - t0)
+        assert pack_s < 1.0, f"packing 10⁶ nnz took {pack_s:.2f}s (min of 3)"
         assert ell_cols.shape == ell_vals.shape and ell_cols.shape[0] == n
         # row sums through the packed layout == COO row sums
         got = np.asarray(ell_matvec(ell_cols, ell_vals)(jnp.ones((n,), jnp.float32)))
