@@ -619,8 +619,10 @@ class TestHardwarePerfGate:
         """bf16 storage halves HBM bytes: its pass marginal must stay
         ≤ 65% of the SAME-RUN f32 marginal (measured ~51%; a silent
         upcast or layout regression reads ~100%) and the bf16 headline
-        chain must stay under 4.8 ms (recorded 3.62; slow-state floor
-        ~3.5).  VERDICT r2 item 6."""
+        chain must stay under 4.8 ms (recorded best 3.27 via the
+        multiround storage path, headline quick run 2026-08-20;
+        slow-state floor ~3.2 for the 18 half-byte passes).  VERDICT r2
+        item 6."""
         import time as _time
 
         import jax.numpy as jnp
