@@ -159,6 +159,17 @@ def _solve_fn(
             f"backend is {backend!r} — it would be silently dropped. Use "
             f"backend='multiround' (or drop chunk)."
         )
+    if config.symmetric and backend != "multiround" and config.backend != "auto":
+        # Under "auto" the declaration is consumed by the resolution (the
+        # dense backends win below the HBM-residency boundary and results
+        # are identical — config.symmetric docs); an EXPLICIT other
+        # backend has no symmetric form, so the knob would be a silent drop.
+        raise ValueError(
+            f"symmetric=True is implemented by the multiround backend only "
+            f"(the upper-triangle kernel, ops/pallas/kernels.multiround_sym); "
+            f"backend={config.backend!r} would silently stream the full "
+            f"matrix. Use backend='multiround' or 'auto'."
+        )
     explicit_non_pallas = config.backend in ("xla", "matvec")
     if explicit_non_pallas:
         if config.block_rows is not None or config.block_cols is not None:
@@ -222,7 +233,27 @@ def _solve_fn(
         from .ops.solver_matvec import solve_multiround
 
         kw = {}
-        if config.block_rows is not None:
+        if config.symmetric:
+            from .ops.pallas.kernels import sym_tile
+
+            tile = config.block_rows or 512
+            if (
+                config.backend == "auto"
+                and n is not None
+                and sym_tile(n, tile) is None
+            ):
+                # auto consumed the declaration but the dim admits no
+                # 128-aligned square tile — the dense multiround kernel
+                # keeps the job (identical results, full traffic)
+                if config.block_rows is not None:
+                    kw["block_rows"] = config.block_rows
+            else:
+                # block_rows doubles as the square tile edge here (the
+                # triangle kernel has no rectangular stripes); explicit
+                # values are honored, 512 is the measured default
+                kw["symmetric"] = True
+                kw["tile"] = tile
+        elif config.block_rows is not None:
             # honor an explicitly configured stripe height (advisor r3:
             # it was silently dropped for this backend only); the kernel
             # default (256) is the measured-best otherwise.
@@ -319,6 +350,14 @@ def max_eigenvalue(
                     f"{knob}={getattr(config, knob)} is not supported on "
                     f"the mesh path — {why}; it would be silently dropped"
                 )
+        if config.symmetric:
+            raise ValueError(
+                "symmetric=True has no sharded form (the upper-triangle "
+                "kernel is single-chip — its round state lives in one "
+                "chip's VMEM scratch; the sharded solvers stream full row "
+                "blocks); it would be silently dropped. Solve single-chip "
+                "or drop the declaration."
+            )
         is_2d = "cols" in mesh.shape
         use_pallas = None
         if config.backend == "multiround":
@@ -384,6 +423,15 @@ def max_eigenvalue(
         mat = mat.astype(config.dtype)
     if validate and not bool(jnp.all(mat > 0)):
         raise ValueError("similarity-transform method requires all entries > 0")
+    if validate and config.symmetric and not bool(jnp.all(mat == mat.T)):
+        # the declaration is a promise (BLAS-symv semantics); check it on
+        # device only when asked — bitwise, because the triangle kernel
+        # substitutes A[i,j] for A[j,i] exactly
+        raise ValueError(
+            "symmetric=True declared but the matrix is not bitwise "
+            "symmetric (mat != mat.T); the upper-triangle kernel would "
+            "compute a wrong answer"
+        )
     return _solve_fn(config, backend, mat.shape[0])(mat)
 
 
@@ -448,6 +496,9 @@ def max_eigenvalue_batch(
              "the multiround kernel has no batched form"),
             ("interpret", config.interpret is None,
              "the batched body runs no Pallas kernel"),
+            ("symmetric", not config.symmetric,
+             "the upper-triangle kernel has no batched form; the batched "
+             "gemv streams full matrices"),
         ),
     )
     mats = jnp.asarray(mats)
@@ -530,6 +581,9 @@ def max_eigenvalue_operator(
              "the multiround kernel needs a materialized matrix"),
             ("interpret", config.interpret is None,
              "no Pallas kernel runs on the operator path"),
+            ("symmetric", not config.symmetric,
+             "a matrix-free solve observes A only through matvec — "
+             "exploiting symmetry belongs inside the caller's matvec"),
         ),
     )
     return solve_operator(

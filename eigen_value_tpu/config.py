@@ -102,6 +102,19 @@ class SolverConfig:
     #: stream, so oversize chunks waste DMA.  Semantics never change —
     #: the stop is checked every round regardless (solve_multiround).
     chunk: Optional[int] = None
+    #: DECLARES the matrix symmetric (the caller's promise, like a BLAS
+    #: ``symv`` — nothing is checked unless the entry point's ``validate``
+    #: flag is set; a lie gives a wrong answer).  Implemented by the
+    #: multiround backend: each round streams only the upper-triangle
+    #: tiles of A — ~half the HBM traffic of the memory-bound solve
+    #: (ops/pallas/kernels.multiround_sym).  A property DECLARATION, not a
+    #: backend request: under backend="auto" the resolution consumes it —
+    #: the triangle kernel is picked where it wins (real TPU, sym-tileable
+    #: dim at/above the HBM-residency boundary) and the dense backends
+    #: keep the job elsewhere (declaring symmetry never changes results,
+    #: only traffic).  An EXPLICIT backend other than "multiround" rejects
+    #: it (no symmetric form — it would be silently dropped).
+    symmetric: bool = False
 
     def __post_init__(self) -> None:
         if self.backend not in (

@@ -676,6 +676,318 @@ def multiround(
     return evn[0, :], vn[0, :], adv[0, 0], lamn[0, 0]
 
 
+def _multiround_sym_kernel(
+    ti_ref,
+    tj_ref,
+    ev_in,
+    v_in,
+    lam_in,
+    budget_in,
+    a_ref,
+    ev_out,
+    v_out,
+    adv_out,
+    lam_out,
+    ev_s,
+    evcol_s,
+    vrow_s,
+    rawrow_s,
+    rawcol_s,
+    done_s,
+    adv_s,
+    lam_s,
+    *,
+    eps,
+    init,
+    eps_mode,
+    formulation,
+):
+    r = pl.program_id(0)  # round within the chunk (outermost)
+    t = pl.program_id(1)  # upper-triangle tile index
+    k, T = pl.num_programs(0), pl.num_programs(1)
+    n = ev_s.shape[1]
+    bt = a_ref.shape[0]
+    i, j = ti_ref[t], tj_ref[t]
+
+    @pl.when((r == 0) & (t == 0))
+    def _():
+        ev_s[...] = ev_in[...]
+        vrow_s[...] = v_in[...]
+        done_s[0] = 0
+        adv_s[0] = 0
+        lam_s[0] = lam_in[0, 0]
+
+    # Round prologue (once per round): finish the previous round's
+    # division, run the stop check / λ snapshot / max / eigenvector
+    # update (expressions match _multiround_kernel bit-for-bit), then
+    # zero this round's triangle accumulators.
+    @pl.when(t == 0)
+    def _():
+        active = done_s[0] == 0
+
+        @pl.when((r != 0) & active)
+        def _():
+            raw = (
+                rawrow_s[...]
+                if formulation == "dot"
+                else rawrow_s[...] + jnp.transpose(rawcol_s[...])
+            )
+            vrow_s[...] = raw / ev_s[...]
+
+        check = (active & (r != 0)) if init else active
+        v = vrow_s[...]
+        e = jnp.asarray(eps, v.dtype)
+        if eps_mode == "relative":
+            e = e * jnp.max(jnp.abs(v))
+        nbr = pltpu.roll(v, shift=n - 1, axis=1)
+        fired = jnp.all(jnp.abs(v - nbr) < e)
+        halt = fired | (adv_s[0] >= budget_in[0, 0])
+
+        @pl.when(check & halt)
+        def _():
+            done_s[0] = 1
+
+        @pl.when(check & jnp.logical_not(halt))
+        def _():
+            lam_s[0] = v[0, 0]
+            m = jnp.max(v)
+            ev_s[...] = ev_s[...] * (v / m)
+            adv_s[0] = adv_s[0] + 1
+
+        rawrow_s[...] = jnp.zeros_like(rawrow_s)
+        if formulation == "vpu":
+            rawcol_s[...] = jnp.zeros_like(rawcol_s)
+            evcol_s[...] = jnp.transpose(ev_s[...])
+
+    # The symmetric matvec: tile (i, j) of the UPPER triangle contributes
+    # rows i_blk directly and — off-diagonal — rows j_blk through its
+    # transpose (A[jc, ir] == A[ir, jc]).  Runs unconditionally after
+    # convergence (frozen rounds stream + recompute, values discarded) —
+    # same rationale as _multiround_kernel's hot path.
+    tile = a_ref[...].astype(ev_s.dtype)
+    if formulation == "dot":
+        part_i = jax.lax.dot_general(
+            ev_s[:, pl.ds(j * bt, bt)],
+            tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rawrow_s[:, pl.ds(i * bt, bt)] += part_i
+
+        @pl.when(i != j)
+        def _():
+            part_j = jax.lax.dot_general(
+                ev_s[:, pl.ds(i * bt, bt)],
+                tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rawrow_s[:, pl.ds(j * bt, bt)] += part_j
+    else:
+        part_i = jnp.sum(
+            tile * ev_s[:, pl.ds(j * bt, bt)], axis=1, keepdims=True
+        )
+        rawcol_s[pl.ds(i * bt, bt), :] += part_i
+
+        @pl.when(i != j)
+        def _():
+            part_j = jnp.sum(
+                tile * evcol_s[pl.ds(i * bt, bt), :], axis=0, keepdims=True
+            )
+            rawrow_s[:, pl.ds(j * bt, bt)] += part_j
+
+    @pl.when((r == k - 1) & (t == T - 1))
+    def _():
+        d = done_s[0] == 1
+        ev_out[...] = ev_s[...]
+        raw = (
+            rawrow_s[...]
+            if formulation == "dot"
+            else rawrow_s[...] + jnp.transpose(rawcol_s[...])
+        )
+        v_out[...] = jnp.where(d, vrow_s[...], raw / ev_s[...])
+        adv_out[0, 0] = adv_s[0]
+        lam_out[0, 0] = lam_s[0]
+
+
+def sym_tile(n: int, tile: int = 512) -> int | None:
+    """Largest square tile edge ≤ ``tile`` that divides ``n`` and is a
+    multiple of 128 (the f32 lane width — both the lane-offset writes
+    into the (1, n) accumulator and the A tile itself need it).  None if
+    the dim admits no such tile (callers fall back to the dense path)."""
+    top = min(tile, n) // 128 * 128
+    return next((b for b in range(top, 127, -128) if n % b == 0), None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "init", "eps", "eps_mode", "tile", "interpret",
+        "formulation",
+    ),
+)
+def multiround_sym(
+    A: jax.Array,
+    ev: jax.Array,
+    v: jax.Array,
+    lam: jax.Array,
+    budget: jax.Array,
+    *,
+    chunk: int,
+    eps: float,
+    init: bool = False,
+    eps_mode: str = "absolute",
+    tile: int = 512,
+    interpret: bool = False,
+    formulation: str = "vpu",
+):
+    """:func:`multiround` for a SYMMETRIC matrix: each round reads only
+    the ``g(g+1)/2`` upper-triangle tiles of A — ~HALF the HBM traffic of
+    the dense kernel, which is the entire cost of this memory-bound solve
+    (the round-4 rung of the optimization ladder).
+
+    Correctness rests on the power-form algebra (solver_matvec.py): every
+    round multiplies by the ORIGINAL A, and for symmetric A the matvec
+    needs each off-diagonal tile only once —
+
+        raw[i_blk] += T    @ ev[j_blk]      (rows i of A)
+        raw[j_blk] += T^T  @ ev[i_blk]      (rows j of A, by symmetry)
+
+    with diagonal tiles contributing the plain row term.  The reference
+    has no symmetric path (its kernels always stream the full matrix,
+    similarity_transform.cpp:77-152) — this is the TPU-native analog of a
+    BLAS ``symv`` fast path, reachable via ``SolverConfig(symmetric=True)``.
+    The caller DECLARES symmetry; nothing is checked here (api-level
+    ``validate=True`` checks it on device).
+
+    The tile order is enumerated by scalar-prefetch index arrays, so the
+    grid has exactly ``chunk · g(g+1)/2`` steps — no masked iterations, no
+    wasted DMA.  Diagonal tiles are streamed whole (their lower halves are
+    the only excess traffic: ½·n·bt elements per round, ≤ 6.3% at the
+    default tile=512, 8192²).  Prologue/freeze/chunk semantics are
+    bit-identical in structure to :func:`multiround`; the reduction order
+    differs from every dense formulation, so round-count parity is
+    asserted by tests at every benchmark dim (as with every tile-shape
+    change, it held).
+
+    Formulations: "vpu" (broadcast-multiply + lane reduce for the row
+    term, sublane reduce for the transpose term; two accumulators merged
+    once per round) and "dot" (MXU ``dot_general`` at HIGHEST for both
+    terms, single lane-space accumulator).
+    """
+    n, ncols = A.shape
+    assert n == ncols, (n, ncols)
+    assert formulation in ("dot", "vpu"), formulation
+    bt = sym_tile(n, tile)
+    if bt is None:
+        raise ValueError(
+            f"dim {n} admits no 128-aligned square tile for the symmetric "
+            f"kernel (need a divisor of n that is a multiple of 128); use "
+            f"the dense multiround kernel"
+        )
+    g = n // bt
+    tri = [(i, j) for i in range(g) for j in range(i, g)]
+    ti = jnp.asarray([i for i, _ in tri], jnp.int32)
+    tj = jnp.asarray([j for _, j in tri], jnp.int32)
+
+    state_dt = ev.dtype  # f32 even when A is reduced-precision STORAGE
+    lam_arr = jnp.asarray(lam, state_dt).reshape(1, 1)
+    budget_arr = jnp.asarray(budget, jnp.int32).reshape(1, 1)
+
+    scratch = [
+        pltpu.VMEM((1, n), state_dt),  # ev
+        # evcol/rawcol exist only for the vpu formulation; Mosaic allocates
+        # nothing for refs the kernel never touches, but the arity is fixed
+        pltpu.VMEM((n, 1), state_dt),  # ev in column layout
+        pltpu.VMEM((1, n), state_dt),  # v (divided, stop-checked)
+        pltpu.VMEM((1, n), state_dt),  # raw accumulator (lane layout)
+        pltpu.VMEM((n, 1), state_dt),  # raw accumulator (column layout)
+        pltpu.SMEM((1,), jnp.int32),  # done
+        pltpu.SMEM((1,), jnp.int32),  # rounds advanced
+        pltpu.SMEM((1,), state_dt),  # λ snapshot
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(chunk, len(tri)),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (bt, bt),
+                lambda r, t, ti, tj: (ti[t], tj[t]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, n), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        scratch_shapes=scratch,
+    )
+    evn, vn, adv, lamn = pl.pallas_call(
+        functools.partial(
+            _multiround_sym_kernel,
+            eps=float(eps),
+            init=init,
+            eps_mode=eps_mode,
+            formulation=formulation,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), state_dt),
+            jax.ShapeDtypeStruct((1, n), state_dt),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), state_dt),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * chunk * n * n,
+            bytes_accessed=chunk * len(tri) * bt * bt * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        # Double-buffered (bt, bt) tiles (2.5× the pair — Mosaic's
+        # measured ~18% stack overhead, as in multiround) + 4 MiB for the
+        # O(n) lane-space state.  The vpu formulation's two COLUMN-layout
+        # (n, 1) scratches are physically lane-padded to (n, 128) —
+        # n·128·itemsize each (measured: 8.03 MiB scoped at 8192² f32,
+        # the round-4 OOM) — so they get their own explicit term.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(
+                5 * bt * bt * A.dtype.itemsize // 2
+                + (
+                    2 * n * 128 * jnp.dtype(state_dt).itemsize
+                    if formulation == "vpu"
+                    else 0
+                )
+                + (4 << 20)
+            ),
+        ),
+        interpret=interpret,
+    )(ti, tj, ev[None, :], v[None, :], lam_arr, budget_arr, A)
+    return evn[0, :], vn[0, :], adv[0, 0], lamn[0, 0]
+
+
 def _round_fused_kernel(
     a_ref,
     evrow_ref,

@@ -323,7 +323,7 @@ def solve_matvec_storage(
     jax.jit,
     static_argnames=(
         "eps", "max_itr", "chunk", "block_rows", "interpret", "eps_mode",
-        "formulation", "storage_dtype",
+        "formulation", "storage_dtype", "symmetric", "tile",
     ),
 )
 def solve_multiround(
@@ -337,6 +337,8 @@ def solve_multiround(
     eps_mode: str = "absolute",
     formulation: str = "vpu",
     storage_dtype=None,
+    symmetric: bool = False,
+    tile: int = 512,
 ) -> SolveResult:
     """Matvec-form solve where up to ``chunk`` ROUNDS run per Pallas
     invocation (:func:`..pallas.kernels.multiround`) — the round-3 attack
@@ -358,6 +360,17 @@ def solve_multiround(
     solve converging at round c wastes ``(-c-1) mod chunk`` DMA passes.
     Size it to the workload's known round count + 1 when available
     (HILBERT_ROUNDS); the default matches the flagship 17-round solve.
+
+    ``symmetric=True`` DECLARES A symmetric and switches to the
+    upper-triangle kernel (:func:`..pallas.kernels.multiround_sym`):
+    each round streams only the ``g(g+1)/2`` square ``tile``-edge blocks
+    on or above the diagonal — ~half the HBM traffic, which is the whole
+    cost of this memory-bound solve.  Nothing is checked here (api-level
+    ``validate`` can check on device); a non-symmetric A gives a wrong
+    answer, exactly like lying to a BLAS ``symv``.  ``tile`` must admit a
+    128-aligned square divisor of n (``kernels.sym_tile``); round-count
+    parity at the benchmark dims is asserted by tests (different f32
+    reduction order than every dense formulation).
     """
     from .pallas import kernels
 
@@ -379,11 +392,16 @@ def solve_multiround(
         chunk=chunk,
         eps=eps,
         eps_mode=eps_mode,
-        block_rows=block_rows,
         interpret=interpret,
         formulation=formulation,
     )
-    ev, v, adv, lam = kernels.multiround(
+    if symmetric:
+        kernel = kernels.multiround_sym
+        kw["tile"] = tile
+    else:
+        kernel = kernels.multiround
+        kw["block_rows"] = block_rows
+    ev, v, adv, lam = kernel(
         A, ev0, ev0, jnp.asarray(0.0, dtype), max_itr, init=True, **kw
     )
     init = _Carry(ev, v, lam, adv)
@@ -392,7 +410,7 @@ def solve_multiround(
         return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps, eps_mode))
 
     def body(c: _Carry) -> _Carry:
-        ev, v, adv, lam = kernels.multiround(
+        ev, v, adv, lam = kernel(
             A, c.ev, c.v, c.lam, max_itr - c.i, init=False, **kw
         )
         return _Carry(ev, v, lam, c.i + adv)

@@ -136,6 +136,20 @@ MATRIX = [
     (dict(storage_dtype=jnp.bfloat16, backend="matvec_pallas", interpret=True),
      dict(single="raise", mesh1d="raise", mesh2d="raise", batch="raise",
           operator="raise")),
+    # symmetric is a property DECLARATION: "auto" consumes it (the dense
+    # backends keep the job off-TPU — identical results, config.py), the
+    # explicit multiround backend honors it (upper-triangle kernel), any
+    # other explicit backend and the sharded/batch/operator entries have
+    # no symmetric form and must raise.
+    (dict(symmetric=True),
+     dict(single="ok", mesh1d="raise", mesh2d="raise", batch="raise",
+          operator="raise")),
+    (dict(symmetric=True, backend="multiround", interpret=True),
+     dict(single="ok", mesh1d="raise", mesh2d="raise", batch="raise",
+          operator="raise")),
+    (dict(symmetric=True, backend="matvec"),
+     dict(single="raise", mesh1d="raise", mesh2d="raise", batch="raise",
+          operator="raise")),
 ]
 
 

@@ -1,0 +1,268 @@
+"""Symmetric (upper-triangle) multiround kernel
+(kernels.multiround_sym / solve_multiround(symmetric=True)).
+
+The round-4 headline rung: for a SYMMETRIC matrix each round streams only
+the g(g+1)/2 tiles on or above the diagonal — ~half the HBM traffic of
+the memory-bound solve.  Semantics must match the dense multiround kernel
+exactly (same prologue/freeze/chunk structure; different f32 reduction
+order, so parity is round-count + λ-tolerance, while chunking WITHIN the
+symmetric kernel stays bit-exact).  tests/test_tpu_hw.py re-pins parity
+and the traffic win on silicon.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eigen_value_tpu import SolverConfig, max_eigenvalue, fixtures
+from eigen_value_tpu.config import EPS, MAX_ITR
+from eigen_value_tpu.ops.pallas.kernels import sym_tile
+from eigen_value_tpu.ops.solver_matvec import (
+    solve_matvec,
+    solve_multiround,
+)
+
+
+def _sym(n: int, seed: int = 3, scale: float = 1.0) -> jnp.ndarray:
+    """A random symmetric matrix with all entries > 0."""
+    r = np.random.default_rng(seed).random((n, n), np.float32) + 0.1
+    return jnp.asarray((r + r.T) * scale)
+
+
+def _solve_sym(A, chunk=18, tile=128, **kw):
+    return solve_multiround(
+        A, EPS, MAX_ITR, chunk=chunk, interpret=True, symmetric=True,
+        tile=tile, **kw,
+    )
+
+
+class TestSymTile:
+    def test_picks_largest_dividing_multiple_of_128(self):
+        assert sym_tile(8192) == 512
+        assert sym_tile(8192, tile=1024) == 1024
+        assert sym_tile(1024, tile=512) == 512
+        assert sym_tile(128 * 5) == 128  # 640: only 128 divides
+        assert sym_tile(384) == 384  # min(512, n) rounds down to 384
+
+    def test_none_when_unalignable(self):
+        assert sym_tile(96) is None  # below one lane tile
+        assert sym_tile(3) is None
+        assert sym_tile(8192 + 8) is None  # 8200 has no 128-mult divisor
+
+
+@pytest.mark.parametrize("n", [128, 256, 512])
+def test_round_parity_vs_parity_table(n):
+    """Hilbert round counts must match HILBERT_ROUNDS (the reference
+    parity invariant) despite the triangle reduction order."""
+    H = fixtures.hilbert_matrix(n)
+    want = solve_matvec(H, EPS, MAX_ITR)
+    got = _solve_sym(H)
+    assert int(got.rounds) == fixtures.HILBERT_ROUNDS[n]
+    assert bool(got.converged)
+    assert float(got.eigenvalue) == pytest.approx(
+        float(want.eigenvalue), rel=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.eigenvector), np.asarray(want.eigenvector), rtol=1e-4
+    )
+
+
+def test_multiple_tiles_per_side_and_dot_formulation():
+    """n = 512 with tile=128 exercises 4×4 triangle tiling (10 tiles,
+    6 off-diagonal) in both formulations."""
+    H = fixtures.hilbert_matrix(512)
+    want = solve_matvec(H, EPS, MAX_ITR)
+    for form in ("vpu", "dot"):
+        got = _solve_sym(H, formulation=form)
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[512], form
+        assert float(got.eigenvalue) == pytest.approx(
+            float(want.eigenvalue), rel=1e-5
+        ), form
+
+
+@pytest.mark.parametrize("chunk", [1, 2, 5, 16, 40])
+def test_chunk_boundaries_are_invisible(chunk):
+    """Chunking the symmetric round sequence is bit-invisible (the same
+    freeze-at-convergence argument as the dense kernel)."""
+    H = fixtures.hilbert_matrix(256)
+    want = _solve_sym(H, chunk=18)
+    got = _solve_sym(H, chunk=chunk)
+    assert int(got.rounds) == int(want.rounds)
+    assert float(got.eigenvalue) == float(want.eigenvalue)
+    np.testing.assert_array_equal(
+        np.asarray(got.eigenvector), np.asarray(want.eigenvector)
+    )
+
+
+@pytest.mark.parametrize("cap", [0, 1, 9, 10])
+def test_cap_exhaustion(cap):
+    """rounds == cap, converged False, λ = last checked round's v[0] —
+    same cap semantics as the production loop."""
+    H = fixtures.hilbert_matrix(256)
+    want = solve_multiround(
+        H, EPS, cap, chunk=50, interpret=True, symmetric=True, tile=128
+    )
+    got = solve_multiround(
+        H, EPS, cap, chunk=4, interpret=True, symmetric=True, tile=128
+    )
+    assert int(got.rounds) == int(want.rounds) == min(
+        cap, fixtures.HILBERT_ROUNDS[256]
+    )
+    assert bool(got.converged) == bool(want.converged) == (
+        cap > fixtures.HILBERT_ROUNDS[256]
+    )
+    assert float(got.eigenvalue) == float(want.eigenvalue)
+
+
+def _below_block_diagonal(n: int, bt: int) -> jnp.ndarray:
+    """Mask of entries in tiles strictly below the block diagonal — the
+    part of A the triangle kernel NEVER reads (diagonal tiles stream
+    whole: their intra-tile lower halves feed the row term, so they must
+    themselves be symmetric — kernels.multiround_sym docstring)."""
+    blk = jnp.arange(n) // bt
+    return (blk[:, None] > blk[None, :]).astype(jnp.float32)
+
+
+def test_only_the_upper_block_triangle_is_read():
+    """THE defining property: corrupt every tile strictly below the block
+    diagonal of a symmetric matrix — the symmetric solve must not notice
+    (bit-identical result), proof those tiles are never streamed."""
+    A = _sym(256)
+    corrupted = jnp.where(
+        _below_block_diagonal(256, 128) > 0, jnp.float32(7.25), A
+    )
+    want = _solve_sym(A)
+    got = _solve_sym(corrupted)
+    assert int(got.rounds) == int(want.rounds)
+    assert float(got.eigenvalue) == float(want.eigenvalue)
+    np.testing.assert_array_equal(
+        np.asarray(got.eigenvector), np.asarray(want.eigenvector)
+    )
+
+
+def test_relative_eps_mode():
+    """eps_mode='relative' reaches the triangle prologue's stop."""
+    A = _sym(128, scale=1e5)
+    want = solve_matvec(A, EPS, MAX_ITR, eps_mode="relative")
+    got = _solve_sym(A, eps_mode="relative")
+    assert int(got.rounds) == int(want.rounds)
+    assert bool(got.converged)
+    assert float(got.eigenvalue) == pytest.approx(
+        float(want.eigenvalue), rel=1e-5
+    )
+
+
+def test_bf16_storage():
+    """Reduced-precision STORAGE composes: bf16 triangle tiles, f32
+    state — same contract as the dense kernel's storage mode."""
+    H = fixtures.hilbert_matrix(256)
+    want = solve_multiround(
+        H, EPS, MAX_ITR, chunk=12, interpret=True,
+        storage_dtype=jnp.bfloat16,
+    )
+    got = solve_multiround(
+        H, EPS, MAX_ITR, chunk=12, interpret=True, symmetric=True,
+        tile=128, storage_dtype=jnp.bfloat16,
+    )
+    assert abs(int(got.rounds) - int(want.rounds)) <= 1
+    assert bool(got.converged)
+    assert float(got.eigenvalue) == pytest.approx(
+        float(want.eigenvalue), rel=2e-3
+    )
+    assert got.eigenvalue.dtype == jnp.float32
+
+
+def test_unalignable_dim_raises():
+    H = fixtures.hilbert_matrix(96)
+    with pytest.raises(ValueError, match="square tile"):
+        solve_multiround(
+            H, EPS, MAX_ITR, chunk=4, interpret=True, symmetric=True
+        )
+
+
+class TestConfigRouting:
+    """The honored-or-rejected contract for the ``symmetric`` knob."""
+
+    def test_explicit_multiround_backend_uses_triangle(self):
+        """Via the public config, a below-block-diagonal corruption is
+        invisible — proof the triangle kernel (not the dense one) ran."""
+        A = _sym(256)
+        corrupted = jnp.where(
+            _below_block_diagonal(256, 128) > 0, jnp.float32(9.5), A
+        )
+        cfg = SolverConfig(
+            backend="multiround", symmetric=True, interpret=True,
+            block_rows=128,
+        )
+        want = max_eigenvalue(A, cfg)
+        got = max_eigenvalue(corrupted, cfg)
+        assert float(got.eigenvalue) == float(want.eigenvalue)
+        assert int(got.rounds) == int(want.rounds)
+
+    def test_block_rows_is_the_tile_edge(self):
+        """block_rows=128 must reach the kernel as tile=128 (the only
+        tile that divides 384 is 384 itself or 128)."""
+        H = fixtures.hilbert_matrix(384)
+        res = max_eigenvalue(
+            H,
+            SolverConfig(
+                backend="multiround", symmetric=True, interpret=True,
+                block_rows=128,
+            ),
+        )
+        assert bool(res.converged)
+
+    def test_auto_consumes_the_declaration_on_cpu(self):
+        """Under backend='auto' off-TPU the dense backends win; declaring
+        symmetry must neither raise nor change the answer."""
+        H = fixtures.hilbert_matrix(256)
+        want = max_eigenvalue(H)
+        got = max_eigenvalue(H, SolverConfig(symmetric=True))
+        assert float(got.eigenvalue) == float(want.eigenvalue)
+        assert int(got.rounds) == int(want.rounds)
+
+    def test_explicit_other_backend_rejects(self):
+        H = fixtures.hilbert_matrix(128)
+        for backend in ("matvec", "matvec_pallas", "xla", "pallas"):
+            with pytest.raises(ValueError, match="symmetric"):
+                max_eigenvalue(
+                    H, SolverConfig(backend=backend, symmetric=True)
+                )
+
+    def test_validate_checks_the_promise(self):
+        A = np.array(_sym(128))  # writable copy
+        A[3, 2] += 0.5  # break symmetry
+        with pytest.raises(ValueError, match="not bitwise symmetric"):
+            max_eigenvalue(
+                jnp.asarray(A),
+                SolverConfig(
+                    backend="multiround", symmetric=True, interpret=True,
+                    block_rows=128,
+                ),
+                validate=True,
+            )
+
+    def test_mesh_path_rejects(self):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("rows",))
+        H = fixtures.hilbert_matrix(256)
+        with pytest.raises(ValueError, match="symmetric"):
+            max_eigenvalue(H, SolverConfig(symmetric=True), mesh=mesh)
+
+    def test_batch_and_operator_reject(self):
+        from eigen_value_tpu import (
+            max_eigenvalue_batch,
+            max_eigenvalue_operator,
+        )
+
+        mats = jnp.stack([_sym(64), _sym(64, seed=5)])
+        with pytest.raises(ValueError, match="symmetric"):
+            max_eigenvalue_batch(mats, SolverConfig(symmetric=True))
+        A = _sym(64)
+        with pytest.raises(ValueError, match="symmetric"):
+            max_eigenvalue_operator(
+                lambda x: A @ x, 64, SolverConfig(symmetric=True)
+            )
