@@ -85,6 +85,10 @@ WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "22"))
 # :func:`extension_budget` (the cap is measured from worker EXEC, so
 # startup/compile time can no longer eat the emission headroom — the
 # round-3 failure mode).
+# FAST_TARGET_MS is DENSE-EQUIVALENT (the ms an 18-pass full-traffic
+# solve reads in a mid/fast window); the effective target scales by the
+# headline backend's traffic fraction (× ~0.531 for the symmetric
+# kernel → ~3.24 ms), so the env knob keeps one meaning across backends.
 FAST_TARGET_MS = float(os.environ.get("BENCH_FAST_TARGET_MS", "6.1"))
 EXTEND_BUDGET_S = float(os.environ.get("BENCH_EXTEND_S", "900"))
 # Wall reserved (from DEADLINE_S) for summarizing + printing the record
@@ -115,7 +119,7 @@ def _sync(x) -> float:
     return float(np.asarray(x))
 
 
-def physical_floor_ms(rounds, peak_gbps, dim=None, headroom=1.2) -> float:
+def physical_floor_ms(rounds, peak_gbps, dim=None, headroom=1.2, frac=1.0) -> float:
     """Fastest PHYSICALLY possible e2e solve time: (rounds+1) O(n²) passes
     at ``headroom``× the device's nameplate HBM bandwidth (the observed
     fast state sustains ~114% of the v5e nameplate; 120% is impossible).
@@ -123,12 +127,19 @@ def physical_floor_ms(rounds, peak_gbps, dim=None, headroom=1.2) -> float:
     differencing — an inflated short-chain wall shrinking the diff — not
     a measurement (the drift suite flags the same artifact at the
     per-pass level, bench/suite.py).  NaN/unknown peak (e.g. CPU test
-    mode) disables the guard (returns 0)."""
+    mode) disables the guard (returns 0).
+
+    ``frac`` is the backend's HBM traffic per pass as a fraction of the
+    dense n²·4 bytes — 1.0 for the dense kernels, ~0.531 for the
+    symmetric upper-triangle kernel (half the tiles + whole diagonal
+    tiles).  Every physical bound in this file scales by it; forgetting
+    it would mark every symmetric reading "suspect" (floor 2× too high)
+    and classify slow-state windows as impossible >160% states."""
     n = DIM if dim is None else dim
     if not peak_gbps or peak_gbps != peak_gbps:  # falsy or NaN
         return 0.0
     passes = rounds + 1  # initial row-sum + one matvec per round
-    return passes * n * n * 4 / (peak_gbps * headroom * 1e6)
+    return passes * n * n * 4 * frac / (peak_gbps * headroom * 1e6)
 
 
 def _split_suspect(windows, floor_ms):
@@ -149,7 +160,7 @@ def extension_budget(
     return max(0.0, min(extend_s, deadline_s - reserve_s - startup_s))
 
 
-def classify_chip_state(device_ms, rounds, peak_gbps, dim=None):
+def classify_chip_state(device_ms, rounds, peak_gbps, dim=None, frac=1.0):
     """HBM state implied by one headline window, via the SHARED
     chip-state thresholds (utils/timing.classify_state_pct — the same
     definition the drift suite's rows use, so the two records cross-read
@@ -157,14 +168,15 @@ def classify_chip_state(device_ms, rounds, peak_gbps, dim=None):
     sustained state on a minutes timescale, and a slow-state reading is
     a chip-state fact, not a kernel regression — the record carries the
     classification so a below-target value is self-explaining.  None
-    when the peak is unknown (CPU test mode)."""
+    when the peak is unknown (CPU test mode).  ``frac`` scales the bytes
+    actually moved per pass (see :func:`physical_floor_ms`)."""
     from eigen_value_tpu.utils.timing import classify_state_pct
 
     n = DIM if dim is None else dim
     if not peak_gbps or peak_gbps != peak_gbps or device_ms <= 0:
         return None
     passes = rounds + 1  # initial row-sum + one matvec per round
-    gbps = passes * n * n * 4 / (device_ms * 1e-3) / 1e9
+    gbps = passes * n * n * 4 * frac / (device_ms * 1e-3) / 1e9
     return classify_state_pct(100.0 * gbps / peak_gbps)
 
 
@@ -196,7 +208,8 @@ def _call_with_deadline(fn, seconds):
 
 
 def summarize(
-    windows, rounds, backend, floor_ms=0.0, extra=None, peak_gbps=None
+    windows, rounds, backend, floor_ms=0.0, extra=None, peak_gbps=None,
+    frac=1.0, fast_target_ms=None,
 ):
     """Fold per-window readings into the one-line JSON record.
 
@@ -214,7 +227,9 @@ def summarize(
     classification (:func:`classify_chip_state`): the state of the best
     window, a histogram over the clean windows, and — when no window
     ever left the slow state — a note computing the slow-state physical
-    floor, so a below-target record explains itself.
+    floor, so a below-target record explains itself.  ``frac`` is the
+    backend's per-pass traffic fraction (:func:`physical_floor_ms`);
+    ``fast_target_ms`` the effective extension target for the note.
     """
     clean, suspect = _split_suspect(windows, floor_ms)
     pool = clean or windows
@@ -242,11 +257,16 @@ def summarize(
         rec["floor_ms"] = round(floor_ms, 3)
     if not clean:
         rec["suspect"] = True
+    if frac != 1.0:
+        rec["traffic_frac"] = round(frac, 4)
     states = [
-        classify_chip_state(wv[0], rounds, peak_gbps) for wv in pool
+        classify_chip_state(wv[0], rounds, peak_gbps, frac=frac)
+        for wv in pool
     ]
     if any(states):
-        rec["chip_state"] = classify_chip_state(device_ms, rounds, peak_gbps)
+        rec["chip_state"] = classify_chip_state(
+            device_ms, rounds, peak_gbps, frac=frac
+        )
         rec["chip_states"] = {
             s: states.count(s) for s in ("slow", "mid", "fast") if s in states
         }
@@ -254,15 +274,16 @@ def summarize(
             from eigen_value_tpu.utils.timing import MID_STATE_PCT
 
             passes = rounds + 1
-            slow_floor = passes * DIM * DIM * 4 / (
+            slow_floor = passes * DIM * DIM * 4 * frac / (
                 MID_STATE_PCT / 100.0 * peak_gbps * 1e6
             )
+            target = FAST_TARGET_MS if fast_target_ms is None else fast_target_ms
             rec["chip_state_note"] = (
                 f"all {len(states)} clean windows sat in the slow HBM "
                 f"state (<{MID_STATE_PCT:.0f}% of the {peak_gbps:.0f} "
                 f"GB/s nameplate sustained); the {passes}-pass physical "
                 f"floor there is ~{slow_floor:.2f} ms — readings at the "
-                f"fast-state target ({FAST_TARGET_MS} ms) need a "
+                f"fast-state target ({target} ms) need a "
                 "mid/fast window (chip-state drift, docs/BENCH_RESULTS.md)"
             )
     if extra:
@@ -326,25 +347,48 @@ def main() -> None:
     expected = fixtures.HILBERT_ROUNDS.get(DIM, ROUNDS_EXPECTED)
     use_pallas = backend in ("matvec_pallas", "multiround")
     interpret = auto_interpret()
-    # The TPU headline path is the round-3 multi-round kernel: up to
-    # `chunk` rounds per Pallas invocation (ops/pallas/kernels.multiround)
-    # — semantics unchanged (the stop is still checked every round; an
-    # input converging at a different count still solves correctly), but
-    # the chunk is TUNED to the workload's known round count + 1 initial
-    # pass so the flagship solve is ONE invocation with zero overshoot.
-    # Round counts for the Hilbert family are hardware-independent
-    # (reference README tables; fixtures.HILBERT_ROUNDS), so this is a
-    # shape-style tuning constant, not a stopping rule.
-    if use_pallas:
-        backend = "multiround_pallas"
-        chunk = expected + 1
-
+    # The TPU headline path is the round-4 SYMMETRIC multi-round kernel:
+    # up to `chunk` rounds per Pallas invocation, each round streaming
+    # only the upper-triangle tiles (ops/pallas/kernels.multiround_sym) —
+    # the Hilbert workload matrix is symmetric by construction
+    # (H[i,j] = 1/(i+j+1)), VERIFIED on device below rather than assumed,
+    # so the declared-symmetry fast path (SolverConfig(symmetric=True))
+    # solves the same problem to the same answer in the same 17 rounds
+    # with ~0.531× the HBM traffic.  Semantics unchanged (the stop is
+    # still checked every round); the chunk is TUNED to the workload's
+    # known round count + 1 initial pass so the flagship solve is ONE
+    # invocation with zero overshoot.  Round counts for the Hilbert
+    # family are hardware-independent (reference README tables;
+    # fixtures.HILBERT_ROUNDS), so this is a shape-style tuning
+    # constant, not a stopping rule.
+    from eigen_value_tpu.ops.pallas.kernels import sym_tile
     from eigen_value_tpu.ops.solver_matvec import solve_multiround
+
+    SYM_TILE = int(os.environ.get("BENCH_SYM_TILE", "512"))
+    # bf16 wants a LARGER tile than f32: at a given tile edge the bf16
+    # tile carries half the bytes, and below ~2 MB/DMA the transfers
+    # stop covering the grid-step latency (sweep: sym512_bf16 reads
+    # 604 GB/s effective vs sym1024_bf16's ~745 — scratch/exp_sym_sweep.py).
+    # f32 prefers 512 (2 MB) over 1024 (4 MB, fewer column-skip savings).
+    SYM_TILE_BF16 = int(os.environ.get("BENCH_SYM_TILE_BF16", "1024"))
+    use_sym = (
+        use_pallas
+        and sym_tile(DIM, SYM_TILE) is not None
+        and sym_tile(DIM, SYM_TILE_BF16) is not None
+        # the guard, on device: one O(n²) pass, once — a benchmark that
+        # DECLARES structure must check it holds before exploiting it
+        and bool(jax.jit(lambda A: jnp.all(A == A.T))(H))
+    )
+    frac = (0.5 + 0.5 * SYM_TILE / DIM) if use_sym else 1.0
+    if use_pallas:
+        backend = "multiround_sym_pallas" if use_sym else "multiround_pallas"
+        chunk = expected + 1
 
     def solve(H, ev0):
         if use_pallas:
             return solve_multiround(
-                H, EPS, MAX_ITR, chunk=chunk, interpret=interpret, ev0=ev0
+                H, EPS, MAX_ITR, chunk=chunk, interpret=interpret, ev0=ev0,
+                symmetric=use_sym, tile=SYM_TILE,
             )
         return solve_matvec_loop(H, lambda ev: (H @ ev) / ev, EPS, MAX_ITR, ev0=ev0)
 
@@ -395,14 +439,26 @@ def main() -> None:
         (bf16 round counts carry a ±1 accumulation-order tolerance, so
         the chunk is probed per run rather than assumed: an exact fit
         measures ~0.1 ms faster than the jnp.dot loop, an overshot chunk
-        would waste frozen DMA rounds — scratch/exp_bf16_multiround.py)."""
-        from eigen_value_tpu.ops.solver_matvec import (
-            solve_matvec_storage,
-            solve_multiround,
-        )
+        would waste frozen DMA rounds — scratch/exp_bf16_multiround.py).
+        Composes with the symmetric kernel when the headline does: bf16
+        storage halves the bytes of the already-halved triangle traffic
+        (~0.266× dense-f32)."""
+        from eigen_value_tpu.ops.solver_matvec import solve_matvec_storage
 
         Hb = jax.block_until_ready(H.astype(jnp.bfloat16))
-        probe = solve_matvec_storage(Hb, EPS, MAX_ITR, storage_dtype=jnp.bfloat16)
+        # probe the round count with the REAL backend: reduction order
+        # differs per kernel and a mis-fit chunk either restarts the
+        # pipeline (undershoot) or re-streams a whole chunk (overshoot)
+        if use_pallas:
+            probe = solve_multiround(
+                Hb, EPS, MAX_ITR, chunk=expected + 2, interpret=interpret,
+                storage_dtype=jnp.bfloat16, symmetric=use_sym,
+                tile=SYM_TILE_BF16,
+            )
+        else:
+            probe = solve_matvec_storage(
+                Hb, EPS, MAX_ITR, storage_dtype=jnp.bfloat16
+            )
         chunk_b = int(probe.rounds) + 1
 
         def solve_b(Hb, ev0):
@@ -415,6 +471,8 @@ def main() -> None:
                     interpret=interpret,
                     ev0=ev0,
                     storage_dtype=jnp.bfloat16,
+                    symmetric=use_sym,
+                    tile=SYM_TILE_BF16,
                 )
             return solve_matvec_storage(
                 Hb, EPS, MAX_ITR, storage_dtype=jnp.bfloat16, ev0=ev0
@@ -441,7 +499,10 @@ def main() -> None:
     from eigen_value_tpu.utils.timing import detect_peak_hbm_gbps
 
     peak_gbps = detect_peak_hbm_gbps()
-    floor_ms = physical_floor_ms(rounds, peak_gbps)
+    floor_ms = physical_floor_ms(rounds, peak_gbps, frac=frac)
+    # effective extension target: the dense-equivalent knob scaled by the
+    # headline backend's traffic fraction (module constant docs)
+    fast_target = round(FAST_TARGET_MS * frac, 2)
     windows = []
     extra = {}
     emitted = False
@@ -456,7 +517,8 @@ def main() -> None:
             print(
                 json.dumps(
                     summarize(
-                        windows, rounds, backend, floor_ms, extra, peak_gbps
+                        windows, rounds, backend, floor_ms, extra, peak_gbps,
+                        frac=frac, fast_target_ms=fast_target,
                     )
                 ),
                 flush=True,
@@ -469,7 +531,7 @@ def main() -> None:
     def take_window(w: int) -> None:
         dev_ms, t_long, t_short = window()
         windows.append((dev_ms, t_long, t_short))
-        state = classify_chip_state(dev_ms, rounds, peak_gbps)
+        state = classify_chip_state(dev_ms, rounds, peak_gbps, frac=frac)
         note = f" ({state} state)" if state else ""
         print(f"window {w}: {dev_ms:.3f} ms/solve{note}", file=sys.stderr)
 
@@ -515,15 +577,72 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - diagnostic only
         print(f"WARNING: bf16 secondary metric failed: {e}", file=sys.stderr)
 
+    def measure_dense():
+        """One chained window of the DENSE multiround path — the
+        round-1..3 headline backend, kept in the record as the labeled
+        continuity secondary so the symmetric headline's win over the
+        full-traffic solve is visible in the same run/chip-state, and a
+        regression in either kernel is attributable from the JSON alone."""
+
+        def solve_d(H, ev0):
+            return solve_multiround(
+                H, EPS, MAX_ITR, chunk=chunk, interpret=interpret, ev0=ev0
+            )
+
+        def chain_d(k: int):
+            @jax.jit
+            def run(H: jax.Array) -> jax.Array:
+                def body(i, acc):
+                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+                    ev0 = jnp.ones((DIM,), jnp.float32) * s
+                    return solve_d(H, ev0).eigenvalue
+
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            return run
+
+        ld, sd = chain_d(CHAIN), chain_d(1)
+        _sync(ld(H))
+        t_l = _min_ms(lambda: _sync(ld(H)))
+        t_s = _min_ms(lambda: _sync(sd(H)))
+        return max((t_l - t_s) / (CHAIN - 1), 1e-3)
+
+    secondary_timed_out = bf16_timed_out
+    if use_sym and not secondary_timed_out:
+        try:
+            dense_ms = _call_with_deadline(measure_dense, BF16_DEADLINE_S)
+            extra.update(
+                {
+                    "dense_f32_ms": round(dense_ms, 3),
+                    "dense_f32_vs_baseline": round(BASELINE_MS / dense_ms, 2),
+                    "dense_f32_note": (
+                        "same-run full-traffic multiround reference (the "
+                        "rounds-1..3 headline backend) — the symmetric "
+                        "headline's traffic win, same chip state"
+                    ),
+                }
+            )
+            print(f"dense f32 secondary: {dense_ms:.3f} ms/solve",
+                  file=sys.stderr)
+        except TimeoutError as e:
+            secondary_timed_out = True
+            extra["dense_f32_note"] = (
+                f"dense secondary timed out ({e}); extension skipped — its "
+                "windows would race the abandoned RPCs"
+            )
+            print(f"WARNING: dense secondary timed out: {e}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - diagnostic only
+            print(f"WARNING: dense secondary failed: {e}", file=sys.stderr)
+
     # Adaptive extension, budgeted against the REMAINING wall before the
     # supervisor's deadline (startup measured from worker exec, T_EXEC).
     budget_s = extension_budget(
         EXTEND_BUDGET_S, DEADLINE_S, RESERVE_S, t_start - T_EXEC
     )
     w = WINDOWS
-    while WINDOWS > 1 and not bf16_timed_out and should_extend(
-        windows, time.monotonic() - t_start, budget_s=budget_s,
-        floor_ms=floor_ms,
+    while WINDOWS > 1 and not secondary_timed_out and should_extend(
+        windows, time.monotonic() - t_start, target_ms=fast_target,
+        budget_s=budget_s, floor_ms=floor_ms,
     ):
         time.sleep(WINDOW_GAP_S)
         take_window(w)
@@ -536,7 +655,10 @@ def main() -> None:
     # the reverse order could exit with no record at all.
     print(
         json.dumps(
-            summarize(windows, rounds, backend, floor_ms, extra, peak_gbps)
+            summarize(
+                windows, rounds, backend, floor_ms, extra, peak_gbps,
+                frac=frac, fast_target_ms=fast_target,
+            )
         ),
         flush=True,
     )

@@ -487,3 +487,53 @@ def test_supervise_cpu_mode_never_retries(bench, monkeypatch, capsys):
     assert len(calls) == 1
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["attempts"] == 1
+
+def test_physical_floor_scales_with_traffic_frac(bench):
+    """The symmetric backend moves frac≈0.531 of the dense bytes; its
+    floor must scale with it or every symmetric reading reads 'suspect'."""
+    dense = bench.physical_floor_ms(17, 819.0, dim=8192)
+    sym = bench.physical_floor_ms(17, 819.0, dim=8192, frac=0.53125)
+    assert sym == pytest.approx(dense * 0.53125)
+    assert 2.4 < sym < 2.8
+
+
+def test_classify_chip_state_honors_frac(bench):
+    """A 3.5 ms symmetric 18-pass window at 8192² is ~729 GB/s sustained
+    (slow state); classified with dense traffic it would read an
+    impossible 1373 GB/s (>nameplate ⇒ 'fast') — the exact inversion the
+    frac plumbing exists to prevent."""
+    assert (
+        bench.classify_chip_state(3.5, 17, 819.0, dim=8192, frac=0.53125)
+        == "slow"
+    )
+    assert bench.classify_chip_state(3.5, 17, 819.0, dim=8192) == "fast"
+    # a genuinely fast symmetric window (~2.75 ms ⇒ ~933 GB/s)
+    assert (
+        bench.classify_chip_state(2.75, 17, 819.0, dim=8192, frac=0.53125)
+        == "fast"
+    )
+
+
+def test_summarize_symmetric_record_self_describes(bench):
+    """A symmetric-backend record carries traffic_frac, frac-scaled
+    chip-state classification, and a frac-scaled slow-floor note with
+    the effective extension target."""
+    frac = 0.53125
+    windows = [(3.52, 60.0, 30.0), (3.55, 61.0, 30.5)]
+    rec = bench.summarize(
+        windows, rounds=17, backend="multiround_sym_pallas",
+        floor_ms=2.6, peak_gbps=819.0, frac=frac, fast_target_ms=3.24,
+    )
+    assert rec["traffic_frac"] == round(frac, 4)
+    assert rec["chip_state"] == "slow"
+    assert rec["chip_states"] == {"slow": 2}
+    assert "3.24" in rec["chip_state_note"]
+    # the frac-scaled slow floor (~3.33 ms at 94% of nameplate)
+    assert "~3.3" in rec["chip_state_note"]
+
+
+def test_summarize_dense_record_has_no_traffic_frac(bench):
+    rec = bench.summarize(
+        [(6.4, 88.0, 35.0)], rounds=17, backend="multiround_pallas"
+    )
+    assert "traffic_frac" not in rec
