@@ -69,6 +69,33 @@ E2E_BACKENDS: Dict[str, Callable] = {
         interpret=auto_interpret(),
         ev0=ev0,
     ),
+    # round-4 headline rung: the upper-triangle kernel for the (symmetric
+    # by construction) Hilbert workload — frac = 0.5+0.5·tile/n of the
+    # dense HBM traffic.  Tile edges match bench.py's tuning: f32 wants
+    # 512 (2 MB DMAs), bf16 wants 1024 (same byte size per DMA) —
+    # scratch/exp_sym_sweep.py.  sym_tile() clamps at small dims where
+    # tile ≥ n degenerates to the dense single-tile case.
+    "multiround_sym": lambda A, ev0=None: solve_multiround(
+        A,
+        EPS,
+        MAX_ITR,
+        chunk=fixtures.HILBERT_ROUNDS.get(A.shape[0], 17) + 1,
+        interpret=auto_interpret(),
+        ev0=ev0,
+        symmetric=True,
+        tile=kernels.sym_tile(A.shape[0], 512) or A.shape[0],
+    ),
+    "multiround_sym_bf16": lambda A, ev0=None: solve_multiround(
+        A,
+        EPS,
+        MAX_ITR,
+        chunk=fixtures.HILBERT_ROUNDS.get(A.shape[0], 17) + 2,
+        interpret=auto_interpret(),
+        ev0=ev0,
+        symmetric=True,
+        tile=kernels.sym_tile(A.shape[0], 1024) or A.shape[0],
+        storage_dtype=jnp.bfloat16,
+    ),
 }
 
 
@@ -207,7 +234,12 @@ def bench_e2e(
                 ),
                 "rounds": rounds,
                 "eigenvalue": float(res.eigenvalue),
-                "rounds_ok": rounds == fixtures.HILBERT_ROUNDS.get(n, rounds),
+                # bf16 STORAGE backends carry the documented ±1 round
+                # accumulation-order tolerance (solve_matvec_storage)
+                "rounds_ok": (
+                    abs(rounds - fixtures.HILBERT_ROUNDS.get(n, rounds))
+                    <= (1 if "bf16" in name else 0)
+                ),
                 "chain_k": chain_k,
             }
             if not resolved:

@@ -221,6 +221,65 @@ def test_multiround_parity_on_hardware(n):
     assert np.allclose(Hn @ vec, lam * vec, atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "n,tile", [(1024, 512), (1024, 1024), (2048, 256), (2048, 512)]
+)
+def test_multiround_sym_parity_on_hardware(n, tile):
+    """The round-4 SYMMETRIC multi-round kernel (bench.py's headline
+    path) compiled on silicon: exact round parity with the Hilbert table,
+    λ, convergence, A·v ≈ λ·v — at a chunk that splits the round sequence
+    mid-solve AND at the bench's exact-fit chunk, across tile edges that
+    exercise the triangle enumeration (n/tile ∈ {1, 2, 4, 8} grids).
+    Until this test the sym kernel had only interpret-mode coverage;
+    bench.py now headlines it, so Mosaic-compiled behavior is the
+    production path (same gap class as VERDICT r3 item 2)."""
+    from eigen_value_tpu.config import EPS, MAX_ITR
+    from eigen_value_tpu.ops.solver_matvec import solve_multiround
+
+    H = jax.device_put(np.asarray(fixtures.hilbert_matrix(n)), _tpu())
+    want = fixtures.HILBERT_ROUNDS[n]
+    for chunk in (5, want + 1):
+        res = jax.block_until_ready(
+            solve_multiround(
+                H, EPS, MAX_ITR, chunk=chunk, symmetric=True, tile=tile
+            )
+        )
+        assert int(res.rounds) == want, (n, tile, chunk)
+        assert bool(res.converged)
+    vec = np.asarray(res.eigenvector)
+    lam = float(res.eigenvalue)
+    Hn = np.asarray(fixtures.hilbert_matrix(n))
+    assert np.allclose(Hn @ vec, lam * vec, atol=1e-3)
+
+
+def test_multiround_sym_bf16_parity_on_hardware():
+    """Symmetric kernel × bf16 storage COMPOSED on silicon (the bench
+    bf16 secondary's exact configuration, tile=1024): converges within
+    ±1 round of the f32 table (storage-accuracy tolerance) and λ within
+    ~1e-3 relative."""
+    import jax.numpy as jnp
+
+    from eigen_value_tpu.config import EPS, MAX_ITR
+    from eigen_value_tpu.ops.solver_matvec import solve_multiround
+
+    n = 2048
+    H = jax.device_put(np.asarray(fixtures.hilbert_matrix(n)), _tpu())
+    res = jax.block_until_ready(
+        solve_multiround(
+            H, EPS, MAX_ITR, chunk=fixtures.HILBERT_ROUNDS[n] + 2,
+            symmetric=True, tile=1024, storage_dtype=jnp.bfloat16,
+        )
+    )
+    assert abs(int(res.rounds) - fixtures.HILBERT_ROUNDS[n]) <= 1
+    assert bool(res.converged)
+    f32 = jax.block_until_ready(
+        solve_multiround(H, EPS, MAX_ITR, symmetric=True, tile=512)
+    )
+    assert float(res.eigenvalue) == pytest.approx(
+        float(f32.eigenvalue), rel=2e-3
+    )
+
+
 class TestOperatorsOnHardware:
     """Matrix-free operators COMPILED on silicon (VERDICT r2 item 2: the
     round-2 operator artifact recorded a silent Kronecker cap-exhaustion
@@ -613,6 +672,106 @@ class TestHardwarePerfGate:
             f"multiround LOST to the matvec loop: median per-rep delta "
             f"{med:+.3f} ms (multiround {mr_ms}, loop {lp_ms}) — its "
             f"block streaming regressed"
+        )
+
+    def test_multiround_sym_headline_gate(self):
+        """The round-4 HEADLINE backend (bench.py: symmetric multiround,
+        tile=512, exact-fit chunk) gated chip-state-relative, plus the
+        A/B invariant that justifies its existence: the sym chain must
+        beat the dense multiround chain by a real margin, compared via
+        PER-REP deltas (both arms inside each rep so chip-state drift
+        cancels — same protocol as the dense gate above).
+
+        The sym kernel moves frac = 0.5 + 0.5·tile/n ≈ 0.531 of the
+        dense bytes, so its chip-state bound is the dense bound × frac;
+        the A/B margin requires ≥ 35% of the expected (1−frac)·dense win
+        (expected delta ≈ −3.0 ms at 8192²; a regression that silently
+        re-streams the full matrix — the only way this kernel can fail
+        while staying correct — reads delta ≈ 0).  Sweep record:
+        sym512_f32 3.44–3.52 ms vs dense 6.45–6.48 ms in one slow-state
+        process (scratch/exp_sym_sweep.py, 2026-08-20)."""
+        import time as _time
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.device import matvec_blocks
+        from eigen_value_tpu.ops.pallas import kernels
+        from eigen_value_tpu.ops.solver_matvec import solve_multiround
+        from eigen_value_tpu.utils.timing import time_marginal
+
+        tpu = _tpu()
+        H = jax.device_put(np.asarray(fixtures.hilbert_matrix(self.DIM)), tpu)
+        br, bc = matvec_blocks(self.DIM)
+        chunk = fixtures.HILBERT_ROUNDS[self.DIM] + 1
+        tile = 512
+        frac = 0.5 + 0.5 * tile / self.DIM
+
+        def chain(k, symmetric):
+            @jax.jit
+            def run(H):
+                def body(i, acc):
+                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+                    ev0 = jnp.ones((self.DIM,), jnp.float32) * s
+                    return solve_multiround(
+                        H, EPS, MAX_ITR, chunk=chunk, ev0=ev0,
+                        symmetric=symmetric, tile=tile,
+                    ).eigenvalue
+
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            return run
+
+        sy_long, sy_short = chain(9, True), chain(1, True)
+        de_long, de_short = chain(9, False), chain(1, False)
+        for f in (sy_long, sy_short, de_long, de_short):
+            float(np.asarray(f(H)))  # compile + warm
+
+        def pass_step(i, s):
+            Hi, xi = s
+            return (Hi, kernels.matvec(Hi, xi, block_rows=br, block_cols=bc))
+
+        x = jax.device_put(np.ones(self.DIM, np.float32), tpu)
+        pass_before = time_marginal(pass_step, (H, x), k=64)
+        sy_ms, de_ms = [], []
+        for _ in range(7):
+            t0 = _time.perf_counter()
+            float(np.asarray(sy_long(H)))
+            tl = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            float(np.asarray(sy_short(H)))
+            ts = (_time.perf_counter() - t0) * 1e3
+            sy_ms.append((tl - ts) / 8)
+            t0 = _time.perf_counter()
+            float(np.asarray(de_long(H)))
+            tl = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            float(np.asarray(de_short(H)))
+            ts = (_time.perf_counter() - t0) * 1e3
+            de_ms.append((tl - ts) / 8)
+        pass_after = time_marginal(pass_step, (H, x), k=64)
+        pass_ms = max(pass_before, pass_after)
+        best_sy = min(sy_ms)
+
+        # dense chip-state bound × the sym traffic fraction + fixed slack
+        bound = 18 * pass_ms * frac * 1.10 + 0.25
+        assert best_sy < bound, (
+            f"sym chain {best_sy:.2f} ms vs chip-state bound {bound:.2f} "
+            f"(pass marginals {pass_before * 1e3:.0f}/"
+            f"{pass_after * 1e3:.0f} us) — triangle streaming regression"
+        )
+        assert best_sy < 4.5, f"sym chain {best_sy:.2f} ms (> 4.5)"
+        deltas = sorted(s - d for s, d in zip(sy_ms, de_ms))
+        med = (deltas[(len(deltas) - 1) // 2] + deltas[len(deltas) // 2]) / 2
+        # expected win ≈ (1−frac)·dense ≈ −3.0 ms; require ≥35% of it so
+        # per-rep jitter (±0.4 ms observed) can't false-fail, while a
+        # full-traffic fallback (delta ≈ 0) fails by ~3×the margin
+        win = 0.35 * (1 - frac) * 18 * pass_ms
+        assert med <= -win, (
+            f"sym kernel lost its traffic win: median per-rep delta "
+            f"{med:+.3f} ms vs required ≤ {-win:.3f} (sym {sy_ms}, "
+            f"dense {de_ms})"
         )
 
     def test_bf16_fast_mode_perf_gate(self):
