@@ -55,6 +55,29 @@ def _spectrum_rfft(arr, m: int):
     return np.fft.rfft(np.asarray(arr, np.float32), m).astype(np.complex64)
 
 
+def _spectrum_operand(Sf):
+    """Device-safe closure over a precomputed spectrum — call it inside
+    the matvec to get the spectrum as a usable operand.
+
+    A host (numpy) complex64 spectrum must never be consumed directly as
+    an EAGER operand: the implicit device_put of complex64 is
+    UNIMPLEMENTED on the remote-TPU tunnel (observed on silicon
+    2026-08-20 via an eager `solve_operator(hilbert_matvec(8192), …)`;
+    worse, the failed transfer poisons the process's subsequent
+    dispatches).  Split the spectrum into its two f32 halves — transfers
+    every backend implements — and rebuild with ``lax.complex`` ON
+    DEVICE per call.  Under jit both halves embed as mlir constants and
+    the complex() folds at compile time, so the jitted paths lower to
+    exactly what the raw complex constant did; eager callers pay two
+    O(n) f32 transfers per matvec (eager is the slow path regardless).
+    Traced spectra (factory called under jit) pass through untouched."""
+    if isinstance(Sf, np.ndarray) and np.iscomplexobj(Sf):
+        re = np.ascontiguousarray(Sf.real.astype(np.float32))
+        im = np.ascontiguousarray(Sf.imag.astype(np.float32))
+        return lambda: jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
+    return lambda: Sf
+
+
 def _matmul_f32(a, b):
     """Matmul pinned to full float32 on every backend.
 
@@ -92,10 +115,10 @@ def hankel_matvec(h: jax.Array, n: int):
     # and cast back — the operator then composes with reduced-precision
     # solver state.
     m = _fft_len(2 * n - 1)
-    Hf = _spectrum_rfft(h, m)
+    Hf = _spectrum_operand(_spectrum_rfft(h, m))
 
     def matvec(x: jax.Array) -> jax.Array:
-        z = jnp.fft.irfft(Hf * jnp.fft.rfft(x[::-1].astype(jnp.float32), m), m)
+        z = jnp.fft.irfft(Hf() * jnp.fft.rfft(x[::-1].astype(jnp.float32), m), m)
         return z[n - 1 : 2 * n - 1].astype(x.dtype)
 
     return matvec
@@ -123,10 +146,10 @@ def toeplitz_matvec(c: jax.Array, r: jax.Array, n: int):
             [np.asarray(r, np.float32)[1:][::-1], np.asarray(c, np.float32)]
         )
     m = _fft_len(2 * n - 1)  # aliasing only corrupts the discarded prefix
-    Tf = _spectrum_rfft(t, m)
+    Tf = _spectrum_operand(_spectrum_rfft(t, m))
 
     def matvec(x: jax.Array) -> jax.Array:
-        z = jnp.fft.irfft(Tf * jnp.fft.rfft(x.astype(jnp.float32), m), m)
+        z = jnp.fft.irfft(Tf() * jnp.fft.rfft(x.astype(jnp.float32), m), m)
         return z[n - 1 : 2 * n - 1].astype(x.dtype)
 
     return matvec
@@ -150,10 +173,10 @@ def circulant_matvec(c: jax.Array, n: int):
     """
     if c.shape[0] != n:
         raise ValueError(f"need len(c) == n == {n}, got {c.shape[0]}")
-    Cf = _spectrum_rfft(c, n)
+    Cf = _spectrum_operand(_spectrum_rfft(c, n))
 
     def matvec(x: jax.Array) -> jax.Array:
-        z = jnp.fft.irfft(Cf * jnp.fft.rfft(x.astype(jnp.float32)), n)
+        z = jnp.fft.irfft(Cf() * jnp.fft.rfft(x.astype(jnp.float32)), n)
         return z.astype(x.dtype)
 
     return matvec

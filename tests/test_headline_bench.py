@@ -348,6 +348,15 @@ def test_bench_py_end_to_end_cpu_with_extension():
     # stderr ordering proves the sequencing: bf16 line precedes the
     # first beyond-base window line.
     assert out.stderr.index("bf16 secondary") < out.stderr.index("window 2")
+    # Same for the matrix-free FFT secondary: present, measured before
+    # the extension, exact parity with the headline solve (the Hilbert
+    # matrix IS Hankel — same rounds, same lambda, no drift note).
+    assert "hankel_fft_ms" in rec and rec["hankel_fft_ms"] > 0
+    assert rec["hankel_fft_rounds"] == rec["rounds"]
+    assert "PARITY DRIFT" not in rec["hankel_fft_note"]
+    assert out.stderr.index("hankel fft secondary") < out.stderr.index(
+        "window 2"
+    )
 
 
 @pytest.mark.slow

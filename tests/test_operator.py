@@ -71,6 +71,48 @@ class TestStructuredMatvecs:
         got = np.asarray(hankel_matvec(h, n)(x))
         np.testing.assert_allclose(got, A @ np.asarray(x), rtol=2e-5, atol=1e-5)
 
+    def test_spectrum_operand_split_is_exact(self, rng):
+        """The device-safe spectrum closure (host complex64 split into
+        f32 halves, rebuilt with lax.complex on device) must reproduce
+        the raw complex constant BIT-EXACTLY — jitted and eager.  The
+        split exists because complex64 host→device transfers are
+        UNIMPLEMENTED on the remote-TPU tunnel (structured.py docstring,
+        2026-08-20); it must not change numerics anywhere."""
+        from eigen_value_tpu.ops.structured import _spectrum_operand
+
+        Sf = np.fft.rfft(
+            rng.random(257, dtype=np.float32), 512
+        ).astype(np.complex64)
+        rebuilt = np.asarray(_spectrum_operand(Sf)())
+        assert rebuilt.dtype == np.complex64
+        np.testing.assert_array_equal(rebuilt, Sf)
+        # jit path: consumed inside a traced multiply, same product
+        x = jnp.asarray(rng.random(257, dtype=np.float32))
+        op = _spectrum_operand(Sf)
+        got = np.asarray(jax.jit(lambda v: (op() * jnp.fft.rfft(v, 512)))(x))
+        want = Sf * np.asarray(jnp.fft.rfft(x, 512))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        # traced spectra pass through untouched
+        jitted = jax.jit(
+            lambda h: _spectrum_operand(jnp.fft.rfft(h, 512))()[0]
+        )
+        assert np.isfinite(float(np.asarray(jitted(x)).real))
+
+    def test_hankel_eager_dispatch_matches_jit(self, rng):
+        """The factory closures must be usable EAGERLY (op-by-op
+        dispatch), not only under jit — the round-4 headline bench's
+        first hankel probe ran eagerly and died on the tunnel's
+        complex64-transfer hole."""
+        from eigen_value_tpu.ops.structured import hankel_matvec
+
+        n = 96
+        h = jnp.asarray(rng.random(2 * n - 1, dtype=np.float32) + 0.1)
+        x = jnp.asarray(rng.random(n, dtype=np.float32))
+        mv = hankel_matvec(h, n)
+        np.testing.assert_array_equal(
+            np.asarray(mv(x)), np.asarray(jax.jit(mv)(x))
+        )
+
     def test_toeplitz_matches_dense(self, rng):
         from eigen_value_tpu.ops.structured import toeplitz_matvec
 

@@ -298,6 +298,23 @@ class TestOperatorsOnHardware:
         assert abs(int(res.rounds) - fixtures.HILBERT_ROUNDS[n]) <= 1
         assert float(res.eigenvalue) == pytest.approx(2.44555, rel=1e-3)
 
+    def test_fft_operator_eager_dispatch(self):
+        """EAGER (op-by-op) use of the FFT operator over the tunnel.
+        The factory's host complex64 spectrum is rebuilt on device from
+        f32 halves (structured._spectrum_operand) because complex64
+        host→device transfers are UNIMPLEMENTED on this transport — an
+        eager `solve_operator(hilbert_matvec(8192), …)` died exactly
+        there (2026-08-20) and the failed transfer poisoned every
+        subsequent dispatch in the process.  Eager must now match jit."""
+        from eigen_value_tpu.ops.structured import hilbert_matvec
+
+        n = 8192
+        mv = hilbert_matvec(n)
+        x = jax.device_put(np.ones(n, np.float32), _tpu())
+        eager = np.asarray(jax.block_until_ready(mv(x)))
+        jitted = np.asarray(jax.block_until_ready(jax.jit(mv)(x)))
+        assert np.allclose(eager, jitted, rtol=1e-5, atol=1e-5)
+
     def test_kron_converges_with_f32_precision(self):
         """The exact round-2 silicon failure (operator_tpu_r2.jsonl row 3):
         32×32 Kronecker factors, λ ≈ 300, ABSOLUTE stop — must now
