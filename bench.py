@@ -91,6 +91,12 @@ WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "22"))
 # kernel → ~3.24 ms), so the env knob keeps one meaning across backends.
 FAST_TARGET_MS = float(os.environ.get("BENCH_FAST_TARGET_MS", "6.1"))
 EXTEND_BUDGET_S = float(os.environ.get("BENCH_EXTEND_S", "900"))
+# Bar-cleared early exit (VERDICT r4): when the best clean window already
+# beats the 126 ms reference baseline by this factor, skip the extension
+# entirely — the fast-state hunt can no longer change the verdict and
+# only risks the driver's outer timeout.  The 20× bar × 1.5 margin.
+# 0 disables the exit (always hunt, the round-4 behavior).
+BAR_CLEARED_X = float(os.environ.get("BENCH_BAR_CLEARED_X", "30"))
 # Wall reserved (from DEADLINE_S) for summarizing + printing the record
 # and the supervisor's pipe read after the last extension window.
 RESERVE_S = float(os.environ.get("BENCH_RESERVE_S", "75"))
@@ -292,23 +298,37 @@ def summarize(
 
 
 def should_extend(
-    windows, elapsed_s, target_ms=None, budget_s=None, floor_ms=0.0
+    windows, elapsed_s, target_ms=None, budget_s=None, floor_ms=0.0,
+    bar_cleared_x=None,
 ) -> bool:
     """Decide whether to sample one more beyond-base window.
 
     Extend only while (a) no PLAUSIBLE window (≥ ``floor_ms``) has
-    reached the fast-state target yet and (b) the next window (gap +
-    ~10 s of measurement) still fits the extension budget.  Sub-floor
-    transport artifacts (see :func:`physical_floor_ms`) neither stop the
-    extension nor count as the fast state.  Pure so the policy is
-    unit-testable.
+    reached the fast-state target yet, (b) the best plausible window
+    has NOT already cleared the 20× bar by the ``bar_cleared_x`` margin,
+    and (c) the next window (gap + ~10 s of measurement) still fits the
+    extension budget.  Sub-floor transport artifacts (see
+    :func:`physical_floor_ms`) neither stop the extension nor count as
+    the fast state.  Pure so the policy is unit-testable.
+
+    The bar-cleared exit (b) is the round-5 fix for the rc=124 runs
+    (VERDICT r4 weak item 1): the extension exists so a record has a
+    real chance of catching the fast chip state, but when the best
+    window ALREADY beats the reference baseline by ≥ BAR_CLEARED_X
+    (default 30× — 1.5× the 20-times bar), hunting a marginally faster
+    state buys nothing and guarantees running into the driver's outer
+    timeout.  The record still carries every window + the chip-state
+    note, so a slow-state run explains itself without the hunt.
     """
     target = FAST_TARGET_MS if target_ms is None else target_ms
     budget = EXTEND_BUDGET_S if budget_s is None else budget_s
+    bar_x = BAR_CLEARED_X if bar_cleared_x is None else bar_cleared_x
     if not windows:
         return False
     clean, _ = _split_suspect(windows, floor_ms)
     if clean and min(clean)[0] <= target:
+        return False
+    if clean and bar_x > 0 and BASELINE_MS / min(clean)[0] >= bar_x:
         return False
     return elapsed_s + WINDOW_GAP_S + 10.0 <= budget
 
@@ -379,7 +399,15 @@ def main() -> None:
         # DECLARES structure must check it holds before exploiting it
         and bool(jax.jit(lambda A: jnp.all(A == A.T))(H))
     )
-    frac = (0.5 + 0.5 * SYM_TILE / DIM) if use_sym else 1.0
+    # frac from the tile the kernel ACTUALLY selects: sym_tile may pick a
+    # smaller divisor than the requested env value (e.g. 768 → 512 at
+    # 8192²), and a frac computed from the request would skew floor_ms,
+    # the chip-state classification, and the extension target (advisor
+    # r4).  The kernel is invoked with tile=SYM_TILE and performs the
+    # same selection internally.
+    frac = (
+        (0.5 + 0.5 * sym_tile(DIM, SYM_TILE) / DIM) if use_sym else 1.0
+    )
     if use_pallas:
         backend = "multiround_sym_pallas" if use_sym else "multiround_pallas"
         chunk = expected + 1
@@ -442,7 +470,8 @@ def main() -> None:
         would waste frozen DMA rounds — scratch/exp_bf16_multiround.py).
         Composes with the symmetric kernel when the headline does: bf16
         storage halves the bytes of the already-halved triangle traffic
-        (~0.266× dense-f32)."""
+        (tile=1024 ⇒ frac 0.5625, × ½ the bytes ≈ 0.28× the dense-f32
+        traffic)."""
         from eigen_value_tpu.ops.solver_matvec import solve_matvec_storage
 
         Hb = jax.block_until_ready(H.astype(jnp.bfloat16))
@@ -727,6 +756,18 @@ def main() -> None:
             print(f"WARNING: hankel fft secondary timed out: {e}",
                   file=sys.stderr)
         except Exception as e:  # pragma: no cover - diagnostic only
+            # A GENERIC failure here also skips the extension (advisor
+            # r4): the documented failure mode of this secondary is a
+            # failed complex64 transfer that poisons the process's
+            # subsequent dispatches (bench_hankel_err.log forensics in
+            # scratch/), so a later extension window could crash AFTER
+            # the final-emit point and lose the whole record.
+            secondary_timed_out = True
+            extra["hankel_fft_note"] = (
+                f"hankel fft secondary failed ({type(e).__name__}); "
+                "extension skipped — the failure mode can poison later "
+                "dispatches"
+            )
             print(f"WARNING: hankel fft secondary failed: {e}",
                   file=sys.stderr)
 

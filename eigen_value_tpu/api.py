@@ -308,6 +308,14 @@ def max_eigenvalue(
     accumulators with 0 and silently return garbage on non-positive input;
     pass ``validate=True`` to check on device and raise instead).
 
+    ``validate=True`` also PROMOTES to the symmetric fast path when it
+    applies: under ``backend="auto"`` at the multiround dims, a matrix
+    that checks bitwise symmetric on device is solved by the
+    upper-triangle headline kernel (identical semantics, ~0.53× the HBM
+    traffic — the same backend ``bench.py`` measures), so
+    ``max_eigenvalue(H, validate=True)`` matches the headline timing
+    without an explicit ``SolverConfig(symmetric=True)`` declaration.
+
     ``mesh`` (a ``jax.sharding.Mesh`` with a ``"rows"`` axis) runs the
     row-partitioned multi-chip solve instead of the single-chip one —
     the one-argument door to `parallel/` (solve_sharded_matvec; use the
@@ -432,6 +440,31 @@ def max_eigenvalue(
             "symmetric (mat != mat.T); the upper-triangle kernel would "
             "compute a wrong answer"
         )
+    if (
+        validate
+        and not config.symmetric
+        and config.backend == "auto"
+        and backend == "multiround"
+    ):
+        # Defaults pick the fast path (VERDICT r4 item 1, mirroring the
+        # reference wrapper's wg_size policy,
+        # wrapper/similarity_transform.cpp:24-33): once validate=True has
+        # paid for an on-device structure check anyway, a bitwise-
+        # symmetric matrix at the multiround dims is routed to the
+        # upper-triangle headline kernel (~0.53× the HBM traffic —
+        # bench.py's backend) instead of checking and discarding the
+        # answer.  Auto-only: an explicit backend choice is authoritative,
+        # and without validate the declaration must come from the caller
+        # (SolverConfig(symmetric=True)) because a wrong guess computes a
+        # wrong answer.
+        from dataclasses import replace
+
+        from .ops.pallas.kernels import sym_tile
+
+        if sym_tile(
+            mat.shape[0], config.block_rows or 512
+        ) is not None and bool(jnp.all(mat == mat.T)):
+            config = replace(config, symmetric=True)
     return _solve_fn(config, backend, mat.shape[0])(mat)
 
 

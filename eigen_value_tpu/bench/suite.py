@@ -73,8 +73,11 @@ E2E_BACKENDS: Dict[str, Callable] = {
     # by construction) Hilbert workload — frac = 0.5+0.5·tile/n of the
     # dense HBM traffic.  Tile edges match bench.py's tuning: f32 wants
     # 512 (2 MB DMAs), bf16 wants 1024 (same byte size per DMA) —
-    # scratch/exp_sym_sweep.py.  sym_tile() clamps at small dims where
-    # tile ≥ n degenerates to the dense single-tile case.
+    # scratch/exp_sym_sweep.py.  The kernel's own sym_tile() shrinks the
+    # edge to the largest 128-aligned divisor of n; dims with NO such
+    # divisor are skipped by bench_e2e (``_sym_alignable``) rather than
+    # papered over — the old ``or A.shape[0]`` fallback could never
+    # succeed (advisor r4).
     "multiround_sym": lambda A, ev0=None: solve_multiround(
         A,
         EPS,
@@ -83,7 +86,7 @@ E2E_BACKENDS: Dict[str, Callable] = {
         interpret=auto_interpret(),
         ev0=ev0,
         symmetric=True,
-        tile=kernels.sym_tile(A.shape[0], 512) or A.shape[0],
+        tile=512,
     ),
     "multiround_sym_bf16": lambda A, ev0=None: solve_multiround(
         A,
@@ -93,10 +96,19 @@ E2E_BACKENDS: Dict[str, Callable] = {
         interpret=auto_interpret(),
         ev0=ev0,
         symmetric=True,
-        tile=kernels.sym_tile(A.shape[0], 1024) or A.shape[0],
+        tile=1024,
         storage_dtype=jnp.bfloat16,
     ),
 }
+
+
+def _sym_alignable(backend: str, n: int) -> bool:
+    """False when a multiround_sym rung cannot run at dim n (no
+    128-aligned square tile divides n) — bench_e2e records an explicit
+    skip row instead of crashing the sweep."""
+    return not backend.startswith("multiround_sym") or (
+        kernels.sym_tile(n, 1024 if "bf16" in backend else 512) is not None
+    )
 
 
 def measure_rtt_ms() -> float:
@@ -210,6 +222,19 @@ def bench_e2e(
     for name in backends or list(E2E_BACKENDS):
         fn = E2E_BACKENDS[name]
         for n in dims:
+            if not _sym_alignable(name, n):
+                rows.append(
+                    {
+                        "bench": "e2e",
+                        "backend": name,
+                        "dim": n,
+                        "skipped": (
+                            "no 128-aligned square tile divides n — the "
+                            "dense multiround rung keeps the job at this dim"
+                        ),
+                    }
+                )
+                continue
             A = fixtures.hilbert_matrix(n)
             res = fn(A)  # compile + warm
             rounds = int(res.rounds)
@@ -517,6 +542,16 @@ def bench_multihost(dim: int = 2048, reps: int = 3) -> List[dict]:
                 "rounds": r["rounds"],
                 "elems_per_s": r["elems_per_s"],
                 "scaling_efficiency": r["elems_per_s"] / single["elems_per_s"],
+                # in-row so the artifact can never be read as a TPU
+                # scaling result without its caveat (VERDICT r4 item 7 —
+                # the reference's tables always name the hardware,
+                # README.md:70-158)
+                "transport": "gloo-loopback-emulation",
+                "efficiency_note": (
+                    "flow validation on CPU workers over loopback gloo "
+                    "(~ms per exchange); NOT a TPU ICI/DCN scaling "
+                    "measurement — see the suite docstring"
+                ),
             }
         )
     return rows
@@ -555,6 +590,10 @@ def bench_exchange_calibration(dim: int = 8192, reps: int = 5) -> List[dict]:
     gbps, lat = fit_exchange(measured, shards)
     spec2 = _dc.replace(DEFAULT_SPEC, ici_gbps=gbps, ici_latency_us=lat)
     rows = calibration_rows(measured, shards, spec=spec2)
+    for r in rows:
+        # in-row transport marker (VERDICT r4 item 7): the fitted
+        # parameters describe loopback gloo, not TPU ICI
+        r["transport"] = "gloo-loopback-emulation"
 
     # Cross-P validation: predict the 16-shard (4-process) exchange with
     # the parameters FITTED on the 8-shard measurement and compare against
@@ -588,6 +627,7 @@ def bench_exchange_calibration(dim: int = 8192, reps: int = 5) -> List[dict]:
                 "measured_us": measured4[n],
                 "predicted_us": pred,
                 "ratio": measured4[n] / pred if pred > 0 else None,
+                "transport": "gloo-loopback-emulation",
             }
         )
     return rows

@@ -178,6 +178,57 @@ def test_auto_picks_multiround_at_hbm_resident_dims():
     )
 
 
+def test_validate_promotes_symmetric_to_sym_kernel(monkeypatch, rng):
+    """VERDICT r4 item 1: once validate=True has paid for the on-device
+    symmetry check at the multiround dims, a bitwise-symmetric matrix
+    routes to the upper-triangle headline kernel (bench.py's backend)
+    instead of checking and discarding the answer.  The boundary is
+    shrunk so the promotion is exercised on the CPU suite (the real
+    8192² boundary is asserted by test_auto_picks_multiround...)."""
+    import jax.numpy as jnp
+
+    import eigen_value_tpu.api as api_mod
+    from eigen_value_tpu import fixtures
+
+    seen = {}
+    orig = api_mod._solve_fn
+
+    def spy(config, backend, n=None, device=None):
+        seen["symmetric"] = config.symmetric
+        seen["backend"] = backend
+        return orig(config, backend, n, device)
+
+    monkeypatch.setattr(api_mod, "_solve_fn", spy)
+    monkeypatch.setattr(api_mod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(api_mod, "MULTIROUND_MIN_DIM", 256)
+
+    H = fixtures.hilbert_matrix(256)  # symmetric by construction
+    res = api_mod.max_eigenvalue(H, validate=True)
+    assert seen["backend"] == "multiround"
+    assert seen["symmetric"] is True
+    assert int(res.rounds) == fixtures.HILBERT_ROUNDS[256]
+    assert bool(res.converged)
+
+    # a positive but NON-symmetric matrix at the same dim is not promoted
+    A = np.asarray(H).copy()
+    A[0, 1] *= 2.0
+    res_ns = api_mod.max_eigenvalue(jnp.asarray(A), validate=True)
+    assert seen["symmetric"] is False
+    assert bool(res_ns.converged)
+
+    # without validate there is no device check, hence no promotion (a
+    # wrong silent guess would compute a wrong answer)
+    api_mod.max_eigenvalue(H)
+    assert seen["symmetric"] is False
+
+    # an explicit backend choice is authoritative — no promotion
+    api_mod.max_eigenvalue(
+        H, config=SolverConfig(backend="matvec"), validate=True
+    )
+    assert seen["backend"] == "matvec"
+    assert seen["symmetric"] is False
+
+
 def test_storage_dtype_with_non_storage_backend_raises():
     """storage_dtype + an iterated backend (xla/pallas) is a contradictory
     config: those solvers mutate A and cannot honor the reduced-precision

@@ -93,6 +93,53 @@ def test_should_extend_empty_windows(bench):
     assert bench.should_extend([], elapsed_s=0.0) is False
 
 
+def test_should_extend_bar_cleared_early_exit(bench):
+    """VERDICT r4 weak item 1: when the best clean window already beats
+    the 126 ms baseline by ≥ BAR_CLEARED_X (default 30×), the extension
+    stops even though the fast-state target was never reached — the hunt
+    can't change the verdict and only risks the driver's outer timeout.
+    This is exactly the round-4 record's shape: sym windows ~3.46 ms
+    (36×) hunting a 3.24 ms target for 10 extra windows."""
+    windows = [(3.46, 54.0, 27.0), (3.53, 55.0, 27.0)]
+    # 126/3.46 = 36.4x ≥ 30 ⇒ stop, despite target 3.24 not reached
+    assert (
+        bench.should_extend(windows, elapsed_s=100.0, target_ms=3.24)
+        is False
+    )
+    # margin not reached (e.g. the dense backend at 6.5 ms = 19.4x) ⇒
+    # the fast-state hunt still runs
+    assert (
+        bench.should_extend(
+            [(6.5, 90.0, 36.0)], elapsed_s=100.0, target_ms=6.1
+        )
+        is True
+    )
+    # explicit margin: 40x would keep hunting at 3.46 ms
+    assert (
+        bench.should_extend(
+            windows, elapsed_s=100.0, target_ms=3.24, bar_cleared_x=40.0
+        )
+        is True
+    )
+    # 0 disables the exit (the round-4 always-hunt behavior)
+    assert (
+        bench.should_extend(
+            windows, elapsed_s=100.0, target_ms=3.24, bar_cleared_x=0.0
+        )
+        is True
+    )
+    # a suspect sub-floor window can't claim the bar
+    assert (
+        bench.should_extend(
+            [(2.0, 54.0, 27.0)],
+            elapsed_s=100.0,
+            target_ms=3.24,
+            floor_ms=3.0,
+        )
+        is True
+    )
+
+
 def test_should_extend_custom_target(bench):
     windows = [(6.5, 90.0, 36.0)]
     assert (
@@ -329,6 +376,7 @@ def test_bench_py_end_to_end_cpu_with_extension():
             BENCH_WINDOWS="2",
             BENCH_WINDOW_GAP_S="0.1",
             BENCH_FAST_TARGET_MS="0",  # unreachable: always "slow"
+            BENCH_BAR_CLEARED_X="0",  # disable the bar-cleared early exit
             BENCH_EXTEND_S="25",  # a few seconds of extra windows, then stop
             BENCH_DEADLINE_S="240",
         ),
