@@ -20,6 +20,11 @@ def _fmt_e2e(rows) -> str:
         if r["backend"] != backend:
             backend = r["backend"]
             out.append(f"\nSimilarity Transform (backend: {backend})\n")
+        if "skipped" in r:  # e.g. sym rung at an unalignable dim
+            out.append(
+                f"{r['dim']:<5} x {r['dim']:>5}\t\tskipped: {r['skipped']}"
+            )
+            continue
         parity = "" if r["rounds_ok"] else "   [PARITY BREAK]"
         dev = (
             f"{r['device_ms']:.3f} ms"

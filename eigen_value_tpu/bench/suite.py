@@ -1013,15 +1013,34 @@ def bench_large(reps: int = 3) -> List[dict]:
     from ..ops.solver_matvec import solve_matvec_storage
 
     rows = []
-    # λ pins measured on silicon (r3 artifacts; r2 prose for bf16)
+    # λ pins measured on silicon (r3 artifacts; r2 prose for bf16).  The
+    # sym rungs (VERDICT r4 item 5) extend the round-4 traffic win to the
+    # max-size axis: Hilbert is symmetric at every dim, and at 32768² the
+    # halving is worth ~a full second per solve.  Dense rungs are kept
+    # for the A/B.  cache_level stays 0 here — a level-1 cache at 32768²
+    # would need a 1 GiB quadrant resident in 128 MiB of VMEM.
     configs = [
-        ("f32_32768", 32768, jnp.float32, 20, 2.67650),
-        ("bf16_65536", 65536, jnp.bfloat16, 21, 2.70946),
+        ("f32_32768", 32768, jnp.float32, 20, 2.67650, False),
+        ("sym_f32_32768", 32768, jnp.float32, 20, 2.67650, True),
+        ("bf16_65536", 65536, jnp.bfloat16, 21, 2.70946, False),
+        ("sym_bf16_65536", 65536, jnp.bfloat16, 21, 2.70946, True),
     ]
-    for name, n, dt, want_rounds, want_lam in configs:
+    for name, n, dt, want_rounds, want_lam, sym in configs:
         try:
             A = jax.block_until_ready(fixtures.hilbert_matrix(n, dtype=dt))
-            if dt == jnp.float32:
+            if sym:
+                # tile edges per the 8192² tuning (f32 512, bf16 1024 —
+                # scratch/exp_sym_sweep.py); bf16 chunk +2 for the ±1
+                # storage round tolerance
+                _tile = 512 if dt == jnp.float32 else 1024
+                _storage = None if dt == jnp.float32 else jnp.bfloat16
+                fn = jax.jit(
+                    lambda A, ev0, _t=_tile, _s=_storage: solve_multiround(
+                        A, EPS, MAX_ITR, chunk=want_rounds + 2, ev0=ev0,
+                        symmetric=True, tile=_t, storage_dtype=_s,
+                    )
+                )
+            elif dt == jnp.float32:
                 fn = jax.jit(
                     lambda A, ev0: solve_multiround(
                         A, EPS, MAX_ITR, chunk=want_rounds + 1, ev0=ev0
@@ -1071,22 +1090,26 @@ def bench_large(reps: int = 3) -> List[dict]:
                 jax.block_until_ready(run3(A, z))
                 t3 = min(t3, (_time.perf_counter() - s0) * 1e3)
             dev_ms = max(t3 - t1, 0.0) / 2
-            rows.append(
-                {
-                    "bench": "large",
-                    "backend": name,
-                    "dim": n,
-                    "device_ms": dev_ms,
-                    "ms_per_round": dev_ms / max(rounds, 1),
-                    "rounds": rounds,
-                    "eigenvalue": lam,
-                    "converged": bool(res.converged),
-                    # rounds pinned to the round-2 measured values ±1 (bf16
-                    # accumulation-order tolerance, solver_matvec.py)
-                    "rounds_ok": abs(rounds - want_rounds) <= 1
-                    and abs(lam - want_lam) <= 2e-3 * want_lam,
-                }
-            )
+            row = {
+                "bench": "large",
+                "backend": name,
+                "dim": n,
+                "device_ms": dev_ms,
+                "ms_per_round": dev_ms / max(rounds, 1),
+                "rounds": rounds,
+                "eigenvalue": lam,
+                "converged": bool(res.converged),
+                # rounds pinned to the round-2 measured values ±1 (bf16
+                # accumulation-order tolerance, solver_matvec.py)
+                "rounds_ok": abs(rounds - want_rounds) <= 1
+                and abs(lam - want_lam) <= 2e-3 * want_lam,
+            }
+            if sym:
+                from ..ops.pallas.kernels import sym_tile as _sym_tile
+
+                bt = _sym_tile(n, 512 if dt == jnp.float32 else 1024)
+                row["traffic_frac"] = round(0.5 + 0.5 * bt / n, 4)
+            rows.append(row)
         except Exception as e:  # pragma: no cover - OOM/platform guard
             rows.append(
                 {"bench": "large", "backend": name, "dim": n, "error": str(e)}

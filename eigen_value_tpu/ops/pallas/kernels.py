@@ -677,31 +677,32 @@ def multiround(
 
 
 def _multiround_sym_kernel(
-    ti_ref,
-    tj_ref,
-    ev_in,
-    v_in,
-    lam_in,
-    budget_in,
-    a_ref,
-    ev_out,
-    v_out,
-    adv_out,
-    lam_out,
-    ev_s,
-    evcol_s,
-    vrow_s,
-    rawrow_s,
-    rawcol_s,
-    done_s,
-    adv_s,
-    lam_s,
-    *,
+    *args,
     eps,
     init,
     eps_mode,
     formulation,
+    cached=(),
+    slots=0,
 ):
+    # ``cached`` (static): the (i, j) tile coordinates of the strictly-
+    # off-diagonal tiles held VMEM-resident across the whole chunk —
+    # see :func:`multiround_sym`'s cache_tiles.  With caching the
+    # argument list gains three more scalar-prefetch arrays (the
+    # per-grid-step cached-work slots), A again pinned to HBM (the DMA
+    # source), a packed cache scratch and a DMA semaphore array.
+    if cached:
+        (ti_ref, tj_ref, cs_ref, cdi_ref, cdj_ref,
+         ev_in, v_in, lam_in, budget_in, a_ref, a_hbm,
+         ev_out, v_out, adv_out, lam_out,
+         ev_s, evcol_s, vrow_s, rawrow_s, rawcol_s, done_s, adv_s, lam_s,
+         cache_s, dma_sem) = args
+    else:
+        (ti_ref, tj_ref,
+         ev_in, v_in, lam_in, budget_in, a_ref,
+         ev_out, v_out, adv_out, lam_out,
+         ev_s, evcol_s, vrow_s, rawrow_s, rawcol_s, done_s, adv_s,
+         lam_s) = args
     r = pl.program_id(0)  # round within the chunk (outermost)
     t = pl.program_id(1)  # upper-triangle tile index
     k, T = pl.num_programs(0), pl.num_programs(1)
@@ -716,6 +717,30 @@ def _multiround_sym_kernel(
         done_s[0] = 0
         adv_s[0] = 0
         lam_s[0] = lam_in[0, 0]
+        # Fill the packed VMEM cache ONCE per solve: each cached tile is
+        # DMA'd from the HBM-resident A at full bandwidth and then reused
+        # by every round — the whole point of the cached variant (the
+        # one-shot ~130 µs fill is charged to the solve; the per-round
+        # HBM traffic drops by the cached area).  Up to 8 copies are kept
+        # in flight (strided starts against an 8-slot semaphore ring) so
+        # the fill runs at stream bandwidth without assuming an unbounded
+        # hardware DMA queue.
+        depth = min(8, len(cached))
+
+        def _copy(s):
+            tii, tjj = cached[s]
+            return pltpu.make_async_copy(
+                a_hbm.at[tii * bt:(tii + 1) * bt, tjj * bt:(tjj + 1) * bt],
+                cache_s.at[s * bt:(s + 1) * bt, :],
+                dma_sem.at[s % depth] if depth else dma_sem.at[0],
+            )
+
+        for s in range(len(cached)):
+            if s >= depth:
+                _copy(s - depth).wait()
+            _copy(s).start()
+        for s in range(max(0, len(cached) - depth), len(cached)):
+            _copy(s).wait()
 
     # Round prologue (once per round): finish the previous round's
     # division, run the stop check / λ snapshot / max / eigenvector
@@ -798,6 +823,55 @@ def _multiround_sym_kernel(
             )
             rawrow_s[:, pl.ds(j * bt, bt)] += part_j
 
+    # Cached-tile contributions, SPREAD ACROSS the streamed grid steps
+    # (``slots`` per step): each step's cached work (~0.3 µs of VPU per
+    # tile on resident data) hides under that step's ~1.3 µs streamed-
+    # tile DMA.  Concentrating it in the round prologue instead stalls
+    # the stream — the pipeline prefetches only one block ahead, so a
+    # long t==0 compute serializes with ALL later DMAs (measured: level-1
+    # quadrants at 4.58 ms vs 3.51 ms pure streaming).  Every cached
+    # tile is strictly off-diagonal ⇒ always both the direct and the
+    # transpose term.  Same freeze rationale as the streamed path.
+    if cached:
+        for kc in range(slots):
+            s = cs_ref[t * slots + kc]
+            ci = cdi_ref[t * slots + kc]
+            cj = cdj_ref[t * slots + kc]
+
+            @pl.when(s >= 0)
+            def _(s=s, ci=ci, cj=cj):
+                blk = cache_s[pl.ds(s * bt, bt), :].astype(ev_s.dtype)
+                if formulation == "dot":
+                    part_ci = jax.lax.dot_general(
+                        ev_s[:, pl.ds(cj * bt, bt)],
+                        blk,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    rawrow_s[:, pl.ds(ci * bt, bt)] += part_ci
+                    part_cj = jax.lax.dot_general(
+                        ev_s[:, pl.ds(ci * bt, bt)],
+                        blk,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    rawrow_s[:, pl.ds(cj * bt, bt)] += part_cj
+                else:
+                    part_ci = jnp.sum(
+                        blk * ev_s[:, pl.ds(cj * bt, bt)],
+                        axis=1,
+                        keepdims=True,
+                    )
+                    rawcol_s[pl.ds(ci * bt, bt), :] += part_ci
+                    part_cj = jnp.sum(
+                        blk * evcol_s[pl.ds(ci * bt, bt), :],
+                        axis=0,
+                        keepdims=True,
+                    )
+                    rawrow_s[:, pl.ds(cj * bt, bt)] += part_cj
+
     @pl.when((r == k - 1) & (t == T - 1))
     def _():
         d = done_s[0] == 1
@@ -821,11 +895,44 @@ def sym_tile(n: int, tile: int = 512) -> int | None:
     return next((b for b in range(top, 127, -128) if n % b == 0), None)
 
 
+def sym_auto_cache_tiles(
+    n: int, bt: int, itemsize: int = 4, budget_mb: int = 104
+) -> int:
+    """Largest safe ``cache_tiles`` for :func:`multiround_sym` on a v5e:
+    fill ``budget_mb`` of VMEM with resident tiles, capped at the
+    strictly-off-diagonal tile count.  The default budget is the
+    measured-good flagship point: 104 MiB of cache + ~10.5 MiB of
+    stream/state/margin compiles inside the 128 MiB VMEM and measures
+    1.30 ms at 8192² f32 (vs 3.51 ms pure streaming; 110 MiB+ risks the
+    Mosaic scoped-vmem OOM — scratch/exp_sym_cached.py)."""
+    g = n // bt
+    per_tile = bt * bt * itemsize
+    return max(0, min((budget_mb << 20) // per_tile, g * (g - 1) // 2))
+
+
+def sym_cache_split(n: int, bt: int, cache_tiles: int):
+    """Partition the upper-triangle tile grid into (streamed, cached):
+    up to ``cache_tiles`` strictly-off-diagonal tiles — those FURTHEST
+    from the diagonal first (an arbitrary but fixed choice; any strictly-
+    off-diagonal tile is cacheable) — go VMEM-resident, the diagonal
+    tiles plus the remainder stream.  Returns (streamed, cached) as
+    tuples of (i, j) tile coordinates."""
+    g = n // bt
+    offdiag = sorted(
+        ((i, j) for i in range(g) for j in range(i + 1, g)),
+        key=lambda ij: ij[0] - ij[1],  # j - i descending
+    )
+    c = min(cache_tiles, len(offdiag))
+    cached = tuple(offdiag[:c])
+    streamed = tuple(sorted([(i, i) for i in range(g)] + offdiag[c:]))
+    return streamed, cached
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "chunk", "init", "eps", "eps_mode", "tile", "interpret",
-        "formulation",
+        "formulation", "cache_tiles",
     ),
 )
 def multiround_sym(
@@ -842,6 +949,7 @@ def multiround_sym(
     tile: int = 512,
     interpret: bool = False,
     formulation: str = "vpu",
+    cache_tiles: int = 0,
 ):
     """:func:`multiround` for a SYMMETRIC matrix: each round reads only
     the ``g(g+1)/2`` upper-triangle tiles of A — ~HALF the HBM traffic of
@@ -863,8 +971,9 @@ def multiround_sym(
     ``validate=True`` checks it on device).
 
     The tile order is enumerated by scalar-prefetch index arrays, so the
-    grid has exactly ``chunk · g(g+1)/2`` steps — no masked iterations, no
-    wasted DMA.  Diagonal tiles are streamed whole (their lower halves are
+    grid has exactly ``chunk · len(streamed)`` steps (= ``chunk ·
+    g(g+1)/2`` without caching) — no masked iterations, no wasted DMA.
+    Diagonal tiles are streamed whole (their lower halves are
     the only excess traffic: ½·n·bt elements per round, ≤ 6.3% at the
     default tile=512, 8192²).  Prologue/freeze/chunk semantics are
     bit-identical in structure to :func:`multiround`; the reduction order
@@ -876,6 +985,21 @@ def multiround_sym(
     term, sublane reduce for the transpose term; two accumulators merged
     once per round) and "dot" (MXU ``dot_general`` at HIGHEST for both
     terms, single lane-space accumulator).
+
+    ``cache_tiles`` (round 5) holds that many strictly-off-diagonal
+    tiles VMEM-RESIDENT across all rounds: the v5e has ~128 MiB of VMEM
+    and this solve is pure HBM streaming, so any part of A that fits on
+    chip needs to cross HBM exactly once per SOLVE instead of once per
+    ROUND (packed cache filled by in-kernel DMA at the first grid step;
+    tile choice: :func:`sym_cache_split`).  The cached tiles' matvec
+    contributions are spread across the streamed grid steps so the VPU
+    work hides under the stream DMAs (the kernel docstring's measured
+    prologue-stall negative).  At 8192²/tile=512 with cache_tiles=96
+    (96 MiB), per-solve HBM traffic is (18·40 + 96)/(18·256) ≈ 0.18× of
+    the dense stream.  The reference has no analog — its largest
+    on-chip memory is a workgroup local buffer
+    (similarity_transform.cpp:96-99); this is the TPU-native
+    exploitation of a 3-orders-larger on-chip store.
     """
     n, ncols = A.shape
     assert n == ncols, (n, ncols)
@@ -888,9 +1012,26 @@ def multiround_sym(
             f"the dense multiround kernel"
         )
     g = n // bt
-    tri = [(i, j) for i in range(g) for j in range(i, g)]
+    tri, cached = sym_cache_split(n, bt, cache_tiles)
     ti = jnp.asarray([i for i, _ in tri], jnp.int32)
     tj = jnp.asarray([j for _, j in tri], jnp.int32)
+    # per-step cached-work slot arrays: cached tile s is handled at
+    # streamed step s % T, slot s // T (round-robin), so the resident
+    # compute spreads evenly across the round's DMA timeline
+    T, C = len(tri), len(cached)
+    slots = -(-C // T) if C else 0
+    if C:
+        cs = [-1] * (T * slots)
+        cdi = [0] * (T * slots)
+        cdj = [0] * (T * slots)
+        for s, (ci_, cj_) in enumerate(cached):
+            t_idx, kc = s % T, s // T
+            cs[t_idx * slots + kc] = s
+            cdi[t_idx * slots + kc] = ci_
+            cdj[t_idx * slots + kc] = cj_
+        cs = jnp.asarray(cs, jnp.int32)
+        cdi = jnp.asarray(cdi, jnp.int32)
+        cdj = jnp.asarray(cdj, jnp.int32)
 
     state_dt = ev.dtype  # f32 even when A is reduced-precision STORAGE
     lam_arr = jnp.asarray(lam, state_dt).reshape(1, 1)
@@ -908,44 +1049,68 @@ def multiround_sym(
         pltpu.SMEM((1,), jnp.int32),  # rounds advanced
         pltpu.SMEM((1,), state_dt),  # λ snapshot
     ]
+    if C:
+        # the packed resident cache + an 8-slot DMA semaphore ring for
+        # the pipelined one-shot fill
+        scratch.append(pltpu.VMEM((C * bt, bt), A.dtype))
+        scratch.append(pltpu.SemaphoreType.DMA((min(8, C),)))
+    # index-map lambdas take (r, t, *prefetch-refs); *pref keeps one
+    # definition valid for both the 2-array and the 5-array (cached) form
+    in_specs = [
+        pl.BlockSpec(
+            (1, n), lambda r, t, *pref: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, n), lambda r, t, *pref: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1), lambda r, t, *pref: (0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (1, 1), lambda r, t, *pref: (0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (bt, bt),
+            lambda r, t, ti, tj, *pref: (ti[t], tj[t]),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if C:
+        # A again, un-blocked and PINNED to HBM: the DMA source for the
+        # resident cache (passing the SAME array twice costs nothing —
+        # no copy; the tiled spec above streams it, this ref feeds the
+        # one-shot cache fills).  ANY must not be used here: the
+        # compiler "helpfully" places an ANY-space operand in VMEM when
+        # it fits its model, which charges the whole 256 MiB of A
+        # against the 128 MiB budget (measured: 322 MiB requested, OOM).
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=5 if C else 2,
         grid=(chunk, len(tri)),
-        in_specs=[
-            pl.BlockSpec(
-                (1, n), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, n), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (bt, bt),
-                lambda r, t, ti, tj: (ti[t], tj[t]),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
-                (1, n), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.VMEM
+                (1, n), lambda r, t, *pref: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, n), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.VMEM
+                (1, n), lambda r, t, *pref: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.SMEM
+                (1, 1), lambda r, t, *pref: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1), lambda r, t, ti, tj: (0, 0), memory_space=pltpu.SMEM
+                (1, 1), lambda r, t, *pref: (0, 0), memory_space=pltpu.SMEM
             ),
         ),
         scratch_shapes=scratch,
     )
+    cache_bytes = C * bt * bt * A.dtype.itemsize
+    operands = [ti, tj]
+    if C:
+        operands += [cs, cdi, cdj]
+    operands += [ev[None, :], v[None, :], lam_arr, budget_arr, A]
+    if C:
+        operands.append(A)
     evn, vn, adv, lamn = pl.pallas_call(
         functools.partial(
             _multiround_sym_kernel,
@@ -953,6 +1118,8 @@ def multiround_sym(
             init=init,
             eps_mode=eps_mode,
             formulation=formulation,
+            cached=cached,
+            slots=slots,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -963,7 +1130,9 @@ def multiround_sym(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * chunk * n * n,
-            bytes_accessed=chunk * len(tri) * bt * bt * A.dtype.itemsize,
+            bytes_accessed=(
+                chunk * len(tri) * bt * bt * A.dtype.itemsize + cache_bytes
+            ),
             transcendentals=0,
         ),
         # Double-buffered (bt, bt) tiles (2.5× the pair — Mosaic's
@@ -971,7 +1140,10 @@ def multiround_sym(
         # O(n) lane-space state.  The vpu formulation's two COLUMN-layout
         # (n, 1) scratches are physically lane-padded to (n, 128) —
         # n·128·itemsize each (measured: 8.03 MiB scoped at 8192² f32,
-        # the round-4 OOM) — so they get their own explicit term.
+        # the round-4 OOM) — so they get their own explicit term.  The
+        # resident cache (cache_tiles > 0) adds its exact footprint plus
+        # a doubled margin (measured 604 KiB past the 4 MiB margin with
+        # resident buffers present).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(
                 5 * bt * bt * A.dtype.itemsize // 2
@@ -980,11 +1152,12 @@ def multiround_sym(
                     if formulation == "vpu"
                     else 0
                 )
-                + (4 << 20)
+                + cache_bytes
+                + ((8 << 20) if C else (4 << 20))
             ),
         ),
         interpret=interpret,
-    )(ti, tj, ev[None, :], v[None, :], lam_arr, budget_arr, A)
+    )(*operands)
     return evn[0, :], vn[0, :], adv[0, 0], lamn[0, 0]
 
 

@@ -323,7 +323,7 @@ def solve_matvec_storage(
     jax.jit,
     static_argnames=(
         "eps", "max_itr", "chunk", "block_rows", "interpret", "eps_mode",
-        "formulation", "storage_dtype", "symmetric", "tile",
+        "formulation", "storage_dtype", "symmetric", "tile", "cache_tiles",
     ),
 )
 def solve_multiround(
@@ -339,6 +339,7 @@ def solve_multiround(
     storage_dtype=None,
     symmetric: bool = False,
     tile: int = 512,
+    cache_tiles: int = 0,
 ) -> SolveResult:
     """Matvec-form solve where up to ``chunk`` ROUNDS run per Pallas
     invocation (:func:`..pallas.kernels.multiround`) — the round-3 attack
@@ -371,6 +372,13 @@ def solve_multiround(
     128-aligned square divisor of n (``kernels.sym_tile``); round-count
     parity at the benchmark dims is asserted by tests (different f32
     reduction order than every dense formulation).
+
+    ``cache_tiles`` (symmetric only, round 5) additionally holds that
+    many strictly-off-diagonal tiles VMEM-RESIDENT across the whole
+    solve — they cross HBM once per solve instead of once per round,
+    their matvec work spread across the streamed steps
+    (kernels.multiround_sym docstring; ~0.18× dense traffic with 96
+    cached tiles at 8192²/tile=512).  0 = pure streaming.
     """
     from .pallas import kernels
 
@@ -398,6 +406,10 @@ def solve_multiround(
     if symmetric:
         kernel = kernels.multiround_sym
         kw["tile"] = tile
+        # VMEM-resident off-diagonal tiles (round 5): the cached area
+        # crosses HBM once per SOLVE instead of once per round — see
+        # kernels.multiround_sym's cache_tiles notes
+        kw["cache_tiles"] = cache_tiles
     else:
         kernel = kernels.multiround
         kw["block_rows"] = block_rows

@@ -17,6 +17,18 @@ def test_bench_e2e_rows():
         assert r["ms"] > 0
 
 
+def test_bench_e2e_sym_skips_unalignable_dim():
+    """A sym rung at a dim with no 128-aligned square divisor must emit
+    an explicit skip row, not crash the sweep (advisor r4: the old
+    ``or A.shape[0]`` fallback could never succeed)."""
+    rows = suite.bench_e2e([96], backends=["multiround_sym"], reps=1)
+    assert len(rows) == 1
+    assert "skipped" in rows[0] and rows[0]["dim"] == 96
+    # and the alignable path still runs (128² interpret is cheap)
+    ok = suite.bench_e2e([128], backends=["multiround_sym"], reps=1)
+    assert ok[0]["rounds"] == 9 and ok[0]["rounds_ok"]
+
+
 def test_vector_kernel_rows():
     rows = suite.bench_vector_kernels(sizes=[1 << 16], k=5)
     names = {r["kernel"] for r in rows}

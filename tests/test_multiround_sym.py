@@ -181,6 +181,96 @@ def test_unalignable_dim_raises():
         )
 
 
+class TestVmemCache:
+    """The round-5 cached variant (cache_tiles > 0): strictly-off-
+    diagonal tiles held VMEM-resident in a packed cache, their matvec
+    work spread across the streamed grid steps
+    (kernels.sym_cache_split).  Semantics must be indistinguishable up
+    to f32 reduction order."""
+
+    def test_cache_split_geometry(self):
+        from eigen_value_tpu.ops.pallas.kernels import sym_cache_split
+
+        streamed, cached = sym_cache_split(8192, 512, 0)
+        assert cached == () and len(streamed) == 136
+        streamed, cached = sym_cache_split(8192, 512, 96)
+        assert len(cached) == 96 and len(streamed) == 40
+        # every cached tile strictly off-diagonal; no tile in both sets;
+        # together they cover the whole upper triangle
+        assert all(j > i for i, j in cached)
+        assert not set(cached) & set(streamed)
+        assert set(cached) | set(streamed) == {
+            (i, j) for i in range(16) for j in range(i, 16)
+        }
+        # asking for more than exist caps at the off-diagonal count
+        _, cached_all = sym_cache_split(8192, 512, 10_000)
+        assert len(cached_all) == 120
+
+    @pytest.mark.parametrize("n,tiles", [(256, 1), (512, 3), (512, 6)])
+    def test_round_parity_and_lambda(self, n, tiles):
+        H = fixtures.hilbert_matrix(n)
+        want = solve_matvec(H, EPS, MAX_ITR)
+        got = _solve_sym(H, cache_tiles=tiles)
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[n]
+        assert bool(got.converged)
+        assert float(got.eigenvalue) == pytest.approx(
+            float(want.eigenvalue), rel=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.eigenvector),
+            np.asarray(want.eigenvector),
+            rtol=1e-4,
+        )
+
+    @pytest.mark.parametrize("chunk", [1, 3, 18])
+    def test_chunk_boundaries_are_invisible(self, chunk):
+        H = fixtures.hilbert_matrix(256)
+        want = _solve_sym(H, chunk=18, cache_tiles=1)
+        got = _solve_sym(H, chunk=chunk, cache_tiles=1)
+        assert int(got.rounds) == int(want.rounds)
+        assert float(got.eigenvalue) == float(want.eigenvalue)
+        np.testing.assert_array_equal(
+            np.asarray(got.eigenvector), np.asarray(want.eigenvector)
+        )
+
+    def test_lower_triangle_never_read(self):
+        """The defining property survives caching: cached tiles are
+        strictly above the diagonal and streamed tiles are the upper
+        triangle's remainder, so tiles strictly below the (tile-grid)
+        block diagonal stay unread."""
+        A = _sym(512)
+        corrupted = jnp.where(
+            _below_block_diagonal(512, 128) > 0, jnp.float32(7.25), A
+        )
+        for tiles in (3, 6):
+            want = _solve_sym(A, cache_tiles=tiles)
+            got = _solve_sym(corrupted, cache_tiles=tiles)
+            assert int(got.rounds) == int(want.rounds), tiles
+            assert float(got.eigenvalue) == float(want.eigenvalue), tiles
+
+    def test_bf16_storage_composes(self):
+        H = fixtures.hilbert_matrix(256)
+        want = solve_multiround(
+            H, EPS, MAX_ITR, chunk=12, interpret=True,
+            storage_dtype=jnp.bfloat16,
+        )
+        got = solve_multiround(
+            H, EPS, MAX_ITR, chunk=12, interpret=True, symmetric=True,
+            tile=128, storage_dtype=jnp.bfloat16, cache_tiles=1,
+        )
+        assert abs(int(got.rounds) - int(want.rounds)) <= 1
+        assert bool(got.converged)
+        assert float(got.eigenvalue) == pytest.approx(
+            float(want.eigenvalue), rel=2e-3
+        )
+
+    def test_dot_formulation_composes(self):
+        H = fixtures.hilbert_matrix(512)
+        got = _solve_sym(H, cache_tiles=4, formulation="dot")
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[512]
+        assert bool(got.converged)
+
+
 class TestConfigRouting:
     """The honored-or-rejected contract for the ``symmetric`` knob."""
 

@@ -222,17 +222,20 @@ def test_multiround_parity_on_hardware(n):
 
 
 @pytest.mark.parametrize(
-    "n,tile", [(1024, 512), (1024, 1024), (2048, 256), (2048, 512)]
+    "n,tile",
+    [(1024, 512), (1024, 1024), (2048, 256), (2048, 512), (8192, 512)],
 )
 def test_multiround_sym_parity_on_hardware(n, tile):
     """The round-4 SYMMETRIC multi-round kernel (bench.py's headline
     path) compiled on silicon: exact round parity with the Hilbert table,
     λ, convergence, A·v ≈ λ·v — at a chunk that splits the round sequence
     mid-solve AND at the bench's exact-fit chunk, across tile edges that
-    exercise the triangle enumeration (n/tile ∈ {1, 2, 4, 8} grids).
+    exercise the triangle enumeration (n/tile ∈ {1, 2, 4, 8, 16} grids).
     Until this test the sym kernel had only interpret-mode coverage;
     bench.py now headlines it, so Mosaic-compiled behavior is the
-    production path (same gap class as VERDICT r3 item 2)."""
+    production path (same gap class as VERDICT r3 item 2).  The 8192²
+    case (VERDICT r4 item 3) pins direct correctness at the exact dim
+    the record is claimed at — not just gate timing."""
     from eigen_value_tpu.config import EPS, MAX_ITR
     from eigen_value_tpu.ops.solver_matvec import solve_multiround
 
@@ -245,6 +248,34 @@ def test_multiround_sym_parity_on_hardware(n, tile):
             )
         )
         assert int(res.rounds) == want, (n, tile, chunk)
+        assert bool(res.converged)
+    vec = np.asarray(res.eigenvector)
+    lam = float(res.eigenvalue)
+    Hn = np.asarray(fixtures.hilbert_matrix(n))
+    assert np.allclose(Hn @ vec, lam * vec, atol=1e-3)
+
+
+@pytest.mark.parametrize("n,tiles", [(2048, 4), (8192, 64), (8192, 96)])
+def test_multiround_sym_cached_parity_on_hardware(n, tiles):
+    """The round-5 VMEM-cached variant compiled on silicon: the packed
+    resident cache (up to 96 MiB at 8192²/96 tiles) must produce the
+    exact Hilbert round counts and an eigen-pair that satisfies
+    A·v ≈ λ·v at the flagship dim — the headline configuration's direct
+    correctness coverage (kernels.sym_cache_split; the in-kernel DMA
+    fill has no interpret-mode analog of Mosaic's real semaphores)."""
+    from eigen_value_tpu.config import EPS, MAX_ITR
+    from eigen_value_tpu.ops.solver_matvec import solve_multiround
+
+    H = jax.device_put(np.asarray(fixtures.hilbert_matrix(n)), _tpu())
+    want = fixtures.HILBERT_ROUNDS[n]
+    for chunk in (5, want + 1):
+        res = jax.block_until_ready(
+            solve_multiround(
+                H, EPS, MAX_ITR, chunk=chunk, symmetric=True, tile=512,
+                cache_tiles=tiles,
+            )
+        )
+        assert int(res.rounds) == want, (n, tiles, chunk)
         assert bool(res.converged)
     vec = np.asarray(res.eigenvector)
     lam = float(res.eigenvalue)
