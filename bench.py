@@ -381,16 +381,20 @@ def main() -> None:
     # family are hardware-independent (reference README tables;
     # fixtures.HILBERT_ROUNDS), so this is a shape-style tuning
     # constant, not a stopping rule.
-    from eigen_value_tpu.ops.pallas.kernels import sym_tile
+    from eigen_value_tpu.ops.pallas.kernels import (
+        sym_auto_cache_tiles,
+        sym_cache_split,
+        sym_tile,
+    )
     from eigen_value_tpu.ops.solver_matvec import solve_multiround
 
     SYM_TILE = int(os.environ.get("BENCH_SYM_TILE", "512"))
-    # bf16 wants a LARGER tile than f32: at a given tile edge the bf16
-    # tile carries half the bytes, and below ~2 MB/DMA the transfers
-    # stop covering the grid-step latency (sweep: sym512_bf16 reads
-    # 604 GB/s effective vs sym1024_bf16's ~745 — scratch/exp_sym_sweep.py).
-    # f32 prefers 512 (2 MB) over 1024 (4 MB, fewer column-skip savings).
-    SYM_TILE_BF16 = int(os.environ.get("BENCH_SYM_TILE_BF16", "1024"))
+    # bf16 composes with the same 512 tile once the VMEM cache carries
+    # most of the triangle (round 5): the old 1024-tile preference came
+    # from DMA-size effects that the cached variant mostly sidesteps
+    # (bf16 tile=512 cache=96 measured 1.15 ms vs tile=1024 C0's 1.78 —
+    # scratch/exp_sym_cached.py).
+    SYM_TILE_BF16 = int(os.environ.get("BENCH_SYM_TILE_BF16", "512"))
     use_sym = (
         use_pallas
         and sym_tile(DIM, SYM_TILE) is not None
@@ -399,24 +403,51 @@ def main() -> None:
         # DECLARES structure must check it holds before exploiting it
         and bool(jax.jit(lambda A: jnp.all(A == A.T))(H))
     )
-    # frac from the tile the kernel ACTUALLY selects: sym_tile may pick a
-    # smaller divisor than the requested env value (e.g. 768 → 512 at
-    # 8192²), and a frac computed from the request would skew floor_ms,
-    # the chip-state classification, and the extension target (advisor
-    # r4).  The kernel is invoked with tile=SYM_TILE and performs the
-    # same selection internally.
-    frac = (
-        (0.5 + 0.5 * sym_tile(DIM, SYM_TILE) / DIM) if use_sym else 1.0
+    # VMEM-resident tile cache (round 5): the measured-good flagship
+    # budget is 104 MiB f32 / 48 MiB bf16 (scratch/exp_sym_cached.py —
+    # 1.30 ms vs 3.51 pure streaming); interpret mode (the CPU test
+    # path) keeps whatever degenerate count the tiny dim yields.
+    SYM_CACHE_MB = int(os.environ.get("BENCH_SYM_CACHE_MB", "104"))
+    SYM_CACHE_MB_BF16 = int(os.environ.get("BENCH_SYM_CACHE_MB_BF16", "48"))
+    sym_bt = sym_tile(DIM, SYM_TILE) if use_sym else None
+    cache_tiles = (
+        sym_auto_cache_tiles(DIM, sym_bt, 4, SYM_CACHE_MB) if use_sym else 0
     )
+    # frac from the tiles the kernel ACTUALLY streams/caches: sym_tile
+    # may pick a smaller divisor than the requested env value, and the
+    # cached tiles cross HBM once per SOLVE instead of once per round —
+    # a frac computed from the request would skew floor_ms and the
+    # extension target (advisor r4).
+    if use_sym:
+        streamed_t, cached_t = sym_cache_split(DIM, sym_bt, cache_tiles)
+        passes = expected + 1
+        frac = (
+            (passes * len(streamed_t) + len(cached_t))
+            * sym_bt * sym_bt / (passes * DIM * DIM)
+        )
+    else:
+        frac = 1.0
+    # With a resident cache the solve is ~VPU-COMPUTE-bound, not HBM-
+    # bound (measured 1.30 ms vs the 0.70 ms frac-scaled HBM floor), so
+    # a GB/s-implied chip-state classification would misread compute
+    # time as a permanently "slow" HBM state — it is skipped below.
+    compute_bound = use_sym and cache_tiles > 0
     if use_pallas:
-        backend = "multiround_sym_pallas" if use_sym else "multiround_pallas"
+        if use_sym:
+            backend = (
+                "multiround_sym_cached_pallas"
+                if cache_tiles
+                else "multiround_sym_pallas"
+            )
+        else:
+            backend = "multiround_pallas"
         chunk = expected + 1
 
     def solve(H, ev0):
         if use_pallas:
             return solve_multiround(
                 H, EPS, MAX_ITR, chunk=chunk, interpret=interpret, ev0=ev0,
-                symmetric=use_sym, tile=SYM_TILE,
+                symmetric=use_sym, tile=SYM_TILE, cache_tiles=cache_tiles,
             )
         return solve_matvec_loop(H, lambda ev: (H @ ev) / ev, EPS, MAX_ITR, ev0=ev0)
 
@@ -468,12 +499,19 @@ def main() -> None:
         the chunk is probed per run rather than assumed: an exact fit
         measures ~0.1 ms faster than the jnp.dot loop, an overshot chunk
         would waste frozen DMA rounds — scratch/exp_bf16_multiround.py).
-        Composes with the symmetric kernel when the headline does: bf16
-        storage halves the bytes of the already-halved triangle traffic
-        (tile=1024 ⇒ frac 0.5625, × ½ the bytes ≈ 0.28× the dense-f32
-        traffic)."""
+        Composes with the symmetric CACHED kernel when the headline does
+        (round 5): bf16 halves both the streamed bytes and the resident
+        cache's footprint, so a 48 MiB budget caches 96 of the 136
+        tiles — measured 1.15 ms (scratch/exp_sym_cached.py)."""
         from eigen_value_tpu.ops.solver_matvec import solve_matvec_storage
 
+        bf16_cache = (
+            sym_auto_cache_tiles(
+                DIM, sym_tile(DIM, SYM_TILE_BF16), 2, SYM_CACHE_MB_BF16
+            )
+            if use_sym
+            else 0
+        )
         Hb = jax.block_until_ready(H.astype(jnp.bfloat16))
         # probe the round count with the REAL backend: reduction order
         # differs per kernel and a mis-fit chunk either restarts the
@@ -482,7 +520,7 @@ def main() -> None:
             probe = solve_multiround(
                 Hb, EPS, MAX_ITR, chunk=expected + 2, interpret=interpret,
                 storage_dtype=jnp.bfloat16, symmetric=use_sym,
-                tile=SYM_TILE_BF16,
+                tile=SYM_TILE_BF16, cache_tiles=bf16_cache,
             )
         else:
             probe = solve_matvec_storage(
@@ -502,6 +540,7 @@ def main() -> None:
                     storage_dtype=jnp.bfloat16,
                     symmetric=use_sym,
                     tile=SYM_TILE_BF16,
+                    cache_tiles=bf16_cache,
                 )
             return solve_matvec_storage(
                 Hb, EPS, MAX_ITR, storage_dtype=jnp.bfloat16, ev0=ev0
@@ -529,11 +568,25 @@ def main() -> None:
 
     peak_gbps = detect_peak_hbm_gbps()
     floor_ms = physical_floor_ms(rounds, peak_gbps, frac=frac)
+    # The chip-state classification infers the HBM state from GB/s
+    # implied by the reading — meaningless for the compute-bound cached
+    # backend (its time is VPU work, not bytes), so classification is
+    # disabled there; the frac-scaled HBM floor stays as the (loose but
+    # valid) suspect-reading guard.
+    state_peak = None if compute_bound else peak_gbps
     # effective extension target: the dense-equivalent knob scaled by the
     # headline backend's traffic fraction (module constant docs)
     fast_target = round(FAST_TARGET_MS * frac, 2)
     windows = []
     extra = {}
+    if compute_bound:
+        extra["cache_tiles"] = cache_tiles
+        extra["compute_bound"] = True
+        extra["cache_note"] = (
+            f"{cache_tiles} off-diagonal tiles ({cache_tiles * sym_bt * sym_bt * 4 >> 20} MiB) "
+            "VMEM-resident across the solve; the solve is ~VPU-bound, so "
+            "no GB/s-implied chip-state classification applies"
+        )
     emitted = False
 
     def emit_partial(signum, frame):
@@ -546,8 +599,8 @@ def main() -> None:
             print(
                 json.dumps(
                     summarize(
-                        windows, rounds, backend, floor_ms, extra, peak_gbps,
-                        frac=frac, fast_target_ms=fast_target,
+                        windows, rounds, backend, floor_ms, extra,
+                        state_peak, frac=frac, fast_target_ms=fast_target,
                     )
                 ),
                 flush=True,
@@ -560,7 +613,7 @@ def main() -> None:
     def take_window(w: int) -> None:
         dev_ms, t_long, t_short = window()
         windows.append((dev_ms, t_long, t_short))
-        state = classify_chip_state(dev_ms, rounds, peak_gbps, frac=frac)
+        state = classify_chip_state(dev_ms, rounds, state_peak, frac=frac)
         note = f" ({state} state)" if state else ""
         print(f"window {w}: {dev_ms:.3f} ms/solve{note}", file=sys.stderr)
 
@@ -720,6 +773,64 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - diagnostic only
             print(f"WARNING: dense secondary failed: {e}", file=sys.stderr)
 
+    def measure_sym_stream():
+        """One chained window of the PURE-STREAMING symmetric kernel (the
+        round-4 headline backend, cache_tiles=0) — the middle rung of the
+        in-record optimization ladder (dense 6.4 → sym-stream 3.5 →
+        sym-cached 1.3 ms), so a regression in the cache OR the triangle
+        enumeration is attributable from the JSON alone."""
+
+        def solve_s(H, ev0):
+            return solve_multiround(
+                H, EPS, MAX_ITR, chunk=chunk, interpret=interpret, ev0=ev0,
+                symmetric=True, tile=SYM_TILE,
+            )
+
+        def chain_s(k: int):
+            @jax.jit
+            def run(H: jax.Array) -> jax.Array:
+                def body(i, acc):
+                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+                    ev0 = jnp.ones((DIM,), jnp.float32) * s
+                    return solve_s(H, ev0).eigenvalue
+
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            return run
+
+        ls, ss = chain_s(CHAIN), chain_s(1)
+        _sync(ls(H))
+        t_l = _min_ms(lambda: _sync(ls(H)))
+        t_s = _min_ms(lambda: _sync(ss(H)))
+        return max((t_l - t_s) / (CHAIN - 1), 1e-3)
+
+    if compute_bound and not secondary_timed_out:
+        try:
+            stream_ms = _call_with_deadline(measure_sym_stream, BF16_DEADLINE_S)
+            extra.update(
+                {
+                    "sym_stream_ms": round(stream_ms, 3),
+                    "sym_stream_vs_baseline": round(BASELINE_MS / stream_ms, 2),
+                    "sym_stream_note": (
+                        "same-run cache_tiles=0 triangle streaming (the "
+                        "round-4 headline backend) — the VMEM cache's win, "
+                        "same session"
+                    ),
+                }
+            )
+            print(f"sym stream secondary: {stream_ms:.3f} ms/solve",
+                  file=sys.stderr)
+        except TimeoutError as e:
+            secondary_timed_out = True
+            extra["sym_stream_note"] = (
+                f"sym stream secondary timed out ({e}); extension skipped"
+            )
+            print(f"WARNING: sym stream secondary timed out: {e}",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover - diagnostic only
+            print(f"WARNING: sym stream secondary failed: {e}",
+                  file=sys.stderr)
+
     if not secondary_timed_out:
         try:
             h_ms, h_rounds, h_lam = _call_with_deadline(
@@ -793,7 +904,7 @@ def main() -> None:
     print(
         json.dumps(
             summarize(
-                windows, rounds, backend, floor_ms, extra, peak_gbps,
+                windows, rounds, backend, floor_ms, extra, state_peak,
                 frac=frac, fast_target_ms=fast_target,
             )
         ),

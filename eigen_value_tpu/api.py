@@ -253,6 +253,28 @@ def _solve_fn(
                 # values are honored, 512 is the measured default
                 kw["symmetric"] = True
                 kw["tile"] = tile
+                # VMEM-resident tile cache (round 5): defaults pick the
+                # fast path — None auto-sizes to the measured-safe
+                # budget (104 MiB f32 / 48 MiB bf16,
+                # kernels.sym_auto_cache_tiles), so the API's symmetric
+                # solve matches bench.py's headline configuration;
+                # explicit values (incl. 0 = pure streaming) win
+                if config.sym_cache_tiles is not None:
+                    kw["cache_tiles"] = config.sym_cache_tiles
+                elif n is not None:
+                    from .ops.pallas.kernels import sym_auto_cache_tiles
+
+                    itemsize = (
+                        jnp.dtype(config.storage_dtype).itemsize
+                        if config.storage_dtype is not None
+                        else 4
+                    )
+                    kw["cache_tiles"] = sym_auto_cache_tiles(
+                        n,
+                        sym_tile(n, tile),
+                        itemsize,
+                        48 if itemsize == 2 else 104,
+                    )
         elif config.block_rows is not None:
             # honor an explicitly configured stripe height (advisor r3:
             # it was silently dropped for this backend only); the kernel

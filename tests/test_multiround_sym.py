@@ -303,6 +303,70 @@ class TestConfigRouting:
         )
         assert bool(res.converged)
 
+    def test_sym_cache_tiles_routing(self):
+        """The honored-or-rejected contract for the round-5 cache knob:
+        None auto-sizes (defaults pick the fast path — the API's
+        symmetric multiround matches bench.py's headline config),
+        explicit values win, and setting it without symmetric rejects at
+        construction."""
+        from eigen_value_tpu.api import _solve_fn
+        from eigen_value_tpu.ops.pallas.kernels import sym_auto_cache_tiles
+
+        fn = _solve_fn(
+            SolverConfig(backend="multiround", symmetric=True,
+                         interpret=True),
+            "multiround",
+            8192,
+        )
+        assert fn.keywords["cache_tiles"] == sym_auto_cache_tiles(8192, 512)
+        assert fn.keywords["cache_tiles"] == 104
+        fn0 = _solve_fn(
+            SolverConfig(backend="multiround", symmetric=True,
+                         sym_cache_tiles=0, interpret=True),
+            "multiround",
+            8192,
+        )
+        assert fn0.keywords["cache_tiles"] == 0
+        fn7 = _solve_fn(
+            SolverConfig(backend="multiround", symmetric=True,
+                         sym_cache_tiles=7, interpret=True),
+            "multiround",
+            8192,
+        )
+        assert fn7.keywords["cache_tiles"] == 7
+        # bf16 storage halves the per-tile bytes and uses the 48 MiB
+        # budget: 96 tiles at 8192²/512
+        fnb = _solve_fn(
+            SolverConfig(backend="multiround", symmetric=True,
+                         storage_dtype=jnp.bfloat16, interpret=True),
+            "multiround",
+            8192,
+        )
+        assert fnb.keywords["cache_tiles"] == 96
+        with pytest.raises(ValueError, match="sym_cache_tiles"):
+            SolverConfig(sym_cache_tiles=4)
+        with pytest.raises(ValueError, match="sym_cache_tiles"):
+            SolverConfig(symmetric=True, sym_cache_tiles=-1)
+        # end-to-end through the public API (interpret, small dim):
+        # identical answers with and without the cache
+        H = fixtures.hilbert_matrix(512)
+        cfg = SolverConfig(
+            backend="multiround", symmetric=True, interpret=True,
+            block_rows=128,
+        )
+        res = max_eigenvalue(H, cfg)
+        res0 = max_eigenvalue(
+            H,
+            SolverConfig(
+                backend="multiround", symmetric=True, interpret=True,
+                block_rows=128, sym_cache_tiles=0,
+            ),
+        )
+        assert int(res.rounds) == int(res0.rounds)
+        assert float(res.eigenvalue) == pytest.approx(
+            float(res0.eigenvalue), rel=1e-6
+        )
+
     def test_auto_consumes_the_declaration_on_cpu(self):
         """Under backend='auto' off-TPU the dense backends win; declaring
         symmetry must neither raise nor change the answer."""

@@ -822,6 +822,87 @@ class TestHardwarePerfGate:
             f"dense {de_ms})"
         )
 
+    def test_multiround_sym_cached_headline_gate(self):
+        """The round-5 HEADLINE backend (bench.py: symmetric multiround
+        with the VMEM-resident tile cache, tile=512, auto cache budget):
+        the cached chain must beat the pure-streaming sym chain by a real
+        margin, compared via PER-REP deltas (both arms inside each rep so
+        chip-state drift cancels), plus an absolute sanity bound.
+
+        Measured (scratch/exp_sym_cached.py, 2026-08-20, slow-state
+        session): cached C104 1.30–1.50 ms vs stream 3.51–3.54 ms —
+        win ≈ −2.1 ms.  The gate requires ≥ 1.0 ms of it (per-rep jitter
+        ±0.4 ms can't false-fail) — a regression that silently re-streams
+        the cached tiles (the only way this backend fails while staying
+        correct) reads delta ≈ 0 and fails by ~2× the margin.  The
+        absolute bound 2.6 ms sits between the cached and stream regimes
+        in every observed chip state."""
+        import time as _time
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        from eigen_value_tpu.config import EPS, MAX_ITR
+        from eigen_value_tpu.ops.pallas.kernels import (
+            sym_auto_cache_tiles,
+            sym_tile,
+        )
+        from eigen_value_tpu.ops.solver_matvec import solve_multiround
+
+        tpu = _tpu()
+        H = jax.device_put(np.asarray(fixtures.hilbert_matrix(self.DIM)), tpu)
+        chunk = fixtures.HILBERT_ROUNDS[self.DIM] + 1
+        tile = 512
+        cache = sym_auto_cache_tiles(self.DIM, sym_tile(self.DIM, tile))
+
+        def chain(k, tiles):
+            @jax.jit
+            def run(H):
+                def body(i, acc):
+                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+                    ev0 = jnp.ones((self.DIM,), jnp.float32) * s
+                    return solve_multiround(
+                        H, EPS, MAX_ITR, chunk=chunk, ev0=ev0,
+                        symmetric=True, tile=tile, cache_tiles=tiles,
+                    ).eigenvalue
+
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            return run
+
+        ca_long, ca_short = chain(9, cache), chain(1, cache)
+        st_long, st_short = chain(9, 0), chain(1, 0)
+        for f in (ca_long, ca_short, st_long, st_short):
+            float(np.asarray(f(H)))  # compile + warm
+
+        ca_ms, st_ms = [], []
+        for _ in range(7):
+            t0 = _time.perf_counter()
+            float(np.asarray(ca_long(H)))
+            tl = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            float(np.asarray(ca_short(H)))
+            ts = (_time.perf_counter() - t0) * 1e3
+            ca_ms.append((tl - ts) / 8)
+            t0 = _time.perf_counter()
+            float(np.asarray(st_long(H)))
+            tl = (_time.perf_counter() - t0) * 1e3
+            t0 = _time.perf_counter()
+            float(np.asarray(st_short(H)))
+            ts = (_time.perf_counter() - t0) * 1e3
+            st_ms.append((tl - ts) / 8)
+        best_ca = min(ca_ms)
+        assert best_ca < 2.6, (
+            f"cached sym chain {best_ca:.2f} ms (> 2.6) — cache regression "
+            f"(cached {ca_ms}, stream {st_ms})"
+        )
+        deltas = sorted(c - s for c, s in zip(ca_ms, st_ms))
+        med = (deltas[(len(deltas) - 1) // 2] + deltas[len(deltas) // 2]) / 2
+        assert med <= -1.0, (
+            f"VMEM cache lost its win: median per-rep delta {med:+.3f} ms "
+            f"vs required ≤ -1.0 (cached {ca_ms}, stream {st_ms})"
+        )
+
     def test_bf16_fast_mode_perf_gate(self):
         """bf16 storage halves HBM bytes: its pass marginal must stay
         ≤ 65% of the SAME-RUN f32 marginal (measured ~51%; a silent
