@@ -31,15 +31,17 @@ from .device import pick_block, resolve_interpret
 from .ops.solver import SolveResult, solve_xla
 
 
-#: Auto-routing boundary for the multiround backend: the multi-round
-#: kernel wins once A can no longer stay VMEM-resident across rounds
-#: (~4096² f32 on v5e — config.py backend notes) — measured at 8192² it
-#: beats the matvec-pallas while-loop 6.44 vs 6.83 ms same-process and
-#: LOSES badly below the boundary (1.82 vs 0.51 ms at 4096², where the
-#: loop keeps A in VMEM but multiround re-streams it per chunk round):
-#: docs/bench/e2e_sweep_r3.jsonl.  8192 is the smallest dim measured
-#: above the residency boundary.
-MULTIROUND_MIN_DIM = 8192
+#: Auto-routing boundary for the multiround backend, placed from the
+#: round-5 boundary sweep (docs/bench/boundary_r5.txt, one process,
+#: 2026-08-20): the matvec-pallas while-loop keeps A VMEM-RESIDENT
+#: through 5120² (100 MiB < the 128 MiB VMEM: 0.60 ms vs multiround's
+#: 2.72) and falls off the residency cliff at 6144² (144 MiB: 3.57 ms
+#: vs multiround's 3.60 — a ~1% tie), after which multiround wins
+#: outright (7168²: 4.87 vs 5.04; 8192²: 6.45 vs 6.57).  6144 is the
+#: smallest measured dim past the cliff; the dense tie there is noise,
+#: and for declared/validated-symmetric inputs the same boundary is a
+#: 1.7× win (sym 2.05 ms at 6144²), so one constant serves both.
+MULTIROUND_MIN_DIM = 6144
 
 
 def resolve_backend(

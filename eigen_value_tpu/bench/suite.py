@@ -99,6 +99,22 @@ E2E_BACKENDS: Dict[str, Callable] = {
         tile=1024,
         storage_dtype=jnp.bfloat16,
     ),
+    # round-5 headline rung: the VMEM-resident tile cache (auto-sized to
+    # the measured-safe 104 MiB budget; degenerates to pure streaming at
+    # dims whose triangle has no off-diagonal tiles)
+    "multiround_sym_cached": lambda A, ev0=None: solve_multiround(
+        A,
+        EPS,
+        MAX_ITR,
+        chunk=fixtures.HILBERT_ROUNDS.get(A.shape[0], 17) + 1,
+        interpret=auto_interpret(),
+        ev0=ev0,
+        symmetric=True,
+        tile=512,
+        cache_tiles=kernels.sym_auto_cache_tiles(
+            A.shape[0], kernels.sym_tile(A.shape[0], 512) or 128
+        ),
+    ),
 }
 
 

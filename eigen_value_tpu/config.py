@@ -56,15 +56,16 @@ class SolverConfig:
           * "matvec_pallas": matvec form with the Pallas matvec kernel
             (≈ HBM roofline). THE production path for arbitrary inputs.
           * "multiround": up to ``chunk`` rounds per Pallas invocation
-            (the bench.py headline path) — fastest for HBM-resident dims
-            (n ≳ 4096 f32) with predictable round counts; below ~4096²
-            the while-loop backends keep A resident in VMEM across
-            rounds, which multiround's per-block streaming cannot.
+            (the bench.py headline path) — fastest once A exceeds the
+            VMEM-residency cliff (f32 n ≥ 6144 on the 128 MiB v5e);
+            below it the while-loop backends keep A resident in VMEM
+            across rounds, which multiround's per-block streaming
+            cannot (measured 0.60 vs 2.72 ms at 5120²).
         "auto" picks multiround on a real TPU for tile-aligned dims at or
-        above the HBM-residency boundary (api.MULTIROUND_MIN_DIM = 8192,
-        where it measures ~6% faster than the loop — the headline
-        backend), matvec_pallas for other tile-aligned TPU dims, matvec
-        otherwise.
+        above the residency cliff (api.MULTIROUND_MIN_DIM = 6144, placed
+        from the round-5 boundary sweep, docs/bench/boundary_r5.txt —
+        the headline backend), matvec_pallas for other tile-aligned TPU
+        dims, matvec otherwise.
       block_rows / block_cols: Pallas tile shape for the n² passes. These
         play the role of the reference's work-group size knob
         (wrapper/similarity_transform.cpp:24-33) but are chosen for

@@ -142,9 +142,11 @@ def test_resolve_backend_honors_pinned_device_platform():
 def test_auto_picks_multiround_at_hbm_resident_dims():
     """VERDICT r3 item 4: the headline-winning backend must be the
     default at the flagship dim.  Auto routes to multiround on a real
-    TPU at n ≥ MULTIROUND_MIN_DIM (8192, the measured HBM-residency
-    boundary — e2e_sweep_r3.jsonl), to matvec_pallas below it, and
-    NEVER under interpret mode (the boundary is a hardware property)."""
+    TPU at n ≥ MULTIROUND_MIN_DIM (6144, the measured VMEM-residency
+    cliff — the while-loop backend keeps A resident through 5120² and
+    ties multiround at 6144²: docs/bench/boundary_r5.txt), to
+    matvec_pallas below it, and NEVER under interpret mode (the
+    boundary is a hardware property)."""
     import types
 
     from eigen_value_tpu.api import MULTIROUND_MIN_DIM
@@ -152,10 +154,12 @@ def test_auto_picks_multiround_at_hbm_resident_dims():
     cfg = SolverConfig(backend="auto")
     tpu = types.SimpleNamespace(platform="tpu")
     cpu = types.SimpleNamespace(platform="cpu")
-    assert MULTIROUND_MIN_DIM == 8192
+    assert MULTIROUND_MIN_DIM == 6144
     assert resolve_backend(cfg, 8192, device=tpu) == "multiround"
+    assert resolve_backend(cfg, 6144, device=tpu) == "multiround"
     assert resolve_backend(cfg, 16384, device=tpu) == "multiround"
     assert resolve_backend(cfg, 4096, device=tpu) == "matvec_pallas"
+    assert resolve_backend(cfg, 5120, device=tpu) == "matvec_pallas"
     # unaligned dims above the boundary still fall back to jnp
     assert resolve_backend(cfg, 8192 + 64, device=tpu) == "matvec"
     # interpret mode (CI sanitizer) keeps the single-round kernel — ON
