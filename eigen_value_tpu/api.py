@@ -53,15 +53,16 @@ def resolve_backend(
     iteration with 3× less HBM traffic per round than the reference's
     structure (see solver_matvec.py) — with its Pallas kernel when the dim
     is tile-aligned on TPU, falling back to jnp everywhere else.  On a
-    REAL TPU at HBM-resident dims (n ≥ MULTIROUND_MIN_DIM, where per-
-    invocation pipeline restarts dominate the loop backends) it picks the
-    multi-round kernel — the same backend bench.py's headline measures,
-    so ``max_eigenvalue(H_8192)`` no longer leaves the measured ~6% on
-    the table (VERDICT r3 item 4; the policy mirrors the reference
+    REAL TPU past the VMEM-residency cliff (n ≥ MULTIROUND_MIN_DIM) it
+    picks the multi-round kernel — the same backend bench.py's headline
+    measures (VERDICT r3 item 4; the policy mirrors the reference
     wrapper's "defaults pick the fast path" wg_size rule,
-    wrapper/similarity_transform.cpp:24-33).  Interpret mode never routes
-    to multiround: interpreting an HBM-scale multi-round grid is
-    pathologically slow and the boundary is a hardware property.
+    wrapper/similarity_transform.cpp:24-33) — and for DECLARED-symmetric
+    inputs it picks it at every sym-tileable TPU dim (the VMEM-cached
+    triangle kernel wins at every measured dim, e2e_sweep_r5.jsonl).
+    Interpret mode never routes to multiround: interpreting an
+    HBM-scale multi-round grid is pathologically slow and the boundary
+    is a hardware property.
 
     OVERSHOOT CAVEAT (config.py `chunk` notes): the auto default
     chunk=18 is the exact fit for the benchmark family's 17-round
@@ -85,8 +86,19 @@ def resolve_backend(
     # must never route to an HBM-scale multi-round grid — see the
     # docstring's invariant (found as a hole in review: on_tpu +
     # interpret=True used to slip through to multiround)
-    if on_tpu and n >= MULTIROUND_MIN_DIM and not config.interpret:
-        return "multiround"
+    if on_tpu and not config.interpret:
+        if n >= MULTIROUND_MIN_DIM:
+            return "multiround"
+        if config.symmetric:
+            # declared-symmetric inputs take the cached triangle kernel
+            # at EVERY sym-tileable dim: with the VMEM cache it beats
+            # the while-loop backends at every measured dim, including
+            # the VMEM-resident ones (e2e_sweep_r5.jsonl: 0.344 vs
+            # 0.691 ms at 4096², 0.018 vs 0.070 at 512²)
+            from .ops.pallas.kernels import sym_tile
+
+            if sym_tile(n, config.block_rows or 512) is not None:
+                return "multiround"
     if on_tpu or config.interpret:
         return "matvec_pallas"
     return "matvec"
@@ -464,31 +476,27 @@ def max_eigenvalue(
             "symmetric (mat != mat.T); the upper-triangle kernel would "
             "compute a wrong answer"
         )
-    if (
-        validate
-        and not config.symmetric
-        and config.backend == "auto"
-        and backend == "multiround"
-    ):
+    if validate and not config.symmetric and config.backend == "auto":
         # Defaults pick the fast path (VERDICT r4 item 1, mirroring the
         # reference wrapper's wg_size policy,
         # wrapper/similarity_transform.cpp:24-33): once validate=True has
         # paid for an on-device structure check anyway, a bitwise-
-        # symmetric matrix at the multiround dims is routed to the
-        # upper-triangle headline kernel (~0.53× the HBM traffic —
-        # bench.py's backend) instead of checking and discarding the
-        # answer.  Auto-only: an explicit backend choice is authoritative,
-        # and without validate the declaration must come from the caller
-        # (SolverConfig(symmetric=True)) because a wrong guess computes a
-        # wrong answer.
+        # symmetric matrix is routed to the cached upper-triangle
+        # headline kernel (bench.py's backend — it wins at every
+        # sym-tileable TPU dim, e2e_sweep_r5.jsonl) instead of checking
+        # and discarding the answer.  The candidate config is RESOLVED
+        # first so the O(n²) symmetry check only runs where the sym
+        # route would actually be taken.  Auto-only: an explicit backend
+        # choice is authoritative, and without validate the declaration
+        # must come from the caller (SolverConfig(symmetric=True))
+        # because a wrong guess computes a wrong answer.
         from dataclasses import replace
 
-        from .ops.pallas.kernels import sym_tile
-
-        if sym_tile(
-            mat.shape[0], config.block_rows or 512
-        ) is not None and bool(jnp.all(mat == mat.T)):
-            config = replace(config, symmetric=True)
+        cand = replace(config, symmetric=True)
+        if resolve_backend(cand, mat.shape[0]) == "multiround" and bool(
+            jnp.all(mat == mat.T)
+        ):
+            config, backend = cand, "multiround"
     return _solve_fn(config, backend, mat.shape[0])(mat)
 
 
