@@ -74,8 +74,29 @@ def _spectrum_operand(Sf):
     if isinstance(Sf, np.ndarray) and np.iscomplexobj(Sf):
         re = np.ascontiguousarray(Sf.real.astype(np.float32))
         im = np.ascontiguousarray(Sf.imag.astype(np.float32))
-        return lambda: jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
-    return lambda: Sf
+
+        def get(like=None):
+            rej, imj = jnp.asarray(re), jnp.asarray(im)
+            if like is not None and not isinstance(like, jax.core.Tracer):
+                # EAGER with a default device that differs from the
+                # data's (e.g. the test harness pins default=CPU while x
+                # is committed to the TPU): the halves must be PLACED on
+                # the data's device BEFORE the complex is built —
+                # otherwise the complex64 result itself would have to
+                # cross devices for the multiply, which is exactly the
+                # unimplemented transfer this function exists to avoid
+                # (observed: conftest's jax_default_device=cpu pin +
+                # eager mv(x) on TPU, 2026-08-20).  f32 transfers are
+                # implemented everywhere.
+                devs = getattr(like, "devices", None)
+                d = next(iter(devs()), None) if callable(devs) else None
+                if d is not None:
+                    rej = jax.device_put(rej, d)
+                    imj = jax.device_put(imj, d)
+            return jax.lax.complex(rej, imj)
+
+        return get
+    return lambda like=None: Sf
 
 
 def _matmul_f32(a, b):
@@ -118,7 +139,7 @@ def hankel_matvec(h: jax.Array, n: int):
     Hf = _spectrum_operand(_spectrum_rfft(h, m))
 
     def matvec(x: jax.Array) -> jax.Array:
-        z = jnp.fft.irfft(Hf() * jnp.fft.rfft(x[::-1].astype(jnp.float32), m), m)
+        z = jnp.fft.irfft(Hf(x) * jnp.fft.rfft(x[::-1].astype(jnp.float32), m), m)
         return z[n - 1 : 2 * n - 1].astype(x.dtype)
 
     return matvec
@@ -149,7 +170,7 @@ def toeplitz_matvec(c: jax.Array, r: jax.Array, n: int):
     Tf = _spectrum_operand(_spectrum_rfft(t, m))
 
     def matvec(x: jax.Array) -> jax.Array:
-        z = jnp.fft.irfft(Tf() * jnp.fft.rfft(x.astype(jnp.float32), m), m)
+        z = jnp.fft.irfft(Tf(x) * jnp.fft.rfft(x.astype(jnp.float32), m), m)
         return z[n - 1 : 2 * n - 1].astype(x.dtype)
 
     return matvec
@@ -176,7 +197,7 @@ def circulant_matvec(c: jax.Array, n: int):
     Cf = _spectrum_operand(_spectrum_rfft(c, n))
 
     def matvec(x: jax.Array) -> jax.Array:
-        z = jnp.fft.irfft(Cf() * jnp.fft.rfft(x.astype(jnp.float32)), n)
+        z = jnp.fft.irfft(Cf(x) * jnp.fft.rfft(x.astype(jnp.float32)), n)
         return z.astype(x.dtype)
 
     return matvec
