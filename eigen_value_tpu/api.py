@@ -173,6 +173,15 @@ def _solve_fn(
             f"backend is {backend!r} — it would be silently dropped. Use "
             f"backend='multiround' (or drop chunk)."
         )
+    if config.cache_tiles is not None and backend != "multiround":
+        raise ValueError(
+            f"cache_tiles={config.cache_tiles} is a multiround-backend knob "
+            f"(the VMEM-resident tile cache, ops/pallas/kernels."
+            f"multiround_sym) but the "
+            f"{'resolved' if config.backend == 'auto' else 'requested'} "
+            f"backend is {backend!r} — it would be silently dropped. Use "
+            f"backend='multiround' (or drop cache_tiles)."
+        )
     if config.symmetric and backend != "multiround" and config.backend != "auto":
         # Under "auto" the declaration is consumed by the resolution (the
         # dense backends win below the HBM-residency boundary and results
@@ -246,16 +255,30 @@ def _solve_fn(
             )
         from .ops.solver_matvec import solve_multiround
 
-        kw = {}
-        if config.symmetric:
-            from .ops.pallas.kernels import sym_tile
+        from .ops.pallas.kernels import sym_auto_cache_tiles, sym_tile
 
-            tile = config.block_rows or 512
-            if (
-                config.backend == "auto"
-                and n is not None
-                and sym_tile(n, tile) is None
-            ):
+        def _auto_cache(bt: int) -> int:
+            # VMEM-resident tile cache (round 5): defaults pick the fast
+            # path — None auto-sizes to the measured-safe budget (104
+            # MiB f32 / 48 MiB bf16, kernels.sym_auto_cache_tiles), so
+            # the API's multiround solves match bench.py's headline
+            # configuration; explicit values (incl. 0 = streaming) win.
+            if config.cache_tiles is not None:
+                return config.cache_tiles
+            itemsize = (
+                jnp.dtype(config.storage_dtype).itemsize
+                if config.storage_dtype is not None
+                else 4
+            )
+            return sym_auto_cache_tiles(
+                n, bt, itemsize, 48 if itemsize == 2 else 104
+            )
+
+        kw = {}
+        tile = config.block_rows or 512
+        bt = sym_tile(n, tile) if n is not None else None
+        if config.symmetric:
+            if config.backend == "auto" and n is not None and bt is None:
                 # auto consumed the declaration but the dim admits no
                 # 128-aligned square tile — the dense multiround kernel
                 # keeps the job (identical results, full traffic)
@@ -267,28 +290,16 @@ def _solve_fn(
                 # values are honored, 512 is the measured default
                 kw["symmetric"] = True
                 kw["tile"] = tile
-                # VMEM-resident tile cache (round 5): defaults pick the
-                # fast path — None auto-sizes to the measured-safe
-                # budget (104 MiB f32 / 48 MiB bf16,
-                # kernels.sym_auto_cache_tiles), so the API's symmetric
-                # solve matches bench.py's headline configuration;
-                # explicit values (incl. 0 = pure streaming) win
-                if config.sym_cache_tiles is not None:
-                    kw["cache_tiles"] = config.sym_cache_tiles
-                elif n is not None:
-                    from .ops.pallas.kernels import sym_auto_cache_tiles
-
-                    itemsize = (
-                        jnp.dtype(config.storage_dtype).itemsize
-                        if config.storage_dtype is not None
-                        else 4
-                    )
-                    kw["cache_tiles"] = sym_auto_cache_tiles(
-                        n,
-                        sym_tile(n, tile),
-                        itemsize,
-                        48 if itemsize == 2 else 104,
-                    )
+                if bt is not None:
+                    kw["cache_tiles"] = _auto_cache(bt)
+        elif bt is not None and _auto_cache(bt) > 0:
+            # DENSE + cache (round 5): the tiled direct-terms kernel with
+            # the resident cache beats the stripes kernel at the
+            # multiround dims (4.00 vs 6.36 ms at 8192² —
+            # scratch/exp_dense_cached.py); unalignable dims and
+            # cache_tiles=0 keep the stripes kernel
+            kw["tile"] = tile
+            kw["cache_tiles"] = _auto_cache(bt)
         elif config.block_rows is not None:
             # honor an explicitly configured stripe height (advisor r3:
             # it was silently dropped for this backend only); the kernel
@@ -386,6 +397,8 @@ def max_eigenvalue(
             ("block_cols", "the sharded Pallas path sizes its own tiles "
              "per shard (parallel/sharded.py local_matvec)"),
             ("chunk", "the multiround kernel is single-chip only"),
+            ("cache_tiles", "the VMEM-resident tile cache is a single-chip "
+             "multiround feature (one chip's VMEM holds the tiles)"),
             ("interpret", "interpret auto-resolves from the mesh's "
              "platform (CPU meshes interpret, TPU meshes compile)"),
         ):
@@ -559,6 +572,9 @@ def max_eigenvalue_batch(
              "the batched body runs no Pallas kernel"),
             ("chunk", config.chunk is None,
              "the multiround kernel has no batched form"),
+            ("cache_tiles", config.cache_tiles is None,
+             "the VMEM tile cache is a multiround feature; the batched "
+             "body runs no Pallas kernel"),
             ("interpret", config.interpret is None,
              "the batched body runs no Pallas kernel"),
             ("symmetric", not config.symmetric,
@@ -644,6 +660,8 @@ def max_eigenvalue_operator(
              "no Pallas kernel runs on the operator path"),
             ("chunk", config.chunk is None,
              "the multiround kernel needs a materialized matrix"),
+            ("cache_tiles", config.cache_tiles is None,
+             "the VMEM tile cache needs a materialized matrix"),
             ("interpret", config.interpret is None,
              "no Pallas kernel runs on the operator path"),
             ("symmetric", not config.symmetric,

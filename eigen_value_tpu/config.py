@@ -116,17 +116,16 @@ class SolverConfig:
     #: only traffic).  An EXPLICIT backend other than "multiround" rejects
     #: it (no symmetric form — it would be silently dropped).
     symmetric: bool = False
-    #: VMEM-resident tile cache for the symmetric multiround kernel
-    #: (round 5): that many strictly-off-diagonal tiles live on chip
-    #: across the whole solve, crossing HBM once per SOLVE instead of
-    #: once per round (ops/pallas/kernels.multiround_sym cache_tiles —
-    #: measured 1.30 ms vs 3.51 pure streaming at 8192² f32).  None
-    #: (default) auto-sizes to the measured-safe VMEM budget
-    #: (kernels.sym_auto_cache_tiles: 104 MiB f32 / 48 MiB bf16); 0
-    #: disables caching; only meaningful with ``symmetric=True`` on the
-    #: multiround path — any other combination rejects (the
-    #: honored-or-rejected contract).
-    sym_cache_tiles: Optional[int] = None
+    #: VMEM-resident tile cache for the multiround backend (round 5):
+    #: that many tiles of A live on chip across the whole solve,
+    #: crossing HBM once per SOLVE instead of once per round
+    #: (ops/pallas/kernels.multiround_sym cache_tiles — measured 1.30 ms
+    #: vs 3.51 pure streaming at 8192² f32 symmetric, 4.00 vs 6.36
+    #: dense).  None (default) auto-sizes to the measured-safe VMEM
+    #: budget (kernels.sym_auto_cache_tiles: 104 MiB f32 / 48 MiB bf16);
+    #: 0 disables caching.  A multiround-path knob — other explicit
+    #: backends reject it (the honored-or-rejected contract).
+    cache_tiles: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.backend not in (
@@ -139,18 +138,10 @@ class SolverConfig:
             raise ValueError("max_itr must be >= 0")
         if self.eps <= 0:
             raise ValueError("eps must be > 0")
-        if self.sym_cache_tiles is not None:
-            if self.sym_cache_tiles < 0:
-                raise ValueError(
-                    f"sym_cache_tiles must be >= 0, got {self.sym_cache_tiles}"
-                )
-            if not self.symmetric:
-                raise ValueError(
-                    "sym_cache_tiles is a knob of the symmetric multiround "
-                    "kernel; set symmetric=True (the cache holds "
-                    "upper-triangle tiles, which only the declared-symmetric "
-                    "solve streams)"
-                )
+        if self.cache_tiles is not None and self.cache_tiles < 0:
+            raise ValueError(
+                f"cache_tiles must be >= 0, got {self.cache_tiles}"
+            )
         if self.eps_mode not in ("absolute", "relative"):
             raise ValueError(
                 f"eps_mode must be 'absolute' or 'relative', got {self.eps_mode!r}"

@@ -684,6 +684,7 @@ def _multiround_sym_kernel(
     formulation,
     cached=(),
     slots=0,
+    sym=True,
 ):
     # ``cached`` (static): the (i, j) tile coordinates of the strictly-
     # off-diagonal tiles held VMEM-resident across the whole chunk —
@@ -800,28 +801,31 @@ def _multiround_sym_kernel(
         )
         rawrow_s[:, pl.ds(i * bt, bt)] += part_i
 
-        @pl.when(i != j)
-        def _():
-            part_j = jax.lax.dot_general(
-                ev_s[:, pl.ds(i * bt, bt)],
-                tile,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            rawrow_s[:, pl.ds(j * bt, bt)] += part_j
+        if sym:
+            @pl.when(i != j)
+            def _():
+                part_j = jax.lax.dot_general(
+                    ev_s[:, pl.ds(i * bt, bt)],
+                    tile,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                rawrow_s[:, pl.ds(j * bt, bt)] += part_j
     else:
         part_i = jnp.sum(
             tile * ev_s[:, pl.ds(j * bt, bt)], axis=1, keepdims=True
         )
         rawcol_s[pl.ds(i * bt, bt), :] += part_i
 
-        @pl.when(i != j)
-        def _():
-            part_j = jnp.sum(
-                tile * evcol_s[pl.ds(i * bt, bt), :], axis=0, keepdims=True
-            )
-            rawrow_s[:, pl.ds(j * bt, bt)] += part_j
+        if sym:
+            @pl.when(i != j)
+            def _():
+                part_j = jnp.sum(
+                    tile * evcol_s[pl.ds(i * bt, bt), :], axis=0,
+                    keepdims=True
+                )
+                rawrow_s[:, pl.ds(j * bt, bt)] += part_j
 
     # Cached-tile contributions, SPREAD ACROSS the streamed grid steps
     # (``slots`` per step): each step's cached work (~0.3 µs of VPU per
@@ -850,14 +854,15 @@ def _multiround_sym_kernel(
                         precision=jax.lax.Precision.HIGHEST,
                     )
                     rawrow_s[:, pl.ds(ci * bt, bt)] += part_ci
-                    part_cj = jax.lax.dot_general(
-                        ev_s[:, pl.ds(ci * bt, bt)],
-                        blk,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    rawrow_s[:, pl.ds(cj * bt, bt)] += part_cj
+                    if sym:
+                        part_cj = jax.lax.dot_general(
+                            ev_s[:, pl.ds(ci * bt, bt)],
+                            blk,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        rawrow_s[:, pl.ds(cj * bt, bt)] += part_cj
                 else:
                     part_ci = jnp.sum(
                         blk * ev_s[:, pl.ds(cj * bt, bt)],
@@ -865,12 +870,13 @@ def _multiround_sym_kernel(
                         keepdims=True,
                     )
                     rawcol_s[pl.ds(ci * bt, bt), :] += part_ci
-                    part_cj = jnp.sum(
-                        blk * evcol_s[pl.ds(ci * bt, bt), :],
-                        axis=0,
-                        keepdims=True,
-                    )
-                    rawrow_s[:, pl.ds(cj * bt, bt)] += part_cj
+                    if sym:
+                        part_cj = jnp.sum(
+                            blk * evcol_s[pl.ds(ci * bt, bt), :],
+                            axis=0,
+                            keepdims=True,
+                        )
+                        rawrow_s[:, pl.ds(cj * bt, bt)] += part_cj
 
     @pl.when((r == k - 1) & (t == T - 1))
     def _():
@@ -932,7 +938,7 @@ def sym_cache_split(n: int, bt: int, cache_tiles: int):
     jax.jit,
     static_argnames=(
         "chunk", "init", "eps", "eps_mode", "tile", "interpret",
-        "formulation", "cache_tiles",
+        "formulation", "cache_tiles", "sym",
     ),
 )
 def multiround_sym(
@@ -950,6 +956,7 @@ def multiround_sym(
     interpret: bool = False,
     formulation: str = "vpu",
     cache_tiles: int = 0,
+    sym: bool = True,
 ):
     """:func:`multiround` for a SYMMETRIC matrix: each round reads only
     the ``g(g+1)/2`` upper-triangle tiles of A — ~HALF the HBM traffic of
@@ -1012,7 +1019,19 @@ def multiround_sym(
             f"the dense multiround kernel"
         )
     g = n // bt
-    tri, cached = sym_cache_split(n, bt, cache_tiles)
+    if sym:
+        tri, cached = sym_cache_split(n, bt, cache_tiles)
+    else:
+        # DENSE tiled mode (``sym=False``, round 5): the same grid/cache
+        # machinery over ALL g² tiles with direct terms only — the
+        # general-matrix analog of the cached kernel (any tile is
+        # cacheable; ≥1 tile must stream so every round has grid steps).
+        all_tiles = [(i, j) for i in range(g) for j in range(g)]
+        c = max(0, min(cache_tiles, len(all_tiles) - 1))
+        order = sorted(all_tiles, key=lambda ij: -abs(ij[0] - ij[1]))
+        cached = tuple(order[:c])
+        cset = set(cached)
+        tri = tuple(t for t in all_tiles if t not in cset)
     ti = jnp.asarray([i for i, _ in tri], jnp.int32)
     tj = jnp.asarray([j for _, j in tri], jnp.int32)
     # per-step cached-work slot arrays: cached tile s is handled at
@@ -1120,6 +1139,7 @@ def multiround_sym(
             formulation=formulation,
             cached=cached,
             slots=slots,
+            sym=sym,
         ),
         grid_spec=grid_spec,
         out_shape=(

@@ -410,6 +410,15 @@ def solve_multiround(
         # crosses HBM once per SOLVE instead of once per round — see
         # kernels.multiround_sym's cache_tiles notes
         kw["cache_tiles"] = cache_tiles
+    elif cache_tiles > 0:
+        # DENSE + cache: the tiled kernel in direct-terms-only mode —
+        # all g² tiles, the cached subset VMEM-resident (the general-
+        # matrix share of the round-5 residency win; the stripes kernel
+        # below has no cache and keeps the cache_tiles=0 case)
+        kernel = kernels.multiround_sym
+        kw["tile"] = tile
+        kw["cache_tiles"] = cache_tiles
+        kw["sym"] = False
     else:
         kernel = kernels.multiround
         kw["block_rows"] = block_rows

@@ -270,6 +270,37 @@ class TestVmemCache:
         assert int(got.rounds) == fixtures.HILBERT_ROUNDS[512]
         assert bool(got.converged)
 
+    def test_dense_cached_mode(self):
+        """cache_tiles WITHOUT the symmetric declaration routes to the
+        tiled dense kernel (all g² tiles, direct terms only) — correct
+        on a NON-symmetric matrix, unlike the triangle kernel."""
+        rng = np.random.default_rng(11)
+        A = jnp.asarray(rng.random((384, 384), np.float32) + 0.1)
+        want = solve_matvec(A, EPS, MAX_ITR)
+        for C in (1, 5):
+            got = solve_multiround(
+                A, EPS, MAX_ITR, chunk=5, interpret=True, tile=128,
+                cache_tiles=C,
+            )
+            assert int(got.rounds) == int(want.rounds), C
+            assert bool(got.converged)
+            assert float(got.eigenvalue) == pytest.approx(
+                float(want.eigenvalue), rel=1e-5
+            ), C
+        # bit-exact chunking holds in dense-cached mode too
+        a = solve_multiround(
+            A, EPS, MAX_ITR, chunk=1, interpret=True, tile=128,
+            cache_tiles=3,
+        )
+        b = solve_multiround(
+            A, EPS, MAX_ITR, chunk=18, interpret=True, tile=128,
+            cache_tiles=3,
+        )
+        assert float(a.eigenvalue) == float(b.eigenvalue)
+        np.testing.assert_array_equal(
+            np.asarray(a.eigenvector), np.asarray(b.eigenvector)
+        )
+
 
 class TestConfigRouting:
     """The honored-or-rejected contract for the ``symmetric`` knob."""
@@ -303,7 +334,7 @@ class TestConfigRouting:
         )
         assert bool(res.converged)
 
-    def test_sym_cache_tiles_routing(self):
+    def test_cache_tiles_routing(self):
         """The honored-or-rejected contract for the round-5 cache knob:
         None auto-sizes (defaults pick the fast path — the API's
         symmetric multiround matches bench.py's headline config),
@@ -322,14 +353,14 @@ class TestConfigRouting:
         assert fn.keywords["cache_tiles"] == 104
         fn0 = _solve_fn(
             SolverConfig(backend="multiround", symmetric=True,
-                         sym_cache_tiles=0, interpret=True),
+                         cache_tiles=0, interpret=True),
             "multiround",
             8192,
         )
         assert fn0.keywords["cache_tiles"] == 0
         fn7 = _solve_fn(
             SolverConfig(backend="multiround", symmetric=True,
-                         sym_cache_tiles=7, interpret=True),
+                         cache_tiles=7, interpret=True),
             "multiround",
             8192,
         )
@@ -343,10 +374,28 @@ class TestConfigRouting:
             8192,
         )
         assert fnb.keywords["cache_tiles"] == 96
-        with pytest.raises(ValueError, match="sym_cache_tiles"):
-            SolverConfig(sym_cache_tiles=4)
-        with pytest.raises(ValueError, match="sym_cache_tiles"):
-            SolverConfig(symmetric=True, sym_cache_tiles=-1)
+        with pytest.raises(ValueError, match="cache_tiles"):
+            SolverConfig(symmetric=True, cache_tiles=-1)
+        # non-multiround explicit backend rejects the knob
+        from eigen_value_tpu.api import _solve_fn as _sf
+        with pytest.raises(ValueError, match="cache_tiles"):
+            _sf(SolverConfig(backend="matvec", cache_tiles=4), "matvec", 512)
+        # DENSE multiround (no symmetric declaration) auto-sizes too:
+        # the tiled direct-terms kernel with the resident cache
+        fd = _solve_fn(
+            SolverConfig(backend="multiround", interpret=True),
+            "multiround",
+            8192,
+        )
+        assert fd.keywords["cache_tiles"] == 104
+        assert "symmetric" not in fd.keywords
+        fd0 = _solve_fn(
+            SolverConfig(backend="multiround", cache_tiles=0,
+                         interpret=True),
+            "multiround",
+            8192,
+        )
+        assert "cache_tiles" not in fd0.keywords  # stripes kernel path
         # end-to-end through the public API (interpret, small dim):
         # identical answers with and without the cache
         H = fixtures.hilbert_matrix(512)
@@ -359,7 +408,7 @@ class TestConfigRouting:
             H,
             SolverConfig(
                 backend="multiround", symmetric=True, interpret=True,
-                block_rows=128, sym_cache_tiles=0,
+                block_rows=128, cache_tiles=0,
             ),
         )
         assert int(res.rounds) == int(res0.rounds)
