@@ -115,16 +115,34 @@ E2E_BACKENDS: Dict[str, Callable] = {
             A.shape[0], kernels.sym_tile(A.shape[0], 512) or 128
         ),
     ),
+    # round-5 dense rung: the same cache WITHOUT the symmetry
+    # declaration (tiled direct-terms kernel — the general-matrix share
+    # of the residency win; valid for any positive matrix)
+    "multiround_cached": lambda A, ev0=None: solve_multiround(
+        A,
+        EPS,
+        MAX_ITR,
+        chunk=fixtures.HILBERT_ROUNDS.get(A.shape[0], 17) + 1,
+        interpret=auto_interpret(),
+        ev0=ev0,
+        tile=512,
+        cache_tiles=kernels.sym_auto_cache_tiles(
+            A.shape[0], kernels.sym_tile(A.shape[0], 512) or 128
+        ),
+    ),
 }
 
 
 def _sym_alignable(backend: str, n: int) -> bool:
-    """False when a multiround_sym rung cannot run at dim n (no
-    128-aligned square tile divides n) — bench_e2e records an explicit
-    skip row instead of crashing the sweep."""
-    return not backend.startswith("multiround_sym") or (
-        kernels.sym_tile(n, 1024 if "bf16" in backend else 512) is not None
-    )
+    """False when a tiled rung (sym or dense-cached) cannot run at dim n
+    (no 128-aligned square tile divides n) — bench_e2e records an
+    explicit skip row instead of crashing the sweep."""
+    if not (
+        backend.startswith("multiround_sym")
+        or backend == "multiround_cached"
+    ):
+        return True
+    return kernels.sym_tile(n, 1024 if "bf16" in backend else 512) is not None
 
 
 def measure_rtt_ms() -> float:
