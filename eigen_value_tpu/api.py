@@ -300,6 +300,17 @@ def _solve_fn(
             # cache_tiles=0 keep the stripes kernel
             kw["tile"] = tile
             kw["cache_tiles"] = _auto_cache(bt)
+        elif config.cache_tiles and bt is None and n is not None:
+            # the honored-or-rejected contract: an EXPLICIT cache request
+            # at a dim with no 128-aligned square tile cannot be served
+            # by the tiled kernel and must not silently run the
+            # cache-less stripes kernel instead
+            raise ValueError(
+                f"cache_tiles={config.cache_tiles} needs a 128-aligned "
+                f"square tile that divides n={n} (kernels.sym_tile); this "
+                f"dim has none, so the stripes kernel would silently run "
+                f"without the cache. Drop cache_tiles (or pad the matrix)."
+            )
         elif config.block_rows is not None:
             # honor an explicitly configured stripe height (advisor r3:
             # it was silently dropped for this backend only); the kernel

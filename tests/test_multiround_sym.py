@@ -396,6 +396,15 @@ class TestConfigRouting:
             8192,
         )
         assert "cache_tiles" not in fd0.keywords  # stripes kernel path
+        # explicit cache at an unalignable dim rejects (not silently
+        # dropped onto the cache-less stripes kernel)
+        with pytest.raises(ValueError, match="128-aligned"):
+            _solve_fn(
+                SolverConfig(backend="multiround", cache_tiles=4,
+                             interpret=True),
+                "multiround",
+                8200,
+            )
         # end-to-end through the public API (interpret, small dim):
         # identical answers with and without the cache
         H = fixtures.hilbert_matrix(512)
