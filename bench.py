@@ -461,24 +461,28 @@ def main() -> None:
         )
     lam = float(res.eigenvalue)
 
-    def chain(k: int):
+
+    def make_chain(solve_fn, k: int):
+        """ONE definition of the chained-differencing executable (shared
+        by the headline and every matrix secondary, so a measurement-rule
+        fix can never be applied to one copy and missed in another): k
+        data-dependent solves of the operand matrix, dependence threaded
+        through the O(n) ev0 start vector (1 + λ·1e-38 is exactly 1.0f at
+        runtime — the iteration is scale-invariant in ev — but it defeats
+        hoisting/CSE of the k solves)."""
+
         @jax.jit
-        def run(H: jax.Array) -> jax.Array:
+        def run(M: jax.Array) -> jax.Array:
             def body(i, acc):
-                # 1 + λ·1e-38 is exactly 1.0f at runtime (the iteration is
-                # also scale-invariant in ev regardless), but the runtime
-                # dependence defeats hoisting/CSE of the k solves.  It
-                # enters through ev0 — ONE O(n) op per solve, so the
-                # chained rounds are byte-identical to a bare solve's.
-                s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
-                ev0 = jnp.ones((DIM,), jnp.float32) * s
-                return solve(H, ev0).eigenvalue
+                sc = jnp.float32(1.0) + acc * jnp.float32(1e-38)
+                ev0 = jnp.ones((DIM,), jnp.float32) * sc
+                return solve_fn(M, ev0).eigenvalue
 
             return lax.fori_loop(0, k, body, jnp.float32(0.0))
 
         return run
 
-    run_long, run_short = chain(CHAIN), chain(1)
+    run_long, run_short = make_chain(solve, CHAIN), make_chain(solve, 1)
     lam_chain = _sync(run_long(H))
     if abs(lam_chain - lam) > 1e-6:
         print(f"WARNING: chained λ {lam_chain} != solve λ {lam}", file=sys.stderr)
@@ -546,19 +550,7 @@ def main() -> None:
                 Hb, EPS, MAX_ITR, storage_dtype=jnp.bfloat16, ev0=ev0
             )
 
-        def chain_b(k: int):
-            @jax.jit
-            def run(Hb: jax.Array) -> jax.Array:
-                def body(i, acc):
-                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
-                    ev0 = jnp.ones((DIM,), jnp.float32) * s
-                    return solve_b(Hb, ev0).eigenvalue
-
-                return lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-            return run
-
-        lb, sb = chain_b(CHAIN), chain_b(1)
+        lb, sb = make_chain(solve_b, CHAIN), make_chain(solve_b, 1)
         _sync(lb(Hb))
         t_l = _min_ms(lambda: _sync(lb(Hb)))
         t_s = _min_ms(lambda: _sync(sb(Hb)))
@@ -671,19 +663,7 @@ def main() -> None:
                 H, EPS, MAX_ITR, chunk=chunk, interpret=interpret, ev0=ev0
             )
 
-        def chain_d(k: int):
-            @jax.jit
-            def run(H: jax.Array) -> jax.Array:
-                def body(i, acc):
-                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
-                    ev0 = jnp.ones((DIM,), jnp.float32) * s
-                    return solve_d(H, ev0).eigenvalue
-
-                return lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-            return run
-
-        ld, sd = chain_d(CHAIN), chain_d(1)
+        ld, sd = make_chain(solve_d, CHAIN), make_chain(solve_d, 1)
         _sync(ld(H))
         t_l = _min_ms(lambda: _sync(ld(H)))
         t_s = _min_ms(lambda: _sync(sd(H)))
@@ -786,19 +766,7 @@ def main() -> None:
                 symmetric=True, tile=SYM_TILE,
             )
 
-        def chain_s(k: int):
-            @jax.jit
-            def run(H: jax.Array) -> jax.Array:
-                def body(i, acc):
-                    s = jnp.float32(1.0) + acc * jnp.float32(1e-38)
-                    ev0 = jnp.ones((DIM,), jnp.float32) * s
-                    return solve_s(H, ev0).eigenvalue
-
-                return lax.fori_loop(0, k, body, jnp.float32(0.0))
-
-            return run
-
-        ls, ss = chain_s(CHAIN), chain_s(1)
+        ls, ss = make_chain(solve_s, CHAIN), make_chain(solve_s, 1)
         _sync(ls(H))
         t_l = _min_ms(lambda: _sync(ls(H)))
         t_s = _min_ms(lambda: _sync(ss(H)))

@@ -257,12 +257,14 @@ def _solve_fn(
 
         from .ops.pallas.kernels import sym_auto_cache_tiles, sym_tile
 
-        def _auto_cache(bt: int) -> int:
+        def _auto_cache(bt: int, sym: bool = True) -> int:
             # VMEM-resident tile cache (round 5): defaults pick the fast
             # path — None auto-sizes to the measured-safe budget (104
-            # MiB f32 / 48 MiB bf16, kernels.sym_auto_cache_tiles), so
-            # the API's multiround solves match bench.py's headline
-            # configuration; explicit values (incl. 0 = streaming) win.
+            # MiB f32 / 48 MiB bf16, kernels.sym_auto_cache_tiles; the
+            # cacheable-tile cap differs between the triangle and the
+            # dense tiled kernel), so the API's multiround solves match
+            # bench.py's headline configuration; explicit values (incl.
+            # 0 = streaming) win.
             if config.cache_tiles is not None:
                 return config.cache_tiles
             itemsize = (
@@ -271,7 +273,7 @@ def _solve_fn(
                 else 4
             )
             return sym_auto_cache_tiles(
-                n, bt, itemsize, 48 if itemsize == 2 else 104
+                n, bt, itemsize, 48 if itemsize == 2 else 104, sym=sym
             )
 
         kw = {}
@@ -292,25 +294,39 @@ def _solve_fn(
                 kw["tile"] = tile
                 if bt is not None:
                     kw["cache_tiles"] = _auto_cache(bt)
-        elif bt is not None and _auto_cache(bt) > 0:
-            # DENSE + cache (round 5): the tiled direct-terms kernel with
-            # the resident cache beats the stripes kernel at the
-            # multiround dims (4.00 vs 6.36 ms at 8192² —
-            # scratch/exp_dense_cached.py); unalignable dims and
-            # cache_tiles=0 keep the stripes kernel
+        elif config.cache_tiles:
+            # EXPLICIT dense cache request: the tiled direct-terms kernel
+            # (block_rows, if set, is its square tile edge); a dim/tile
+            # with no 128-aligned square divisor cannot be served and
+            # must not silently run the cache-less stripes kernel
+            # (the honored-or-rejected contract)
+            if bt is None and n is not None:
+                raise ValueError(
+                    f"cache_tiles={config.cache_tiles} needs a 128-aligned "
+                    f"square tile that divides n={n} "
+                    f"(kernels.sym_tile(n, {tile}) is None — "
+                    f"{'raise block_rows to >= 128' if tile < 128 else 'this dim has no such divisor'}); "
+                    f"the stripes kernel would silently run without the "
+                    f"cache. Drop cache_tiles or adjust block_rows."
+                )
             kw["tile"] = tile
-            kw["cache_tiles"] = _auto_cache(bt)
-        elif config.cache_tiles and bt is None and n is not None:
-            # the honored-or-rejected contract: an EXPLICIT cache request
-            # at a dim with no 128-aligned square tile cannot be served
-            # by the tiled kernel and must not silently run the
-            # cache-less stripes kernel instead
-            raise ValueError(
-                f"cache_tiles={config.cache_tiles} needs a 128-aligned "
-                f"square tile that divides n={n} (kernels.sym_tile); this "
-                f"dim has none, so the stripes kernel would silently run "
-                f"without the cache. Drop cache_tiles (or pad the matrix)."
-            )
+            kw["cache_tiles"] = config.cache_tiles
+        elif (
+            config.cache_tiles is None
+            and config.block_rows is None
+            and bt is not None
+            and _auto_cache(bt, sym=False) > 0
+        ):
+            # DENSE + auto cache (round 5): the tiled direct-terms kernel
+            # with the resident cache beats the stripes kernel at the
+            # multiround dims (4.00 vs 6.36 ms at 8192² —
+            # scratch/exp_dense_cached.py).  Only when block_rows is
+            # unset: an explicit block_rows keeps its established stripes
+            # meaning (stripe height, advisor r3) rather than being
+            # silently reinterpreted as a tile edge.  cache_tiles=0 and
+            # unalignable dims keep the stripes kernel too.
+            kw["tile"] = tile
+            kw["cache_tiles"] = _auto_cache(bt, sym=False)
         elif config.block_rows is not None:
             # honor an explicitly configured stripe height (advisor r3:
             # it was silently dropped for this backend only); the kernel

@@ -127,7 +127,7 @@ E2E_BACKENDS: Dict[str, Callable] = {
         ev0=ev0,
         tile=512,
         cache_tiles=kernels.sym_auto_cache_tiles(
-            A.shape[0], kernels.sym_tile(A.shape[0], 512) or 128
+            A.shape[0], kernels.sym_tile(A.shape[0], 512) or 128, sym=False
         ),
     ),
 }
@@ -135,14 +135,21 @@ E2E_BACKENDS: Dict[str, Callable] = {
 
 def _sym_alignable(backend: str, n: int) -> bool:
     """False when a tiled rung (sym or dense-cached) cannot run at dim n
-    (no 128-aligned square tile divides n) — bench_e2e records an
-    explicit skip row instead of crashing the sweep."""
+    — no 128-aligned square tile divides n, or (dense-cached) the auto
+    cache sizes to zero so solve_multiround would silently measure the
+    STRIPES kernel under the cached label — bench_e2e records an
+    explicit skip row instead."""
     if not (
         backend.startswith("multiround_sym")
         or backend == "multiround_cached"
     ):
         return True
-    return kernels.sym_tile(n, 1024 if "bf16" in backend else 512) is not None
+    bt = kernels.sym_tile(n, 1024 if "bf16" in backend else 512)
+    if bt is None:
+        return False
+    if backend == "multiround_cached":
+        return kernels.sym_auto_cache_tiles(n, bt, sym=False) > 0
+    return True
 
 
 def measure_rtt_ms() -> float:
@@ -1064,13 +1071,17 @@ def bench_large(reps: int = 3) -> List[dict]:
             A = jax.block_until_ready(fixtures.hilbert_matrix(n, dtype=dt))
             if sym:
                 # tile edges per the 8192² tuning (f32 512, bf16 1024 —
-                # scratch/exp_sym_sweep.py); bf16 chunk +2 for the ±1
-                # storage round tolerance
+                # scratch/exp_sym_sweep.py); exact-fit chunk for f32
+                # (same as the dense rung), +2 only for bf16's ±1
+                # storage round tolerance — a mismatched chunk would
+                # stream extra frozen passes into the sym/dense A/B
                 _tile = 512 if dt == jnp.float32 else 1024
                 _storage = None if dt == jnp.float32 else jnp.bfloat16
+                _chunk = want_rounds + (1 if dt == jnp.float32 else 2)
                 fn = jax.jit(
-                    lambda A, ev0, _t=_tile, _s=_storage: solve_multiround(
-                        A, EPS, MAX_ITR, chunk=want_rounds + 2, ev0=ev0,
+                    lambda A, ev0, _t=_tile, _s=_storage, _c=_chunk:
+                    solve_multiround(
+                        A, EPS, MAX_ITR, chunk=_c, ev0=ev0,
                         symmetric=True, tile=_t, storage_dtype=_s,
                     )
                 )

@@ -902,18 +902,23 @@ def sym_tile(n: int, tile: int = 512) -> int | None:
 
 
 def sym_auto_cache_tiles(
-    n: int, bt: int, itemsize: int = 4, budget_mb: int = 104
+    n: int, bt: int, itemsize: int = 4, budget_mb: int = 104,
+    sym: bool = True,
 ) -> int:
     """Largest safe ``cache_tiles`` for :func:`multiround_sym` on a v5e:
     fill ``budget_mb`` of VMEM with resident tiles, capped at the
-    strictly-off-diagonal tile count.  The default budget is the
-    measured-good flagship point: 104 MiB of cache + ~10.5 MiB of
-    stream/state/margin compiles inside the 128 MiB VMEM and measures
-    1.30 ms at 8192² f32 (vs 3.51 ms pure streaming; 110 MiB+ risks the
-    Mosaic scoped-vmem OOM — scratch/exp_sym_cached.py)."""
+    cacheable tile count — the strictly-off-diagonal count for the
+    symmetric kernel, all-but-one of the g² tiles for the dense
+    (``sym=False``) tiled kernel (at least one tile must stream).  The
+    default budget is the measured-good flagship point: 104 MiB of
+    cache + ~10.5 MiB of stream/state/margin compiles inside the
+    128 MiB VMEM and measures 1.30 ms at 8192² f32 (vs 3.51 ms pure
+    streaming; 110 MiB+ risks the Mosaic scoped-vmem OOM —
+    scratch/exp_sym_cached.py)."""
     g = n // bt
     per_tile = bt * bt * itemsize
-    return max(0, min((budget_mb << 20) // per_tile, g * (g - 1) // 2))
+    cap = g * (g - 1) // 2 if sym else g * g - 1
+    return max(0, min((budget_mb << 20) // per_tile, cap))
 
 
 def sym_cache_split(n: int, bt: int, cache_tiles: int):

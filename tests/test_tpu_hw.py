@@ -284,10 +284,12 @@ def test_multiround_sym_cached_parity_on_hardware(n, tiles):
 
 
 def test_multiround_sym_bf16_parity_on_hardware():
-    """Symmetric kernel × bf16 storage COMPOSED on silicon (the bench
-    bf16 secondary's exact configuration, tile=1024): converges within
-    ±1 round of the f32 table (storage-accuracy tolerance) and λ within
-    ~1e-3 relative."""
+    """Symmetric kernel × bf16 storage COMPOSED on silicon — at the
+    round-4 tile=1024 uncached configuration AND the round-5 bench bf16
+    secondary's exact configuration (tile=512 + 96 cached bf16 tiles;
+    the bf16 cache scratch and bf16 DMA fill have no other Mosaic-
+    compiled coverage): converges within ±1 round of the f32 table
+    (storage-accuracy tolerance) and λ within ~1e-3 relative."""
     import jax.numpy as jnp
 
     from eigen_value_tpu.config import EPS, MAX_ITR
@@ -295,20 +297,38 @@ def test_multiround_sym_bf16_parity_on_hardware():
 
     n = 2048
     H = jax.device_put(np.asarray(fixtures.hilbert_matrix(n)), _tpu())
-    res = jax.block_until_ready(
-        solve_multiround(
-            H, EPS, MAX_ITR, chunk=fixtures.HILBERT_ROUNDS[n] + 2,
-            symmetric=True, tile=1024, storage_dtype=jnp.bfloat16,
-        )
-    )
-    assert abs(int(res.rounds) - fixtures.HILBERT_ROUNDS[n]) <= 1
-    assert bool(res.converged)
     f32 = jax.block_until_ready(
         solve_multiround(H, EPS, MAX_ITR, symmetric=True, tile=512)
     )
-    assert float(res.eigenvalue) == pytest.approx(
-        float(f32.eigenvalue), rel=2e-3
+    for kw in (
+        dict(tile=1024),
+        dict(tile=512, cache_tiles=4),
+    ):
+        res = jax.block_until_ready(
+            solve_multiround(
+                H, EPS, MAX_ITR, chunk=fixtures.HILBERT_ROUNDS[n] + 2,
+                symmetric=True, storage_dtype=jnp.bfloat16, **kw,
+            )
+        )
+        assert abs(int(res.rounds) - fixtures.HILBERT_ROUNDS[n]) <= 1, kw
+        assert bool(res.converged), kw
+        assert float(res.eigenvalue) == pytest.approx(
+            float(f32.eigenvalue), rel=2e-3
+        ), kw
+    # the bench secondary's flagship shape: 8192², tile=512, cache=96
+    H8 = jax.device_put(
+        np.asarray(fixtures.hilbert_matrix(8192), np.float32), _tpu()
     )
+    res8 = jax.block_until_ready(
+        solve_multiround(
+            H8, EPS, MAX_ITR, chunk=fixtures.HILBERT_ROUNDS[8192] + 2,
+            symmetric=True, tile=512, cache_tiles=96,
+            storage_dtype=jnp.bfloat16,
+        )
+    )
+    assert abs(int(res8.rounds) - fixtures.HILBERT_ROUNDS[8192]) <= 1
+    assert bool(res8.converged)
+    assert float(res8.eigenvalue) == pytest.approx(2.6, rel=2e-3)
 
 
 class TestOperatorsOnHardware:
