@@ -270,8 +270,10 @@ def bench_e2e(
                         "backend": name,
                         "dim": n,
                         "skipped": (
-                            "no 128-aligned square tile divides n — the "
-                            "dense multiround rung keeps the job at this dim"
+                            "tiled rung not measurable at this dim (no "
+                            "128-aligned square tile divides n, or the "
+                            "auto cache sizes to zero) — the stripes/dense "
+                            "rungs keep the job"
                         ),
                     }
                 )
