@@ -150,6 +150,24 @@ MATRIX = [
     (dict(symmetric=True, backend="matvec"),
      dict(single="raise", mesh1d="raise", mesh2d="raise", batch="raise",
           operator="raise")),
+    # cache_tiles (round 5) is a multiround-path knob: honored by the
+    # explicit multiround backend (the VMEM-resident tile cache), with
+    # or without the symmetric declaration; silently droppable
+    # everywhere else, so every other entry/backend must raise (auto
+    # resolves off the multiround backend on the CPU suite).
+    (dict(cache_tiles=2, backend="multiround", interpret=True),
+     dict(single="ok", mesh1d="raise", mesh2d="raise", batch="raise",
+          operator="raise")),
+    (dict(cache_tiles=2, symmetric=True, backend="multiround",
+          interpret=True),
+     dict(single="ok", mesh1d="raise", mesh2d="raise", batch="raise",
+          operator="raise")),
+    (dict(cache_tiles=2),
+     dict(single="raise", mesh1d="raise", mesh2d="raise", batch="raise",
+          operator="raise")),
+    (dict(cache_tiles=2, backend="matvec"),
+     dict(single="raise", mesh1d="raise", mesh2d="raise", batch="raise",
+          operator="raise")),
 ]
 
 
