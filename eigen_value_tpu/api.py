@@ -283,7 +283,19 @@ def _solve_fn(
             if config.backend == "auto" and n is not None and bt is None:
                 # auto consumed the declaration but the dim admits no
                 # 128-aligned square tile — the dense multiround kernel
-                # keeps the job (identical results, full traffic)
+                # keeps the job (identical results, full traffic).  An
+                # EXPLICIT cache request cannot ride along silently
+                # though (the honored-or-rejected contract — review r5):
+                # the stripes fallback has no cache.
+                if config.cache_tiles:
+                    raise ValueError(
+                        f"cache_tiles={config.cache_tiles} needs a "
+                        f"128-aligned square tile that divides n={n} "
+                        f"(kernels.sym_tile(n, {tile}) is None — "
+                        f"{'raise block_rows to >= 128' if tile < 128 else 'this dim has no such divisor'}); "
+                        f"the cache-less stripes fallback would silently "
+                        f"drop it. Drop cache_tiles or adjust block_rows."
+                    )
                 if config.block_rows is not None:
                     kw["block_rows"] = config.block_rows
             else:

@@ -86,7 +86,7 @@ E2E_BACKENDS: Dict[str, Callable] = {
         interpret=auto_interpret(),
         ev0=ev0,
         symmetric=True,
-        tile=512,
+        tile=TILED_RUNGS["multiround_sym"][0],
     ),
     "multiround_sym_bf16": lambda A, ev0=None: solve_multiround(
         A,
@@ -96,7 +96,7 @@ E2E_BACKENDS: Dict[str, Callable] = {
         interpret=auto_interpret(),
         ev0=ev0,
         symmetric=True,
-        tile=1024,
+        tile=TILED_RUNGS["multiround_sym_bf16"][0],
         storage_dtype=jnp.bfloat16,
     ),
     # round-5 headline rung: the VMEM-resident tile cache (auto-sized to
@@ -110,9 +110,11 @@ E2E_BACKENDS: Dict[str, Callable] = {
         interpret=auto_interpret(),
         ev0=ev0,
         symmetric=True,
-        tile=512,
+        tile=TILED_RUNGS["multiround_sym_cached"][0],
         cache_tiles=kernels.sym_auto_cache_tiles(
-            A.shape[0], kernels.sym_tile(A.shape[0], 512) or 128
+            A.shape[0],
+            kernels.sym_tile(A.shape[0], TILED_RUNGS["multiround_sym_cached"][0])
+            or 128,
         ),
     ),
     # round-5 dense rung: the same cache WITHOUT the symmetry
@@ -125,30 +127,43 @@ E2E_BACKENDS: Dict[str, Callable] = {
         chunk=fixtures.HILBERT_ROUNDS.get(A.shape[0], 17) + 1,
         interpret=auto_interpret(),
         ev0=ev0,
-        tile=512,
+        tile=TILED_RUNGS["multiround_cached"][0],
         cache_tiles=kernels.sym_auto_cache_tiles(
-            A.shape[0], kernels.sym_tile(A.shape[0], 512) or 128, sym=False
+            A.shape[0],
+            kernels.sym_tile(A.shape[0], TILED_RUNGS["multiround_cached"][0])
+            or 128,
+            sym=TILED_RUNGS["multiround_cached"][1],
         ),
     ),
 }
 
 
+#: The tiled rungs' (tile edge, symmetric?) — ONE table shared by the
+#: E2E_BACKENDS lambdas above and the skip predicate below, so the two
+#: can never disagree about what a rung actually runs (review r5: both
+#: used to hardcode the same constants separately).
+TILED_RUNGS = {
+    "multiround_sym": (512, True),
+    "multiround_sym_bf16": (1024, True),
+    "multiround_sym_cached": (512, True),
+    "multiround_cached": (512, False),
+}
+
+
 def _sym_alignable(backend: str, n: int) -> bool:
-    """False when a tiled rung (sym or dense-cached) cannot run at dim n
-    — no 128-aligned square tile divides n, or (dense-cached) the auto
-    cache sizes to zero so solve_multiround would silently measure the
-    STRIPES kernel under the cached label — bench_e2e records an
-    explicit skip row instead."""
-    if not (
-        backend.startswith("multiround_sym")
-        or backend == "multiround_cached"
-    ):
+    """False when a tiled rung cannot run at dim n — no 128-aligned
+    square tile divides n, or (dense-cached) the auto cache sizes to
+    zero so solve_multiround would silently measure the STRIPES kernel
+    under the cached label — bench_e2e records an explicit skip row
+    instead."""
+    if backend not in TILED_RUNGS:
         return True
-    bt = kernels.sym_tile(n, 1024 if "bf16" in backend else 512)
+    tile, sym = TILED_RUNGS[backend]
+    bt = kernels.sym_tile(n, tile)
     if bt is None:
         return False
     if backend == "multiround_cached":
-        return kernels.sym_auto_cache_tiles(n, bt, sym=False) > 0
+        return kernels.sym_auto_cache_tiles(n, bt, sym=sym) > 0
     return True
 
 

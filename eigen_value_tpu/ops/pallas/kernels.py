@@ -914,11 +914,23 @@ def sym_auto_cache_tiles(
     cache + ~10.5 MiB of stream/state/margin compiles inside the
     128 MiB VMEM and measures 1.30 ms at 8192² f32 (vs 3.51 ms pure
     streaming; 110 MiB+ risks the Mosaic scoped-vmem OOM —
-    scratch/exp_sym_cached.py)."""
+    scratch/exp_sym_cached.py).
+
+    The budget is additionally capped by what the kernel's OWN VMEM
+    demand leaves free: the vpu formulation's two lane-padded (n, 1)
+    scratches cost 2·n·128·4 bytes (32 MiB at 32768²!) and the
+    double-buffered stream tiles 2.5·bt²·itemsize — without this cap the
+    fixed 104 MiB default would push large-dim compiles past the chip's
+    128 MiB (review round 5: the defaults at 16384²+ would have OOMed
+    where the round-4 stripes default worked)."""
     g = n // bt
     per_tile = bt * bt * itemsize
     cap = g * (g - 1) // 2 if sym else g * g - 1
-    return max(0, min((budget_mb << 20) // per_tile, cap))
+    state = 2 * n * 128 * 4  # lane-padded (n, 1) f32 vpu scratches
+    stream = 5 * bt * bt * itemsize // 2
+    avail = (126 << 20) - state - stream - (8 << 20)
+    budget = min(budget_mb << 20, max(0, avail))
+    return max(0, min(budget // per_tile, cap))
 
 
 def sym_cache_split(n: int, bt: int, cache_tiles: int):

@@ -373,12 +373,16 @@ def solve_multiround(
     parity at the benchmark dims is asserted by tests (different f32
     reduction order than every dense formulation).
 
-    ``cache_tiles`` (symmetric only, round 5) additionally holds that
-    many strictly-off-diagonal tiles VMEM-RESIDENT across the whole
-    solve — they cross HBM once per solve instead of once per round,
-    their matvec work spread across the streamed steps
+    ``cache_tiles`` (round 5) holds that many tiles VMEM-RESIDENT
+    across the whole solve — they cross HBM once per solve instead of
+    once per round, their matvec work spread across the streamed steps
     (kernels.multiround_sym docstring; ~0.18× dense traffic with 96
-    cached tiles at 8192²/tile=512).  0 = pure streaming.
+    cached tiles at 8192²/tile=512 symmetric).  With ``symmetric=True``
+    the cache holds strictly-off-diagonal triangle tiles; WITHOUT it,
+    ``cache_tiles > 0`` switches from the stripes kernel to the tiled
+    direct-terms kernel over all g² tiles (any tile cacheable —
+    measured 4.00 vs 6.36 ms at 8192² dense).  0 = the pure-streaming
+    kernels.
     """
     from .pallas import kernels
 
