@@ -47,6 +47,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Measured per-term cost of the MXU dot_general matvec relative to the
+# VPU broadcast-multiply form, f32 HIGHEST, 512² tiles on v5e (scratch/
+# exp_mxu_cached.py: all-104-cached-tiles-on-MXU 4.17-4.24 ms vs
+# all-on-VPU 1.14-1.37 ms at the same traffic).  Sets the default MXU
+# share of the "mixed" formulation at the unit-balance point.
+MXU_TERM_COST = 3.5
+
 
 def _rowsum_kernel(a_ref, out_ref):
     part = jnp.sum(a_ref[...], axis=1, keepdims=True)
@@ -684,6 +691,7 @@ def _multiround_sym_kernel(
     formulation,
     cached=(),
     slots=0,
+    mxu_slots=0,
     sym=True,
 ):
     # ``cached`` (static): the (i, j) tile coordinates of the strictly-
@@ -692,7 +700,20 @@ def _multiround_sym_kernel(
     # argument list gains three more scalar-prefetch arrays (the
     # per-grid-step cached-work slots), A again pinned to HBM (the DMA
     # source), a packed cache scratch and a DMA semaphore array.
-    if cached:
+    if cached and formulation == "mixed":
+        # three extra scalar-prefetch arrays (the MXU share's per-step
+        # cached-work slots — the "cs/cdi/cdj" triple of the dot loop)
+        # and one extra lane-space accumulator: the MXU terms get their
+        # OWN accumulator so their writes carry no memory dependency on
+        # the VPU transpose terms' rawrow writes (a shared accumulator
+        # would serialize the two units)
+        (ti_ref, tj_ref, cs_ref, cdi_ref, cdj_ref,
+         ms_ref, mdi_ref, mdj_ref,
+         ev_in, v_in, lam_in, budget_in, a_ref, a_hbm,
+         ev_out, v_out, adv_out, lam_out,
+         ev_s, evcol_s, vrow_s, rawrow_s, rawcol_s, done_s, adv_s, lam_s,
+         rawmxu_s, cache_s, dma_sem) = args
+    elif cached:
         (ti_ref, tj_ref, cs_ref, cdi_ref, cdj_ref,
          ev_in, v_in, lam_in, budget_in, a_ref, a_hbm,
          ev_out, v_out, adv_out, lam_out,
@@ -758,6 +779,8 @@ def _multiround_sym_kernel(
                 if formulation == "dot"
                 else rawrow_s[...] + jnp.transpose(rawcol_s[...])
             )
+            if formulation == "mixed":
+                raw = raw + rawmxu_s[...]
             vrow_s[...] = raw / ev_s[...]
 
         check = (active & (r != 0)) if init else active
@@ -781,9 +804,11 @@ def _multiround_sym_kernel(
             adv_s[0] = adv_s[0] + 1
 
         rawrow_s[...] = jnp.zeros_like(rawrow_s)
-        if formulation == "vpu":
+        if formulation in ("vpu", "mixed"):
             rawcol_s[...] = jnp.zeros_like(rawcol_s)
             evcol_s[...] = jnp.transpose(ev_s[...])
+        if formulation == "mixed":
+            rawmxu_s[...] = jnp.zeros_like(rawmxu_s)
 
     # The symmetric matvec: tile (i, j) of the UPPER triangle contributes
     # rows i_blk directly and — off-diagonal — rows j_blk through its
@@ -878,6 +903,41 @@ def _multiround_sym_kernel(
                         )
                         rawrow_s[:, pl.ds(cj * bt, bt)] += part_cj
 
+        # "mixed" (round 5c): a measured-size MXU share of the cached
+        # tiles runs as dot_general while the VPU share above keeps the
+        # vpu form — the MXU is otherwise idle in this compute-bound
+        # regime, and its ~3.5×-slower M=1 matvec still wins when it
+        # only takes the balance fraction of the work (exp_mxu_cached:
+        # all-on-MXU 4.2 ms vs all-on-VPU 1.14-1.37 ms).  Both terms
+        # land in the lane-space accumulator the vpu transpose term
+        # already uses, so the merge is unchanged.
+        if formulation == "mixed":
+            for kc in range(mxu_slots):
+                s = ms_ref[t * mxu_slots + kc]
+                ci = mdi_ref[t * mxu_slots + kc]
+                cj = mdj_ref[t * mxu_slots + kc]
+
+                @pl.when(s >= 0)
+                def _(s=s, ci=ci, cj=cj):
+                    blk = cache_s[pl.ds(s * bt, bt), :].astype(ev_s.dtype)
+                    part_ci = jax.lax.dot_general(
+                        ev_s[:, pl.ds(cj * bt, bt)],
+                        blk,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    rawmxu_s[:, pl.ds(ci * bt, bt)] += part_ci
+                    if sym:
+                        part_cj = jax.lax.dot_general(
+                            ev_s[:, pl.ds(ci * bt, bt)],
+                            blk,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        rawmxu_s[:, pl.ds(cj * bt, bt)] += part_cj
+
     @pl.when((r == k - 1) & (t == T - 1))
     def _():
         d = done_s[0] == 1
@@ -887,6 +947,8 @@ def _multiround_sym_kernel(
             if formulation == "dot"
             else rawrow_s[...] + jnp.transpose(rawcol_s[...])
         )
+        if formulation == "mixed":
+            raw = raw + rawmxu_s[...]
         v_out[...] = jnp.where(d, vrow_s[...], raw / ev_s[...])
         adv_out[0, 0] = adv_s[0]
         lam_out[0, 0] = lam_s[0]
@@ -955,7 +1017,7 @@ def sym_cache_split(n: int, bt: int, cache_tiles: int):
     jax.jit,
     static_argnames=(
         "chunk", "init", "eps", "eps_mode", "tile", "interpret",
-        "formulation", "cache_tiles", "sym",
+        "formulation", "cache_tiles", "sym", "mxu_tiles",
     ),
 )
 def multiround_sym(
@@ -974,6 +1036,7 @@ def multiround_sym(
     formulation: str = "vpu",
     cache_tiles: int = 0,
     sym: bool = True,
+    mxu_tiles: int | None = None,
 ):
     """:func:`multiround` for a SYMMETRIC matrix: each round reads only
     the ``g(g+1)/2`` upper-triangle tiles of A — ~HALF the HBM traffic of
@@ -1007,8 +1070,25 @@ def multiround_sym(
 
     Formulations: "vpu" (broadcast-multiply + lane reduce for the row
     term, sublane reduce for the transpose term; two accumulators merged
-    once per round) and "dot" (MXU ``dot_general`` at HIGHEST for both
-    terms, single lane-space accumulator).
+    once per round), "dot" (MXU ``dot_general`` at HIGHEST for both
+    terms, single lane-space accumulator), and "mixed" (round 5c: an
+    ``mxu_tiles``-sized share of the CACHED tiles runs as MXU
+    ``dot_general`` — with its OWN accumulator so the writes carry no
+    memory dependency on the VPU terms — while everything else keeps
+    the vpu form; default share = the unit-balance point
+    ``total_terms / (1 + MXU_TERM_COST)``).
+
+    MEASURED NEGATIVE (retained rung): in the compute-bound cached
+    regime the hoped-for VPU/MXU co-issue does not materialize — the
+    cost model is strictly ADDITIVE at ~4× per MXU term (M=1 wastes
+    7/8 of the MXU sublanes and f32 HIGHEST's bf16x3 decomposition
+    spends VPU cycles anyway), so every MXU share loses:
+    vpu 1.20 ms vs mixed m16/m28/auto 1.67/1.78/2.10 ms and pure dot
+    4.2 ms at 8192²/C104 (scratch/exp_mxu_cached.py,
+    scratch/exp_mixed_sweep.py, 2026-08-20).  "vpu" stays the
+    production default; the rung is kept bit-correct for recheck on
+    future compilers/chips (wider MXU issue or native-f32 MXUs would
+    flip the balance).
 
     ``cache_tiles`` (round 5) holds that many strictly-off-diagonal
     tiles VMEM-RESIDENT across all rounds: the v5e has ~128 MiB of VMEM
@@ -1027,7 +1107,7 @@ def multiround_sym(
     """
     n, ncols = A.shape
     assert n == ncols, (n, ncols)
-    assert formulation in ("dot", "vpu"), formulation
+    assert formulation in ("dot", "vpu", "mixed"), formulation
     bt = sym_tile(n, tile)
     if bt is None:
         raise ValueError(
@@ -1055,19 +1135,64 @@ def multiround_sym(
     # streamed step s % T, slot s // T (round-robin), so the resident
     # compute spreads evenly across the round's DMA timeline
     T, C = len(tri), len(cached)
-    slots = -(-C // T) if C else 0
+    mixed = formulation == "mixed"
+    if mxu_tiles is not None and not mixed:
+        raise ValueError(
+            "mxu_tiles is only meaningful with formulation='mixed'"
+        )
+    if mixed and not C:
+        raise ValueError(
+            "formulation='mixed' needs cache_tiles > 0 (the MXU share "
+            "is carved out of the VMEM-resident tiles)"
+        )
+    if mixed:
+        # the MXU share: by default the term-count balance point between
+        # the units, given the measured per-term MXU/VPU cost ratio
+        # (exp_mxu_cached: all-104-tiles-on-MXU 4.2 ms vs all-on-VPU
+        # 1.14-1.37 ⇒ ~3.5× per term).  terms: streamed diagonals 1,
+        # everything else 2 in sym mode; every tile 1 in dense mode.
+        if sym:
+            t_stream = sum(1 if i == j else 2 for i, j in tri)
+            per_cached = 2
+        else:
+            t_stream = len(tri)
+            per_cached = 1
+        total = t_stream + per_cached * C
+        if mxu_tiles is None:
+            m = round(total / (1.0 + MXU_TERM_COST) / per_cached)
+        else:
+            m = mxu_tiles
+        m = max(0, min(m, C))
+    else:
+        m = 0
+
+    def _slot_arrays(idxs):
+        """Round-robin the cached-tile indices ``idxs`` across the T
+        streamed grid steps; -1 marks an empty slot.  Zero-slot shares
+        get a single dummy -1 so the prefetch operand is never empty
+        (the kernel's range(0) loop reads nothing)."""
+        k = len(idxs)
+        sl = -(-k // T) if k else 0
+        s_arr = [-1] * max(1, T * sl)
+        di = [0] * max(1, T * sl)
+        dj = [0] * max(1, T * sl)
+        for q, s in enumerate(idxs):
+            t_idx, kc = q % T, q // T
+            s_arr[t_idx * sl + kc] = s
+            di[t_idx * sl + kc] = cached[s][0]
+            dj[t_idx * sl + kc] = cached[s][1]
+        return (
+            jnp.asarray(s_arr, jnp.int32),
+            jnp.asarray(di, jnp.int32),
+            jnp.asarray(dj, jnp.int32),
+            sl,
+        )
+
     if C:
-        cs = [-1] * (T * slots)
-        cdi = [0] * (T * slots)
-        cdj = [0] * (T * slots)
-        for s, (ci_, cj_) in enumerate(cached):
-            t_idx, kc = s % T, s // T
-            cs[t_idx * slots + kc] = s
-            cdi[t_idx * slots + kc] = ci_
-            cdj[t_idx * slots + kc] = cj_
-        cs = jnp.asarray(cs, jnp.int32)
-        cdi = jnp.asarray(cdi, jnp.int32)
-        cdj = jnp.asarray(cdj, jnp.int32)
+        cs, cdi, cdj, slots = _slot_arrays(range(C - m))
+        ms_, mdi, mdj, mxu_slots = _slot_arrays(range(C - m, C))
+    else:
+        slots = mxu_slots = 0
 
     state_dt = ev.dtype  # f32 even when A is reduced-precision STORAGE
     lam_arr = jnp.asarray(lam, state_dt).reshape(1, 1)
@@ -1085,6 +1210,10 @@ def multiround_sym(
         pltpu.SMEM((1,), jnp.int32),  # rounds advanced
         pltpu.SMEM((1,), state_dt),  # λ snapshot
     ]
+    if mixed:
+        # the MXU share's own lane-space accumulator (no memory
+        # dependency on the VPU terms' writes)
+        scratch.append(pltpu.VMEM((1, n), state_dt))
     if C:
         # the packed resident cache + an 8-slot DMA semaphore ring for
         # the pipelined one-shot fill
@@ -1121,7 +1250,7 @@ def multiround_sym(
         # against the 128 MiB budget (measured: 322 MiB requested, OOM).
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5 if C else 2,
+        num_scalar_prefetch=(8 if mixed else 5) if C else 2,
         grid=(chunk, len(tri)),
         in_specs=in_specs,
         out_specs=(
@@ -1144,6 +1273,8 @@ def multiround_sym(
     operands = [ti, tj]
     if C:
         operands += [cs, cdi, cdj]
+        if mixed:
+            operands += [ms_, mdi, mdj]
     operands += [ev[None, :], v[None, :], lam_arr, budget_arr, A]
     if C:
         operands.append(A)
@@ -1156,6 +1287,7 @@ def multiround_sym(
             formulation=formulation,
             cached=cached,
             slots=slots,
+            mxu_slots=mxu_slots,
             sym=sym,
         ),
         grid_spec=grid_spec,
@@ -1186,7 +1318,7 @@ def multiround_sym(
                 5 * bt * bt * A.dtype.itemsize // 2
                 + (
                     2 * n * 128 * jnp.dtype(state_dt).itemsize
-                    if formulation == "vpu"
+                    if formulation in ("vpu", "mixed")
                     else 0
                 )
                 + cache_bytes

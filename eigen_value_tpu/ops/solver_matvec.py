@@ -324,6 +324,7 @@ def solve_matvec_storage(
     static_argnames=(
         "eps", "max_itr", "chunk", "block_rows", "interpret", "eps_mode",
         "formulation", "storage_dtype", "symmetric", "tile", "cache_tiles",
+        "mxu_tiles",
     ),
 )
 def solve_multiround(
@@ -340,6 +341,7 @@ def solve_multiround(
     symmetric: bool = False,
     tile: int = 512,
     cache_tiles: int = 0,
+    mxu_tiles: int | None = None,
 ) -> SolveResult:
     """Matvec-form solve where up to ``chunk`` ROUNDS run per Pallas
     invocation (:func:`..pallas.kernels.multiround`) — the round-3 attack
@@ -414,6 +416,7 @@ def solve_multiround(
         # crosses HBM once per SOLVE instead of once per round — see
         # kernels.multiround_sym's cache_tiles notes
         kw["cache_tiles"] = cache_tiles
+        kw["mxu_tiles"] = mxu_tiles
     elif cache_tiles > 0:
         # DENSE + cache: the tiled kernel in direct-terms-only mode —
         # all g² tiles, the cached subset VMEM-resident (the general-
@@ -423,7 +426,13 @@ def solve_multiround(
         kw["tile"] = tile
         kw["cache_tiles"] = cache_tiles
         kw["sym"] = False
+        kw["mxu_tiles"] = mxu_tiles
     else:
+        if mxu_tiles is not None:
+            raise ValueError(
+                "mxu_tiles needs the tiled kernel (symmetric=True or "
+                "cache_tiles > 0) with formulation='mixed'"
+            )
         kernel = kernels.multiround
         kw["block_rows"] = block_rows
     ev, v, adv, lam = kernel(

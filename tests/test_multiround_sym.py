@@ -270,6 +270,26 @@ class TestVmemCache:
         assert int(got.rounds) == fixtures.HILBERT_ROUNDS[512]
         assert bool(got.converged)
 
+    def test_mixed_formulation_composes(self):
+        """"mixed" = streamed tiles on the VPU + cached tiles on the MXU
+        (the round-5c unit-overlap formulation) — same round/λ parity,
+        in both the symmetric and the dense-cached mode."""
+        H = fixtures.hilbert_matrix(512)
+        got = _solve_sym(H, cache_tiles=4, formulation="mixed")
+        assert int(got.rounds) == fixtures.HILBERT_ROUNDS[512]
+        assert bool(got.converged)
+        rng = np.random.default_rng(13)
+        A = jnp.asarray(rng.random((384, 384), np.float32) + 0.1)
+        want = solve_matvec(A, EPS, MAX_ITR)
+        got = solve_multiround(
+            A, EPS, MAX_ITR, chunk=5, interpret=True, tile=128,
+            cache_tiles=5, formulation="mixed",
+        )
+        assert int(got.rounds) == int(want.rounds)
+        assert float(got.eigenvalue) == pytest.approx(
+            float(want.eigenvalue), rel=1e-5
+        )
+
     def test_dense_cached_mode(self):
         """cache_tiles WITHOUT the symmetric declaration routes to the
         tiled dense kernel (all g² tiles, direct terms only) — correct
@@ -478,3 +498,14 @@ class TestConfigRouting:
             max_eigenvalue_operator(
                 lambda x: A @ x, 64, SolverConfig(symmetric=True)
             )
+
+
+def test_mixed_requires_cache():
+    """"mixed" carves its MXU share out of the resident tiles, so it
+    is rejected without a cache, and mxu_tiles is rejected without
+    "mixed" (the honored-or-rejected contract)."""
+    H = fixtures.hilbert_matrix(256)
+    with pytest.raises(ValueError, match="cache_tiles > 0"):
+        _solve_sym(H, formulation="mixed")
+    with pytest.raises(ValueError, match="mxu_tiles"):
+        _solve_sym(H, cache_tiles=2, mxu_tiles=1)
