@@ -693,6 +693,7 @@ def _multiround_sym_kernel(
     slots=0,
     mxu_slots=0,
     sym=True,
+    fill="prologue",
 ):
     # ``cached`` (static): the (i, j) tile coordinates of the strictly-
     # off-diagonal tiles held VMEM-resident across the whole chunk —
@@ -732,6 +733,37 @@ def _multiround_sym_kernel(
     bt = a_ref.shape[0]
     i, j = ti_ref[t], tj_ref[t]
 
+    def _dyn_copy(s, ci, cj):
+        """Copy descriptor for cached tile ``s`` (traced indices — the
+        pipelined fill resolves tiles through the per-step slot arrays)."""
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds(ci * bt, bt), pl.ds(cj * bt, bt)],
+            cache_s.at[pl.ds(s * bt, bt), :],
+            dma_sem.at[s],
+        )
+
+    def _issue_step(tt):
+        """Start the fill DMAs for every cached tile first USED at
+        streamed step ``tt`` (both the VPU and — in mixed — the MXU
+        share's slots)."""
+        for kc in range(slots):
+            s = cs_ref[tt * slots + kc]
+            ci = cdi_ref[tt * slots + kc]
+            cj = cdj_ref[tt * slots + kc]
+
+            @pl.when(s >= 0)
+            def _(s=s, ci=ci, cj=cj):
+                _dyn_copy(s, ci, cj).start()
+        if formulation == "mixed":
+            for kc in range(mxu_slots):
+                s = ms_ref[tt * mxu_slots + kc]
+                ci = mdi_ref[tt * mxu_slots + kc]
+                cj = mdj_ref[tt * mxu_slots + kc]
+
+                @pl.when(s >= 0)
+                def _(s=s, ci=ci, cj=cj):
+                    _dyn_copy(s, ci, cj).start()
+
     @pl.when((r == 0) & (t == 0))
     def _():
         ev_s[...] = ev_in[...]
@@ -739,30 +771,47 @@ def _multiround_sym_kernel(
         done_s[0] = 0
         adv_s[0] = 0
         lam_s[0] = lam_in[0, 0]
-        # Fill the packed VMEM cache ONCE per solve: each cached tile is
-        # DMA'd from the HBM-resident A at full bandwidth and then reused
-        # by every round — the whole point of the cached variant (the
-        # one-shot ~130 µs fill is charged to the solve; the per-round
-        # HBM traffic drops by the cached area).  Up to 8 copies are kept
-        # in flight (strided starts against an 8-slot semaphore ring) so
-        # the fill runs at stream bandwidth without assuming an unbounded
-        # hardware DMA queue.
-        depth = min(8, len(cached))
+        if cached and fill == "prologue":
+            # Fill the packed VMEM cache ONCE per solve: each cached
+            # tile is DMA'd from the HBM-resident A at full bandwidth
+            # and then reused by every round — the whole point of the
+            # cached variant (the one-shot ~130 µs fill is charged to
+            # the solve; the per-round HBM traffic drops by the cached
+            # area).  Up to 8 copies are kept in flight (strided starts
+            # against an 8-slot semaphore ring) so the fill runs at
+            # stream bandwidth without assuming an unbounded hardware
+            # DMA queue.
+            depth = min(8, len(cached))
 
-        def _copy(s):
-            tii, tjj = cached[s]
-            return pltpu.make_async_copy(
-                a_hbm.at[tii * bt:(tii + 1) * bt, tjj * bt:(tjj + 1) * bt],
-                cache_s.at[s * bt:(s + 1) * bt, :],
-                dma_sem.at[s % depth] if depth else dma_sem.at[0],
-            )
+            def _copy(s):
+                tii, tjj = cached[s]
+                return pltpu.make_async_copy(
+                    a_hbm.at[tii * bt:(tii + 1) * bt,
+                             tjj * bt:(tjj + 1) * bt],
+                    cache_s.at[s * bt:(s + 1) * bt, :],
+                    dma_sem.at[s % depth] if depth else dma_sem.at[0],
+                )
 
-        for s in range(len(cached)):
-            if s >= depth:
-                _copy(s - depth).wait()
-            _copy(s).start()
-        for s in range(max(0, len(cached) - depth), len(cached)):
-            _copy(s).wait()
+            for s in range(len(cached)):
+                if s >= depth:
+                    _copy(s - depth).wait()
+                _copy(s).start()
+            for s in range(max(0, len(cached) - depth), len(cached)):
+                _copy(s).wait()
+        elif cached:
+            # PIPELINED fill (round 5c): only step 0's tiles start here;
+            # each round-0 step issues the NEXT step's tiles and waits
+            # its own just before first use, so the ~130 µs fill rides
+            # under round-0 compute instead of stalling it (the VPU sat
+            # idle through the prologue fill).  One semaphore per cached
+            # tile; in-flight ≤ 2 steps' worth (≈ 2·slots ≤ 8 at the
+            # headline config — the same queue-depth budget as above).
+            _issue_step(0)
+
+    if cached and fill == "pipelined":
+        @pl.when((r == 0) & (t + 1 < T))
+        def _():
+            _issue_step(t + 1)
 
     # Round prologue (once per round): finish the previous round's
     # division, run the stop check / λ snapshot / max / eigenvector
@@ -869,6 +918,10 @@ def _multiround_sym_kernel(
 
             @pl.when(s >= 0)
             def _(s=s, ci=ci, cj=cj):
+                if fill == "pipelined":
+                    @pl.when(r == 0)
+                    def _(s=s, ci=ci, cj=cj):
+                        _dyn_copy(s, ci, cj).wait()
                 blk = cache_s[pl.ds(s * bt, bt), :].astype(ev_s.dtype)
                 if formulation == "dot":
                     part_ci = jax.lax.dot_general(
@@ -919,6 +972,10 @@ def _multiround_sym_kernel(
 
                 @pl.when(s >= 0)
                 def _(s=s, ci=ci, cj=cj):
+                    if fill == "pipelined":
+                        @pl.when(r == 0)
+                        def _(s=s, ci=ci, cj=cj):
+                            _dyn_copy(s, ci, cj).wait()
                     blk = cache_s[pl.ds(s * bt, bt), :].astype(ev_s.dtype)
                     part_ci = jax.lax.dot_general(
                         ev_s[:, pl.ds(cj * bt, bt)],
@@ -1017,7 +1074,7 @@ def sym_cache_split(n: int, bt: int, cache_tiles: int):
     jax.jit,
     static_argnames=(
         "chunk", "init", "eps", "eps_mode", "tile", "interpret",
-        "formulation", "cache_tiles", "sym", "mxu_tiles",
+        "formulation", "cache_tiles", "sym", "mxu_tiles", "fill_mode",
     ),
 )
 def multiround_sym(
@@ -1037,6 +1094,7 @@ def multiround_sym(
     cache_tiles: int = 0,
     sym: bool = True,
     mxu_tiles: int | None = None,
+    fill_mode: str = "prologue",
 ):
     """:func:`multiround` for a SYMMETRIC matrix: each round reads only
     the ``g(g+1)/2`` upper-triangle tiles of A — ~HALF the HBM traffic of
@@ -1145,6 +1203,13 @@ def multiround_sym(
             "formulation='mixed' needs cache_tiles > 0 (the MXU share "
             "is carved out of the VMEM-resident tiles)"
         )
+    if fill_mode not in ("prologue", "pipelined"):
+        raise ValueError(f"unknown fill_mode {fill_mode!r}")
+    if fill_mode == "pipelined" and not C:
+        raise ValueError(
+            "fill_mode='pipelined' schedules the cache fill; it needs "
+            "cache_tiles > 0"
+        )
     if mixed:
         # the MXU share: by default the term-count balance point between
         # the units, given the measured per-term MXU/VPU cost ratio
@@ -1215,10 +1280,13 @@ def multiround_sym(
         # dependency on the VPU terms' writes)
         scratch.append(pltpu.VMEM((1, n), state_dt))
     if C:
-        # the packed resident cache + an 8-slot DMA semaphore ring for
-        # the pipelined one-shot fill
+        # the packed resident cache + fill semaphores: an 8-slot ring
+        # for the one-shot prologue fill, or one per tile for the
+        # pipelined wait-at-first-use fill
         scratch.append(pltpu.VMEM((C * bt, bt), A.dtype))
-        scratch.append(pltpu.SemaphoreType.DMA((min(8, C),)))
+        scratch.append(pltpu.SemaphoreType.DMA(
+            (C if fill_mode == "pipelined" else min(8, C),)
+        ))
     # index-map lambdas take (r, t, *prefetch-refs); *pref keeps one
     # definition valid for both the 2-array and the 5-array (cached) form
     in_specs = [
@@ -1289,6 +1357,7 @@ def multiround_sym(
             slots=slots,
             mxu_slots=mxu_slots,
             sym=sym,
+            fill=fill_mode,
         ),
         grid_spec=grid_spec,
         out_shape=(

@@ -324,7 +324,7 @@ def solve_matvec_storage(
     static_argnames=(
         "eps", "max_itr", "chunk", "block_rows", "interpret", "eps_mode",
         "formulation", "storage_dtype", "symmetric", "tile", "cache_tiles",
-        "mxu_tiles",
+        "mxu_tiles", "fill_mode",
     ),
 )
 def solve_multiround(
@@ -342,6 +342,7 @@ def solve_multiround(
     tile: int = 512,
     cache_tiles: int = 0,
     mxu_tiles: int | None = None,
+    fill_mode: str = "prologue",
 ) -> SolveResult:
     """Matvec-form solve where up to ``chunk`` ROUNDS run per Pallas
     invocation (:func:`..pallas.kernels.multiround`) — the round-3 attack
@@ -417,6 +418,7 @@ def solve_multiround(
         # kernels.multiround_sym's cache_tiles notes
         kw["cache_tiles"] = cache_tiles
         kw["mxu_tiles"] = mxu_tiles
+        kw["fill_mode"] = fill_mode
     elif cache_tiles > 0:
         # DENSE + cache: the tiled kernel in direct-terms-only mode —
         # all g² tiles, the cached subset VMEM-resident (the general-
@@ -427,11 +429,16 @@ def solve_multiround(
         kw["cache_tiles"] = cache_tiles
         kw["sym"] = False
         kw["mxu_tiles"] = mxu_tiles
+        kw["fill_mode"] = fill_mode
     else:
         if mxu_tiles is not None:
             raise ValueError(
                 "mxu_tiles needs the tiled kernel (symmetric=True or "
                 "cache_tiles > 0) with formulation='mixed'"
+            )
+        if fill_mode != "prologue":
+            raise ValueError(
+                "fill_mode needs the tiled kernel with cache_tiles > 0"
             )
         kernel = kernels.multiround
         kw["block_rows"] = block_rows

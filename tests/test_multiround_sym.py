@@ -509,3 +509,21 @@ def test_mixed_requires_cache():
         _solve_sym(H, formulation="mixed")
     with pytest.raises(ValueError, match="mxu_tiles"):
         _solve_sym(H, cache_tiles=2, mxu_tiles=1)
+
+
+def test_pipelined_fill_is_bit_exact():
+    """fill_mode='pipelined' (wait-at-first-use cache fill — retained
+    measured-negative rung, docs/BENCH_RESULTS.md round 5c) must be
+    bit-exact vs the prologue fill; the knob is honored-or-rejected."""
+    H = fixtures.hilbert_matrix(512)
+    want = _solve_sym(H, cache_tiles=6)
+    got = _solve_sym(H, cache_tiles=6, fill_mode="pipelined")
+    assert int(got.rounds) == int(want.rounds)
+    assert float(got.eigenvalue) == float(want.eigenvalue)
+    np.testing.assert_array_equal(
+        np.asarray(got.eigenvector), np.asarray(want.eigenvector)
+    )
+    with pytest.raises(ValueError, match="cache_tiles > 0"):
+        _solve_sym(H, fill_mode="pipelined")
+    with pytest.raises(ValueError, match="unknown fill_mode"):
+        _solve_sym(H, cache_tiles=2, fill_mode="bogus")
