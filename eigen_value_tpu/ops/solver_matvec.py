@@ -386,6 +386,13 @@ def solve_multiround(
     direct-terms kernel over all g² tiles (any tile cacheable —
     measured 4.00 vs 6.36 ms at 8192² dense).  0 = the pure-streaming
     kernels.
+
+    ``formulation="mixed"`` (+ ``mxu_tiles``) and ``fill_mode=
+    "pipelined"`` are RETAINED MEASURED-NEGATIVE rungs of the cached
+    kernel (MXU share of the resident matvec; wait-at-first-use cache
+    fill) — bit-correct, validated honored-or-rejected, kept for
+    recheck on future compilers/chips; see docs/BENCH_RESULTS.md round
+    5c before using either in production.
     """
     from .pallas import kernels
 

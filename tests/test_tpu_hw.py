@@ -283,6 +283,38 @@ def test_multiround_sym_cached_parity_on_hardware(n, tiles):
     assert np.allclose(Hn @ vec, lam * vec, atol=1e-3)
 
 
+def test_retained_rung_parity_on_hardware():
+    """The two round-5c retained measured-negative rungs compiled on
+    silicon (docs/BENCH_RESULTS.md round 5c): the "mixed" formulation
+    (an MXU share of the cached tiles through dot_general) and the
+    pipelined wait-at-first-use cache fill.  Neither is a production
+    default; both must stay round/λ/eigen-pair correct so a future
+    compiler/chip recheck starts from a known-good rung."""
+    from eigen_value_tpu.config import EPS, MAX_ITR
+    from eigen_value_tpu.ops.solver_matvec import solve_multiround
+
+    n = 2048
+    H = jax.device_put(np.asarray(fixtures.hilbert_matrix(n)), _tpu())
+    want = fixtures.HILBERT_ROUNDS[n]
+    Hn = np.asarray(fixtures.hilbert_matrix(n))
+    for kw in (
+        dict(formulation="mixed"),  # auto mxu share
+        dict(formulation="mixed", mxu_tiles=2),
+        dict(fill_mode="pipelined"),
+    ):
+        res = jax.block_until_ready(
+            solve_multiround(
+                H, EPS, MAX_ITR, chunk=want + 1, symmetric=True,
+                tile=512, cache_tiles=4, **kw,
+            )
+        )
+        assert int(res.rounds) == want, kw
+        assert bool(res.converged), kw
+        vec = np.asarray(res.eigenvector)
+        lam = float(res.eigenvalue)
+        assert np.allclose(Hn @ vec, lam * vec, atol=1e-3), kw
+
+
 def test_multiround_sym_bf16_parity_on_hardware():
     """Symmetric kernel × bf16 storage COMPOSED on silicon — at the
     round-4 tile=1024 uncached configuration AND the round-5 bench bf16
