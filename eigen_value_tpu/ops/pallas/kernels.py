@@ -956,14 +956,12 @@ def _multiround_sym_kernel(
                         )
                         rawrow_s[:, pl.ds(cj * bt, bt)] += part_cj
 
-        # "mixed" (round 5c): a measured-size MXU share of the cached
-        # tiles runs as dot_general while the VPU share above keeps the
-        # vpu form — the MXU is otherwise idle in this compute-bound
-        # regime, and its ~3.5×-slower M=1 matvec still wins when it
-        # only takes the balance fraction of the work (exp_mxu_cached:
-        # all-on-MXU 4.2 ms vs all-on-VPU 1.14-1.37 ms).  Both terms
-        # land in the lane-space accumulator the vpu transpose term
-        # already uses, so the merge is unchanged.
+        # "mixed" (round 5c, retained measured negative): the MXU share
+        # of the cached tiles runs as dot_general while the VPU share
+        # above keeps the vpu form.  Both terms accumulate into the
+        # DEDICATED rawmxu_s so these writes carry no memory dependency
+        # on the VPU terms' rawrow/rawcol writes; the merge adds
+        # rawmxu once per round.
         if formulation == "mixed":
             for kc in range(mxu_slots):
                 s = ms_ref[t * mxu_slots + kc]
@@ -1210,6 +1208,12 @@ def multiround_sym(
             "fill_mode='pipelined' schedules the cache fill; it needs "
             "cache_tiles > 0"
         )
+    # The pipelined fill issues step t+1's tiles at step t and waits at
+    # first use, so in-flight DMAs are bounded by two steps' worth of
+    # slots.  Keep that bound within the same 8-deep queue budget the
+    # prologue fill enforces (low-T configs — e.g. dense tiled mode
+    # with nearly everything cached — would otherwise start arbitrarily
+    # many concurrent DMAs).  Checked after the slot split below.
     if mixed:
         # the MXU share: by default the term-count balance point between
         # the units, given the measured per-term MXU/VPU cost ratio
@@ -1258,6 +1262,14 @@ def multiround_sym(
         ms_, mdi, mdj, mxu_slots = _slot_arrays(range(C - m, C))
     else:
         slots = mxu_slots = 0
+    if fill_mode == "pipelined" and 2 * (slots + mxu_slots) > 8:
+        raise ValueError(
+            f"fill_mode='pipelined' would keep up to "
+            f"{2 * (slots + mxu_slots)} fill DMAs in flight "
+            f"(2 steps x {slots + mxu_slots} slots) — over the 8-deep "
+            f"queue budget; use the prologue fill or cache fewer tiles "
+            f"relative to the streamed count"
+        )
 
     state_dt = ev.dtype  # f32 even when A is reduced-precision STORAGE
     lam_arr = jnp.asarray(lam, state_dt).reshape(1, 1)

@@ -447,6 +447,11 @@ def solve_multiround(
             raise ValueError(
                 "fill_mode needs the tiled kernel with cache_tiles > 0"
             )
+        if formulation == "mixed":
+            raise ValueError(
+                "formulation='mixed' needs cache_tiles > 0 (the MXU "
+                "share is carved out of the VMEM-resident tiles)"
+            )
         kernel = kernels.multiround
         kw["block_rows"] = block_rows
     ev, v, adv, lam = kernel(

@@ -523,7 +523,37 @@ def test_pipelined_fill_is_bit_exact():
     np.testing.assert_array_equal(
         np.asarray(got.eigenvector), np.asarray(want.eigenvector)
     )
+    # combined with mixed: the MXU share's issue/wait path runs only
+    # when both knobs are set
+    both = _solve_sym(
+        H, cache_tiles=6, fill_mode="pipelined", formulation="mixed",
+        mxu_tiles=2,
+    )
+    assert int(both.rounds) == int(want.rounds)
+    assert float(both.eigenvalue) == pytest.approx(
+        float(want.eigenvalue), rel=1e-5
+    )
     with pytest.raises(ValueError, match="cache_tiles > 0"):
         _solve_sym(H, fill_mode="pipelined")
     with pytest.raises(ValueError, match="unknown fill_mode"):
         _solve_sym(H, cache_tiles=2, fill_mode="bogus")
+
+
+def test_pipelined_fill_depth_cap():
+    """Configs whose two-step in-flight bound exceeds the 8-deep DMA
+    queue budget are REJECTED (low-T dense mode would otherwise start
+    arbitrarily many concurrent fill DMAs), and 'mixed' without a cache
+    is rejected on the pure-streaming path too."""
+    A = jnp.asarray(
+        np.random.default_rng(7).random((384, 384), np.float32) + 0.1
+    )
+    with pytest.raises(ValueError, match="in flight"):
+        solve_multiround(
+            A, EPS, MAX_ITR, chunk=5, interpret=True, tile=128,
+            cache_tiles=8, fill_mode="pipelined",
+        )
+    with pytest.raises(ValueError, match="cache_tiles > 0"):
+        solve_multiround(
+            A, EPS, MAX_ITR, chunk=5, interpret=True,
+            formulation="mixed",
+        )

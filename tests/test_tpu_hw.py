@@ -301,6 +301,9 @@ def test_retained_rung_parity_on_hardware():
         dict(formulation="mixed"),  # auto mxu share
         dict(formulation="mixed", mxu_tiles=2),
         dict(fill_mode="pipelined"),
+        # combined: the MXU share's issue/wait branches of the
+        # pipelined fill execute only with both knobs set
+        dict(formulation="mixed", fill_mode="pipelined"),
     ):
         res = jax.block_until_ready(
             solve_multiround(
