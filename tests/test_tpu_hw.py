@@ -483,7 +483,8 @@ class TestOperatorsOnHardware:
 def test_max_size_solves_on_hardware():
     """The max-size rungs as a regression test (VERDICT r2 item 5): the
     32768² f32 and 65536² bf16 solves must converge with the pinned
-    rounds/λ (artifact rows: docs/bench/large_r3.jsonl).  ~5 min
+    rounds/λ, in both the dense and — since round 5 — the symmetric
+    cached backends (artifact rows: docs/bench/large_r5.jsonl).  ~8 min
     (generation + compile dominate); excluded by `-m "not slow"`."""
     from eigen_value_tpu.bench.suite import bench_large
 
@@ -493,7 +494,9 @@ def test_max_size_solves_on_hardware():
     # default and needs no such override)
     with jax.default_device(_tpu()):
         rows = bench_large(reps=1)
-    assert len(rows) == 2
+    assert {r["backend"] for r in rows} == {
+        "f32_32768", "sym_f32_32768", "bf16_65536", "sym_bf16_65536",
+    }
     for r in rows:
         assert "error" not in r, r
         assert r["converged"] and r["rounds_ok"], r
