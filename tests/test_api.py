@@ -370,3 +370,21 @@ def test_concurrent_similarity_transform_threads(rng, monkeypatch):
     assert len(ev._compiled) == 1
     for mat, (lam, vec, ts, rounds) in zip(mats, results):
         assert np.allclose(mat @ vec, lam * vec, atol=1e-3)
+
+
+def test_public_export_surface():
+    """Every name in __all__ resolves, and the two passively-used
+    exports hold their contracts: DEFAULT_CONFIG is the reference-
+    constant SolverConfig (EPS/MAX_ITR exactly the reference's
+    similarity_transform.hpp:4-5 values) and SolveResult is the
+    4-field namedtuple every solver returns."""
+    import eigen_value_tpu as evt
+
+    for name in evt.__all__:
+        assert getattr(evt, name) is not None, name
+    assert evt.DEFAULT_CONFIG == evt.SolverConfig()
+    assert evt.DEFAULT_CONFIG.eps == evt.EPS == 1e-3
+    assert evt.DEFAULT_CONFIG.max_itr == evt.MAX_ITR == 1000
+    assert evt.SolveResult._fields == (
+        "eigenvalue", "eigenvector", "rounds", "converged",
+    )
