@@ -138,3 +138,37 @@ class TestShardedDifferentialFuzz:
                 v = np.asarray(got.eigenvector)
                 lam = float(got.eigenvalue)
                 assert np.allclose(mat @ v, lam * v, atol=2e-3), (n, pr, pc, kind)
+
+
+def test_differential_multiround_vs_oracle(rng):
+    """The multiround family (dense stripes, symmetric triangle, VMEM-
+    cached, dense-cached — the round-3..5 bench.py backends) against the
+    oracle on random SYMMETRIZED positive matrices (the triangle kernels
+    require the symv contract; symmetrizing keeps every entry positive).
+    256² with tile=128 exercises real 2×2 block tiling + 1 off-diagonal
+    cached tile."""
+    from eigen_value_tpu.ops.solver_matvec import solve_multiround
+
+    n = 256
+    backends = {
+        "multiround": dict(),
+        "sym": dict(symmetric=True, tile=128),
+        "sym_cached": dict(symmetric=True, tile=128, cache_tiles=1),
+        "dense_cached": dict(tile=128, cache_tiles=2),
+    }
+    for kind, mat in _cases(rng, n=n, count=4):
+        sym = np.float32((mat + mat.T) / 2)
+        want = parallel_oracle(sym)
+        for name, kw in backends.items():
+            got = solve_multiround(
+                jnp.asarray(sym), EPS, MAX_ITR, chunk=6, interpret=True,
+                **kw,
+            )
+            tol = 1e-3 * max(want.eigenvalue, 1.0)
+            assert bool(got.converged) == want.converged, (name, kind)
+            assert int(got.rounds) == want.rounds, (
+                name, kind, int(got.rounds), want.rounds,
+            )
+            assert abs(float(got.eigenvalue) - want.eigenvalue) < tol, (
+                name, kind,
+            )
