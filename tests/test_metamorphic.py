@@ -62,3 +62,21 @@ def test_spectral_bounds(mat):
     lam, _ = _solve(mat)
     sums = mat.sum(axis=1)
     assert sums.min() - 1e-3 <= lam <= sums.max() + 1e-3
+
+
+def test_symmetric_declaration_is_path_invisible(rng):
+    """On a symmetric matrix, SolverConfig(symmetric=True) — the
+    triangle/cached kernels — must agree with the default dense path
+    (λ within reduction-order tolerance, same normalized eigenvector):
+    the declaration picks a faster route, never a different answer."""
+    from eigen_value_tpu import SolverConfig
+
+    n = 256  # sym-tileable (the triangle kernel needs a 128-mult tile)
+    a = rng.random((n, n), dtype=np.float32) + np.float32(1e-3)
+    m = np.float32((a + a.T) / 2)
+    lam, v = _solve(m)
+    res = max_eigenvalue(m, config=SolverConfig(symmetric=True))
+    assert bool(res.converged)
+    vs = np.asarray(res.eigenvector)
+    assert float(res.eigenvalue) == pytest.approx(lam, rel=1e-3)
+    np.testing.assert_allclose(vs / vs.max(), v, atol=1e-2)
