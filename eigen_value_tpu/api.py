@@ -132,6 +132,18 @@ def _resolve_blocks(
     return (pick_block(n, rows) or rows, pick_block(n, cols) or cols)
 
 
+def _cache_unalignable(cache_tiles, n, tile, consequence: str) -> ValueError:
+    """The honored-or-rejected error for an explicit cache request at a
+    dim/tile with no 128-aligned square divisor (shared by the symmetric
+    fallback and the dense explicit-cache branches)."""
+    return ValueError(
+        f"cache_tiles={cache_tiles} needs a 128-aligned square tile that "
+        f"divides n={n} (kernels.sym_tile(n, {tile}) is None — "
+        f"{'raise block_rows to >= 128' if tile < 128 else 'this dim has no such divisor'}); "
+        f"{consequence}. Drop cache_tiles or adjust block_rows."
+    )
+
+
 def _solve_fn(
     config: SolverConfig,
     backend: str,
@@ -288,13 +300,10 @@ def _solve_fn(
                 # though (the honored-or-rejected contract — review r5):
                 # the stripes fallback has no cache.
                 if config.cache_tiles:
-                    raise ValueError(
-                        f"cache_tiles={config.cache_tiles} needs a "
-                        f"128-aligned square tile that divides n={n} "
-                        f"(kernels.sym_tile(n, {tile}) is None — "
-                        f"{'raise block_rows to >= 128' if tile < 128 else 'this dim has no such divisor'}); "
-                        f"the cache-less stripes fallback would silently "
-                        f"drop it. Drop cache_tiles or adjust block_rows."
+                    raise _cache_unalignable(
+                        config.cache_tiles, n, tile,
+                        "the cache-less stripes fallback would silently "
+                        "drop it",
                     )
                 if config.block_rows is not None:
                     kw["block_rows"] = config.block_rows
@@ -313,13 +322,10 @@ def _solve_fn(
             # must not silently run the cache-less stripes kernel
             # (the honored-or-rejected contract)
             if bt is None and n is not None:
-                raise ValueError(
-                    f"cache_tiles={config.cache_tiles} needs a 128-aligned "
-                    f"square tile that divides n={n} "
-                    f"(kernels.sym_tile(n, {tile}) is None — "
-                    f"{'raise block_rows to >= 128' if tile < 128 else 'this dim has no such divisor'}); "
-                    f"the stripes kernel would silently run without the "
-                    f"cache. Drop cache_tiles or adjust block_rows."
+                raise _cache_unalignable(
+                    config.cache_tiles, n, tile,
+                    "the stripes kernel would silently run without the "
+                    "cache",
                 )
             kw["tile"] = tile
             kw["cache_tiles"] = config.cache_tiles
@@ -430,22 +436,26 @@ def max_eigenvalue(
         # is now threaded through every sharded solver; backends map to
         # the sharded bodies that implement the same structure, and the
         # unmappable ones raise.
-        for knob, why in (
-            ("block_rows", "the sharded Pallas path sizes its own tiles "
-             "per shard (parallel/sharded.py local_matvec)"),
-            ("block_cols", "the sharded Pallas path sizes its own tiles "
-             "per shard (parallel/sharded.py local_matvec)"),
-            ("chunk", "the multiround kernel is single-chip only"),
-            ("cache_tiles", "the VMEM-resident tile cache is a single-chip "
-             "multiround feature (one chip's VMEM holds the tiles)"),
-            ("interpret", "interpret auto-resolves from the mesh's "
-             "platform (CPU meshes interpret, TPU meshes compile)"),
-        ):
-            if getattr(config, knob) is not None:
-                raise ValueError(
-                    f"{knob}={getattr(config, knob)} is not supported on "
-                    f"the mesh path — {why}; it would be silently dropped"
-                )
+        _reject_unsupported(
+            config,
+            "the mesh path",
+            (
+                ("block_rows", config.block_rows is None,
+                 "the sharded Pallas path sizes its own tiles per shard "
+                 "(parallel/sharded.py local_matvec)"),
+                ("block_cols", config.block_cols is None,
+                 "the sharded Pallas path sizes its own tiles per shard "
+                 "(parallel/sharded.py local_matvec)"),
+                ("chunk", config.chunk is None,
+                 "the multiround kernel is single-chip only"),
+                ("cache_tiles", config.cache_tiles is None,
+                 "the VMEM-resident tile cache is a single-chip "
+                 "multiround feature (one chip's VMEM holds the tiles)"),
+                ("interpret", config.interpret is None,
+                 "interpret auto-resolves from the mesh's platform (CPU "
+                 "meshes interpret, TPU meshes compile)"),
+            ),
+        )
         if config.symmetric:
             raise ValueError(
                 "symmetric=True has no sharded form (the upper-triangle "
@@ -509,7 +519,17 @@ def max_eigenvalue(
                 )
             return solve_sharded(mat, mesh, config=config)
         return solve_sharded_matvec(mat, mesh, config=config, use_pallas=use_pallas)
-    backend = resolve_backend(config, mat.shape[0])
+    # The backend must match where the computation will actually run: a
+    # COMMITTED single-device input (jax.device_put) executes there
+    # regardless of the default platform, so resolve against its device
+    # (review r5c; the class API has always passed its pinned device the
+    # same way).  Uncommitted inputs keep the default-platform routing.
+    dev = None
+    if getattr(mat, "committed", False):
+        devs = list(mat.devices())
+        if len(devs) == 1:
+            dev = devs[0]
+    backend = resolve_backend(config, mat.shape[0], dev)
     prequantized = (
         config.storage_dtype is not None
         and mat.dtype == jnp.dtype(config.storage_dtype)
@@ -517,18 +537,7 @@ def max_eigenvalue(
     )
     if not prequantized:  # storage path accepts its own dtype — no f32 copy
         mat = mat.astype(config.dtype)
-    if validate and not bool(jnp.all(mat > 0)):
-        raise ValueError("similarity-transform method requires all entries > 0")
-    if validate and config.symmetric and not bool(jnp.all(mat == mat.T)):
-        # the declaration is a promise (BLAS-symv semantics); check it on
-        # device only when asked — bitwise, because the triangle kernel
-        # substitutes A[i,j] for A[j,i] exactly
-        raise ValueError(
-            "symmetric=True declared but the matrix is not bitwise "
-            "symmetric (mat != mat.T); the upper-triangle kernel would "
-            "compute a wrong answer"
-        )
-    if validate and not config.symmetric and config.backend == "auto":
+    if validate:
         # Defaults pick the fast path (VERDICT r4 item 1, mirroring the
         # reference wrapper's wg_size policy,
         # wrapper/similarity_transform.cpp:24-33): once validate=True has
@@ -536,20 +545,56 @@ def max_eigenvalue(
         # symmetric matrix is routed to the cached upper-triangle
         # headline kernel (bench.py's backend — it wins at every
         # sym-tileable TPU dim, e2e_sweep_r5.jsonl) instead of checking
-        # and discarding the answer.  The candidate config is RESOLVED
-        # first so the O(n²) symmetry check only runs where the sym
-        # route would actually be taken.  Auto-only: an explicit backend
-        # choice is authoritative, and without validate the declaration
-        # must come from the caller (SolverConfig(symmetric=True))
-        # because a wrong guess computes a wrong answer.
-        from dataclasses import replace
+        # and discarding the answer.  The candidate is RESOLVED first —
+        # including sym-tileability at the candidate's tile — so the
+        # O(n²) symmetry check only runs where the sym route would
+        # actually be TAKEN (not where _solve_fn would fall back to the
+        # dense stripes kernel).  Auto-only: an explicit backend choice
+        # is authoritative, and without validate the declaration must
+        # come from the caller (SolverConfig(symmetric=True)) because a
+        # wrong guess computes a wrong answer.
+        cand = None
+        if not config.symmetric and config.backend == "auto":
+            from dataclasses import replace
 
-        cand = replace(config, symmetric=True)
-        if resolve_backend(cand, mat.shape[0]) == "multiround" and bool(
-            jnp.all(mat == mat.T)
-        ):
+            from .ops.pallas.kernels import sym_tile
+
+            c = replace(config, symmetric=True)
+            if (
+                resolve_backend(c, mat.shape[0], dev) == "multiround"
+                and sym_tile(mat.shape[0], c.block_rows or 512) is not None
+            ):
+                cand = c
+        check_sym = config.symmetric or cand is not None
+        pos, sym_ok = _validate_on_device(mat, check_sym)
+        if not bool(pos):
+            raise ValueError(
+                "similarity-transform method requires all entries > 0"
+            )
+        if config.symmetric and not bool(sym_ok):
+            # the declaration is a promise (BLAS-symv semantics); checked
+            # on device only when asked — bitwise, because the triangle
+            # kernel substitutes A[i,j] for A[j,i] exactly
+            raise ValueError(
+                "symmetric=True declared but the matrix is not bitwise "
+                "symmetric (mat != mat.T); the upper-triangle kernel would "
+                "compute a wrong answer"
+            )
+        if cand is not None and bool(sym_ok):
             config, backend = cand, "multiround"
-    return _solve_fn(config, backend, mat.shape[0])(mat)
+    return _solve_fn(config, backend, mat.shape[0], dev)(mat)
+
+
+@partial(jax.jit, static_argnames=("check_sym",))
+def _validate_on_device(mat: jax.Array, check_sym: bool):
+    """``validate=True``'s O(n²) structure checks — positivity and
+    (when routing wants it) bitwise symmetry — in ONE dispatch so the
+    tunneled transport pays ONE ~30 ms launch round trip, not two
+    (review r5c: the split checks wrapped a ~6 ms flagship solve in
+    ~60 ms of validation overhead)."""
+    pos = jnp.all(mat > 0)
+    sym = jnp.all(mat == mat.T) if check_sym else jnp.asarray(False)
+    return pos, sym
 
 
 def eigen_residual(mat: jax.Array, result: SolveResult) -> jax.Array:
@@ -839,11 +884,28 @@ class EigenValue:
             # jnp.asarray first would bounce the O(n²) payload off the
             # default device
             mat = jax.device_put(np.asarray(mat), self.device)
-        mat = jnp.asarray(mat, self.config.dtype)
+        mat = jnp.asarray(mat)
+        if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
+            raise ValueError(
+                f"must be a square matrix of floating points, got shape "
+                f"{mat.shape}"
+            )
+        n = mat.shape[0]
+        # honor storage_dtype exactly like the functional path: a matrix
+        # already in storage_dtype is solved as-is — the old unconditional
+        # cast to config.dtype materialized a transient f32 copy (2× peak
+        # memory at exactly the scale reduced-precision storage exists
+        # for; review r5c)
+        prequantized = (
+            self.config.storage_dtype is not None
+            and mat.dtype == jnp.dtype(self.config.storage_dtype)
+            and resolve_backend(self.config, n, self.device)
+            in ("matvec", "matvec_pallas", "multiround")
+        )
+        if not prequantized:
+            mat = mat.astype(self.config.dtype)
         if self.device is not None:
             mat = jax.device_put(mat, self.device)  # no-op if already there
-        m, n = mat.shape
-        assert m == n, "must be square matrix of floating points !"
         fn = self._get_compiled(n, mat.dtype)
 
         rtt = self._launch_rtt_ms()  # measured BEFORE the timed call

@@ -150,15 +150,19 @@ class SolverConfig:
         # must be multiples of 128, sublane (row) blocks multiples of 8.
         # Validate here so a bad explicit tile fails fast with a clear
         # message instead of a Mosaic lowering error at solve time.
-        if self.block_cols is not None and self.block_cols % 128 != 0:
+        if self.block_cols is not None and (
+            self.block_cols < 128 or self.block_cols % 128 != 0
+        ):
             raise ValueError(
-                f"block_cols must be a multiple of 128 (f32 lane width), "
-                f"got {self.block_cols}"
+                f"block_cols must be a positive multiple of 128 (f32 lane "
+                f"width), got {self.block_cols}"
             )
-        if self.block_rows is not None and self.block_rows % 8 != 0:
+        if self.block_rows is not None and (
+            self.block_rows < 8 or self.block_rows % 8 != 0
+        ):
             raise ValueError(
-                f"block_rows must be a multiple of 8 (f32 sublane width), "
-                f"got {self.block_rows}"
+                f"block_rows must be a positive multiple of 8 (f32 sublane "
+                f"width), got {self.block_rows}"
             )
         if jnp.dtype(self.dtype) == jnp.dtype("float64"):
             import jax

@@ -33,9 +33,14 @@ def test_compile_cache_reused(rng):
 
 
 def test_rejects_non_square(rng):
-    with pytest.raises(AssertionError):
+    """Both entries raise a descriptive ValueError (review r5c: the
+    class API used a bare assert — gone under python -O — and crashed
+    with a context-free unpack error on non-2D input)."""
+    with pytest.raises(ValueError, match="square matrix"):
         EigenValue().similarity_transform(rng.random((4, 8), dtype=np.float32))
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="square matrix"):
+        EigenValue().similarity_transform(np.ones((4, 4, 4), np.float32))
+    with pytest.raises(ValueError, match="square matrix"):
         max_eigenvalue(rng.random((4, 8), dtype=np.float32))
 
 
@@ -388,3 +393,33 @@ def test_public_export_surface():
     assert evt.SolveResult._fields == (
         "eigenvalue", "eigenvector", "rounds", "converged",
     )
+
+
+def test_zero_block_sizes_rejected():
+    """Explicit block_rows=0 / block_cols=0 used to pass the modulo
+    validation (0 % k == 0) and then be silently reinterpreted as the
+    defaults by `or` fallbacks — the exact silent-drop class the config
+    contract forbids (review r5c)."""
+    with pytest.raises(ValueError, match="block_rows"):
+        SolverConfig(block_rows=0)
+    with pytest.raises(ValueError, match="block_cols"):
+        SolverConfig(block_cols=0)
+
+
+def test_class_api_prequantized_no_upcast(rng):
+    """The class API honors the storage_dtype no-f32-copy contract like
+    the functional path (review r5c: it used to cast a prequantized
+    matrix to f32 first — 2× peak memory at storage scale)."""
+    import jax.numpy as jnp
+
+    cfg = SolverConfig(backend="matvec", storage_dtype="bfloat16")
+    mat = rng.random((128, 128), dtype=np.float32) + 1e-3
+    pre = jnp.asarray(mat).astype(jnp.bfloat16)
+    ev = EigenValue(cfg)
+    lam, v, _, itr = ev.similarity_transform(pre)
+    want = max_eigenvalue(pre, cfg)  # the functional prequantized path
+    assert float(lam) == float(want.eigenvalue)
+    assert itr == int(want.rounds)
+    # the compile cache must have been keyed on the STORAGE dtype (proof
+    # the f32 cast never happened)
+    assert any(k[1] == "bfloat16" for k in ev._compiled)
