@@ -42,19 +42,21 @@ import sys
 import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
-
 # Worker exec epoch: the extension budget is measured against DEADLINE_S
 # from HERE (process start), not from the first measurement window — jax
 # init + Hilbert generation + compile + warmup over the tunnel cost
 # 2-6 min and used to silently eat the "headroom" the old first-window
 # clock claimed to leave, so the round-3 driver record was SIGTERM'd
 # mid-extension and lost its bf16 secondary (BENCH_r03.json forensics,
-# docs/BENCH_RESULTS.md round 4).
+# docs/BENCH_RESULTS.md round 4).  Captured BEFORE the jax/numpy imports
+# (seconds of the supervisor's Popen clock; review r5c) so the budget's
+# startup term matches the deadline clock as closely as the worker can.
 T_EXEC = time.monotonic()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 BASELINE_MS = 126.0  # reference best-CPU 8192² e2e (BASELINE.md)
 # BENCH_DIM / BENCH_DEVICE are test knobs (drive the full path off-TPU at a
@@ -86,10 +88,16 @@ WINDOW_GAP_S = float(os.environ.get("BENCH_WINDOW_GAP_S", "22"))
 # startup/compile time can no longer eat the emission headroom — the
 # round-3 failure mode).
 # FAST_TARGET_MS is DENSE-EQUIVALENT (the ms an 18-pass full-traffic
-# solve reads in a mid/fast window); the effective target scales by the
-# headline backend's traffic fraction (× ~0.531 for the symmetric
-# kernel → ~3.24 ms), so the env knob keeps one meaning across backends.
+# solve reads in a mid/fast window); for HBM-bound backends the
+# effective target scales by the traffic fraction (× 0.531 for the
+# pure-streaming symmetric kernel → ~3.24 ms), so the env knob keeps
+# one meaning across backends.  For the COMPUTE-bound cached backend
+# (the round-5 headline) a traffic-scaled target sits below the VPU
+# compute floor and can never be reached, so the fast-target exit is
+# disabled there (NO_FAST_TARGET) and the extension ends on the
+# bar-cleared exit or the budget.
 FAST_TARGET_MS = float(os.environ.get("BENCH_FAST_TARGET_MS", "6.1"))
+NO_FAST_TARGET = object()  # sentinel: disable should_extend's condition (a)
 EXTEND_BUDGET_S = float(os.environ.get("BENCH_EXTEND_S", "900"))
 # Bar-cleared early exit (VERDICT r4): when the best clean window already
 # beats the 126 ms reference baseline by this factor, skip the extension
@@ -265,9 +273,13 @@ def summarize(
         rec["suspect"] = True
     if frac != 1.0:
         rec["traffic_frac"] = round(frac, 4)
+    # classification is a histogram over the CLEAN windows only: when
+    # every window is sub-floor (pool = windows as a last resort for the
+    # value fields), classifying the suspect readings would label a
+    # transport-artifact record as the "fast" chip state (review r5c)
     states = [
         classify_chip_state(wv[0], rounds, peak_gbps, frac=frac)
-        for wv in pool
+        for wv in clean
     ]
     if any(states):
         rec["chip_state"] = classify_chip_state(
@@ -320,13 +332,18 @@ def should_extend(
     timeout.  The record still carries every window + the chip-state
     note, so a slow-state run explains itself without the hunt.
     """
+    # Callers pass a float, None (= the env default), or NO_FAST_TARGET
+    # to disable condition (a) entirely — the compute-bound cached
+    # backend's time is VPU work, not bytes, so a traffic-scaled fast
+    # target sits BELOW its compute floor and could never fire; hunting
+    # it would burn the whole budget on every run (review r5c).
     target = FAST_TARGET_MS if target_ms is None else target_ms
     budget = EXTEND_BUDGET_S if budget_s is None else budget_s
     bar_x = BAR_CLEARED_X if bar_cleared_x is None else bar_cleared_x
     if not windows:
         return False
     clean, _ = _split_suspect(windows, floor_ms)
-    if clean and min(clean)[0] <= target:
+    if clean and target is not NO_FAST_TARGET and min(clean)[0] <= target:
         return False
     if clean and bar_x > 0 and BASELINE_MS / min(clean)[0] >= bar_x:
         return False
@@ -398,11 +415,14 @@ def main() -> None:
     use_sym = (
         use_pallas
         and sym_tile(DIM, SYM_TILE) is not None
-        and sym_tile(DIM, SYM_TILE_BF16) is not None
         # the guard, on device: one O(n²) pass, once — a benchmark that
         # DECLARES structure must check it holds before exploiting it
         and bool(jax.jit(lambda A: jnp.all(A == A.T))(H))
     )
+    # the bf16 SECONDARY degrades independently: a bad bf16-only tile
+    # knob must not veto the f32 HEADLINE's symmetric path (review r5c —
+    # it used to silently downgrade the record ~5× to the dense kernel)
+    use_sym_bf16 = use_sym and sym_tile(DIM, SYM_TILE_BF16) is not None
     # VMEM-resident tile cache (round 5): the measured-good flagship
     # budget is 104 MiB f32 / 48 MiB bf16 (scratch/exp_sym_cached.py —
     # 1.30 ms vs 3.51 pure streaming); interpret mode (the CPU test
@@ -487,10 +507,22 @@ def main() -> None:
     if abs(lam_chain - lam) > 1e-6:
         print(f"WARNING: chained λ {lam_chain} != solve λ {lam}", file=sys.stderr)
 
+    def _chain_diff(run_l, run_s, arg, k):
+        """ONE definition of the differencing fold (review r5c: it was
+        copy-pasted across the headline and every secondary): min-of-reps
+        long and short chains, per-solve marginal.  Returns
+        ``(ms, t_long, t_short, clamped)`` — ``clamped`` flags a
+        non-positive diff (the transport artifact the module header
+        documents: an inflated short-chain wall), which callers must not
+        report as a real reading."""
+        t_l = _min_ms(lambda: _sync(run_l(arg)))
+        t_s = _min_ms(lambda: _sync(run_s(arg)))
+        diff = (t_l - t_s) / (k - 1)
+        return max(diff, 1e-3), t_l, t_s, diff <= 0.0
+
     def window():
-        t_long = _min_ms(lambda: _sync(run_long(H)))
-        t_short = _min_ms(lambda: _sync(run_short(H)))
-        return max((t_long - t_short) / (CHAIN - 1), 1e-3), t_long, t_short
+        ms, t_long, t_short, _ = _chain_diff(run_long, run_short, H, CHAIN)
+        return ms, t_long, t_short
 
     def measure_bf16():
         """One chained window of the OPT-IN bf16 storage fast mode (same
@@ -513,7 +545,7 @@ def main() -> None:
             sym_auto_cache_tiles(
                 DIM, sym_tile(DIM, SYM_TILE_BF16), 2, SYM_CACHE_MB_BF16
             )
-            if use_sym
+            if use_sym_bf16
             else 0
         )
         Hb = jax.block_until_ready(H.astype(jnp.bfloat16))
@@ -523,7 +555,7 @@ def main() -> None:
         if use_pallas:
             probe = solve_multiround(
                 Hb, EPS, MAX_ITR, chunk=expected + 2, interpret=interpret,
-                storage_dtype=jnp.bfloat16, symmetric=use_sym,
+                storage_dtype=jnp.bfloat16, symmetric=use_sym_bf16,
                 tile=SYM_TILE_BF16, cache_tiles=bf16_cache,
             )
         else:
@@ -542,7 +574,7 @@ def main() -> None:
                     interpret=interpret,
                     ev0=ev0,
                     storage_dtype=jnp.bfloat16,
-                    symmetric=use_sym,
+                    symmetric=use_sym_bf16,
                     tile=SYM_TILE_BF16,
                     cache_tiles=bf16_cache,
                 )
@@ -552,9 +584,13 @@ def main() -> None:
 
         lb, sb = make_chain(solve_b, CHAIN), make_chain(solve_b, 1)
         _sync(lb(Hb))
-        t_l = _min_ms(lambda: _sync(lb(Hb)))
-        t_s = _min_ms(lambda: _sync(sb(Hb)))
-        return max((t_l - t_s) / (CHAIN - 1), 1e-3)
+        ms, _, _, clamped = _chain_diff(lb, sb, Hb, CHAIN)
+        if clamped:
+            raise RuntimeError(
+                "bf16 chained diff non-positive (transport artifact) — "
+                "not a real reading"
+            )
+        return ms
 
     from eigen_value_tpu.utils.timing import detect_peak_hbm_gbps
 
@@ -567,8 +603,13 @@ def main() -> None:
     # valid) suspect-reading guard.
     state_peak = None if compute_bound else peak_gbps
     # effective extension target: the dense-equivalent knob scaled by the
-    # headline backend's traffic fraction (module constant docs)
-    fast_target = round(FAST_TARGET_MS * frac, 2)
+    # headline backend's traffic fraction (module constant docs).  The
+    # compute-bound cached backend gets NO fast target — its time is VPU
+    # work, so the traffic-scaled value sits below its compute floor and
+    # the hunt could only ever end on budget exhaustion (review r5c).
+    fast_target = (
+        NO_FAST_TARGET if compute_bound else round(FAST_TARGET_MS * frac, 2)
+    )
     # The bar-cleared exit compares against the 126 ms FLAGSHIP baseline,
     # which is meaningless at a test BENCH_DIM (a 2048² window reads
     # ~0.2 ms → vacuously ≥30× → the extension machinery could never be
@@ -670,9 +711,13 @@ def main() -> None:
 
         ld, sd = make_chain(solve_d, CHAIN), make_chain(solve_d, 1)
         _sync(ld(H))
-        t_l = _min_ms(lambda: _sync(ld(H)))
-        t_s = _min_ms(lambda: _sync(sd(H)))
-        return max((t_l - t_s) / (CHAIN - 1), 1e-3)
+        ms, _, _, clamped = _chain_diff(ld, sd, H, CHAIN)
+        if clamped:
+            raise RuntimeError(
+                "dense chained diff non-positive (transport artifact) — "
+                "not a real reading"
+            )
+        return ms
 
     def measure_hankel_fft():
         """One chained window of the MATRIX-FREE path: the Hilbert matrix
@@ -723,13 +768,13 @@ def main() -> None:
         lh, sh = chain_h(k_long), chain_h(1)
         zero = jnp.zeros((), jnp.float32)
         _sync(lh(zero))
-        t_l = _min_ms(lambda: _sync(lh(zero)))
-        t_s = _min_ms(lambda: _sync(sh(zero)))
-        return (
-            max((t_l - t_s) / (k_long - 1), 1e-3),
-            int(probe.rounds),
-            float(probe.eigenvalue),
-        )
+        ms, _, _, clamped = _chain_diff(lh, sh, zero, k_long)
+        if clamped:
+            raise RuntimeError(
+                "hankel chained diff non-positive (transport artifact) — "
+                "not a real reading"
+            )
+        return ms, int(probe.rounds), float(probe.eigenvalue)
 
     secondary_timed_out = bf16_timed_out
     if use_sym and not secondary_timed_out:
@@ -773,9 +818,13 @@ def main() -> None:
 
         ls, ss = make_chain(solve_s, CHAIN), make_chain(solve_s, 1)
         _sync(ls(H))
-        t_l = _min_ms(lambda: _sync(ls(H)))
-        t_s = _min_ms(lambda: _sync(ss(H)))
-        return max((t_l - t_s) / (CHAIN - 1), 1e-3)
+        ms, _, _, clamped = _chain_diff(ls, ss, H, CHAIN)
+        if clamped:
+            raise RuntimeError(
+                "sym-stream chained diff non-positive (transport "
+                "artifact) — not a real reading"
+            )
+        return ms
 
     if compute_bound and not secondary_timed_out:
         try:

@@ -594,3 +594,46 @@ def test_summarize_dense_record_has_no_traffic_frac(bench):
         [(6.4, 88.0, 35.0)], rounds=17, backend="multiround_pallas"
     )
     assert "traffic_frac" not in rec
+
+
+def test_no_fast_target_disables_condition_a(bench):
+    """NO_FAST_TARGET (the compute-bound cached backend) must never fire
+    the fast-window exit — a traffic-scaled target sits below the VPU
+    compute floor (review r5c) — while the bar-cleared exit and the
+    budget still end the extension."""
+    fast = [(1.3, 14.0, 2.3)]  # would beat any float target
+    # fast-window exit disabled...
+    assert bench.should_extend(
+        fast, elapsed_s=10.0, target_ms=bench.NO_FAST_TARGET,
+        bar_cleared_x=0.0,
+    ) is True
+    # ...but bar-cleared still fires (126/1.3 ≈ 97×)
+    assert bench.should_extend(
+        fast, elapsed_s=10.0, target_ms=bench.NO_FAST_TARGET,
+        bar_cleared_x=30.0,
+    ) is False
+    # ...and the budget still caps it
+    assert bench.should_extend(
+        fast, elapsed_s=880.0, target_ms=bench.NO_FAST_TARGET,
+        budget_s=900.0, bar_cleared_x=0.0,
+    ) is False
+
+
+def test_all_suspect_windows_not_classified(bench):
+    """A record whose every window is sub-floor (transport artifact)
+    must carry suspect=true and NO chip-state fields — classifying the
+    artifact readings would label them the 'fast' state (review r5c)."""
+    windows = [(0.9, 12.0, 3.0), (1.0, 13.0, 3.1)]
+    rec = bench.summarize(
+        windows, rounds=17, backend="multiround_pallas", floor_ms=5.5,
+        peak_gbps=819.0,
+    )
+    assert rec["suspect"] is True
+    assert "chip_state" not in rec
+    assert "chip_states" not in rec
+    # clean windows still classify
+    rec2 = bench.summarize(
+        [(6.0, 80.0, 30.0)], rounds=17, backend="multiround_pallas",
+        floor_ms=5.5, peak_gbps=819.0,
+    )
+    assert rec2.get("chip_state") == "mid"
