@@ -436,6 +436,50 @@ def round_matvec(
     return vnext[:, 0], evnew[0, :]
 
 
+def _round_prologue(
+    r, n, raw_fn, budget_in,
+    ev_s, vrow_s, done_s, adv_s, lam_s,
+    *, eps, init, eps_mode,
+):
+    """The once-per-round prologue SHARED by both multiround kernels:
+    finish the previous round's division (``raw_fn`` supplies the
+    formulation-specific merged raw row sums in lane space), then the
+    production loop's COND + body-head — stop check on v, λ snapshot,
+    max, eigenvector update.  Expressions match
+    solver_matvec._make_cond_body / solver.stop_check bit-for-bit (the
+    roll pairs element j with v[(j+1) % n], the reference wraparound).
+    ONE definition so the bit-exact chunking contract cannot silently
+    diverge between the dense and symmetric kernels (review r5c: the
+    two hand-kept copies were identical only by eye)."""
+    active = done_s[0] == 0
+
+    @pl.when((r != 0) & active)
+    def _():
+        vrow_s[...] = raw_fn() / ev_s[...]
+
+    # init chunks compute v₀ at r == 0 with no check and no update
+    # (the pre-loop row-sum pass, solver_matvec._init_carry)
+    check = (active & (r != 0)) if init else active
+    v = vrow_s[...]
+    e = jnp.asarray(eps, v.dtype)
+    if eps_mode == "relative":
+        e = e * jnp.max(jnp.abs(v))
+    nbr = pltpu.roll(v, shift=n - 1, axis=1)
+    fired = jnp.all(jnp.abs(v - nbr) < e)
+    halt = fired | (adv_s[0] >= budget_in[0, 0])
+
+    @pl.when(check & halt)
+    def _():
+        done_s[0] = 1
+
+    @pl.when(check & jnp.logical_not(halt))
+    def _():
+        lam_s[0] = v[0, 0]
+        m = jnp.max(v)
+        ev_s[...] = ev_s[...] * (v / m)
+        adv_s[0] = adv_s[0] + 1
+
+
 def _multiround_kernel(
     ev_in,
     v_in,
@@ -464,6 +508,15 @@ def _multiround_kernel(
     n = ev_s.shape[1]
     br = a_ref.shape[0]
 
+    def _merged_raw():
+        # vpu: raw row sums accumulated in column layout; one XLU
+        # transpose per round brings them to lane space
+        return (
+            vraw_s[...]
+            if formulation == "dot"
+            else jnp.transpose(vraw_s[...])
+        )
+
     @pl.when((r == 0) & (i == 0))
     def _():
         ev_s[...] = ev_in[...]
@@ -472,47 +525,13 @@ def _multiround_kernel(
         adv_s[0] = 0
         lam_s[0] = lam_in[0, 0]
 
-    # Round prologue (once per round): finish the previous round's
-    # division, then the production loop's COND + body-head — stop check
-    # on v, λ snapshot, max, eigenvector update.  Expressions match
-    # solver_matvec._make_cond_body / solver.stop_check bit-for-bit (the
-    # roll pairs element j with v[(j+1) % n], the reference wraparound).
     @pl.when(i == 0)
     def _():
-        active = done_s[0] == 0
-
-        @pl.when((r != 0) & active)
-        def _():
-            raw = (
-                vraw_s[...]
-                if formulation == "dot"
-                # vpu: raw row sums accumulated in column layout; one
-                # XLU transpose per round brings them to lane space
-                else jnp.transpose(vraw_s[...])
-            )
-            vrow_s[...] = raw / ev_s[...]
-
-        # init chunks compute v₀ at r == 0 with no check and no update
-        # (the pre-loop row-sum pass, solver_matvec._init_carry)
-        check = (active & (r != 0)) if init else active
-        v = vrow_s[...]
-        e = jnp.asarray(eps, v.dtype)
-        if eps_mode == "relative":
-            e = e * jnp.max(jnp.abs(v))
-        nbr = pltpu.roll(v, shift=n - 1, axis=1)
-        fired = jnp.all(jnp.abs(v - nbr) < e)
-        halt = fired | (adv_s[0] >= budget_in[0, 0])
-
-        @pl.when(check & halt)
-        def _():
-            done_s[0] = 1
-
-        @pl.when(check & jnp.logical_not(halt))
-        def _():
-            lam_s[0] = v[0, 0]
-            m = jnp.max(v)
-            ev_s[...] = ev_s[...] * (v / m)
-            adv_s[0] = adv_s[0] + 1
+        _round_prologue(
+            r, n, _merged_raw, budget_in,
+            ev_s, vrow_s, done_s, adv_s, lam_s,
+            eps=eps, init=init, eps_mode=eps_mode,
+        )
 
     # The matvec: row block i of (A @ ev), written into the raw-v scratch.
     # Runs UNCONDITIONALLY — frozen rounds recompute vraw from the frozen
@@ -546,12 +565,9 @@ def _multiround_kernel(
     def _():
         d = done_s[0] == 1
         ev_out[...] = ev_s[...]
-        raw = (
-            vraw_s[...] if formulation == "dot" else jnp.transpose(vraw_s[...])
-        )
         # an advanced final round leaves its division to us; a frozen one
         # already holds the stop-checked v in vrow_s
-        v_out[...] = jnp.where(d, vrow_s[...], raw / ev_s[...])
+        v_out[...] = jnp.where(d, vrow_s[...], _merged_raw() / ev_s[...])
         adv_out[0, 0] = adv_s[0]
         lam_out[0, 0] = lam_s[0]
 
@@ -601,15 +617,20 @@ def multiround(
     Returns ``(ev', v', advanced, λ')``; the caller loops chunks until
     its own stop/cap check fires (solver_matvec.solve_multiround).
 
-    The matvec is a full-width ``dot_general`` row per (round, row-block)
-    grid step at ``Precision.HIGHEST`` (f32-faithful on the MXU) — a
-    DIFFERENT f32 reduction order than :func:`matvec`'s VPU tree, so the
-    v-sequence differs in ulps; round-count parity is asserted by tests
-    at every benchmark dim (as with every tile-shape change, it held).
+    The matvec runs one full-width row stripe per (round, row-block)
+    grid step, in the configured ``formulation``: the default "vpu"
+    (broadcast-multiply + lane-tree reduce) reproduces :func:`matvec`'s
+    reduction order exactly — the v-sequence is BIT-IDENTICAL to the
+    production loop's — while "dot" (MXU ``dot_general`` at
+    ``Precision.HIGHEST``) is a different f32 reduction order whose
+    v-sequence differs in ulps (round-count parity asserted by tests at
+    every benchmark dim either way).
     """
     n, ncols = A.shape
     assert n == ncols, (n, ncols)
     assert formulation in ("dot", "vpu"), formulation
+    if eps_mode not in ("absolute", "relative"):
+        raise ValueError(f"unknown eps_mode {eps_mode!r}")
     # Largest row-stripe ≤ block_rows that divides n and meets the store
     # alignment: "vpu" writes (br, 1) partials at sublane offsets (br
     # multiple of 8); "dot" writes (1, br) at lane offsets (multiple of
@@ -674,9 +695,22 @@ def multiround(
         # 2.5× the stripe pair (Mosaic's measured stack overhead scales
         # ~18% above the buffers) plus 4 MiB for the O(n) state/IO
         # blocks, so big-stripe shapes compile instead of tripping the
-        # 16 MiB default scoped limit; the chip has 128 MiB
+        # 16 MiB default scoped limit; the chip has 128 MiB.  The vpu
+        # formulation's COLUMN-layout (n, 1) vraw scratch is physically
+        # lane-padded to (n, 128) — n·128·itemsize, 16 MiB at 32768² —
+        # the same effect multiround_sym budgets explicitly (the round-4
+        # OOM), so it gets its own term here too (review r5c: the dense
+        # large-dim rung ran with ~zero margin without it).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=5 * br * n * A.dtype.itemsize // 2 + (4 << 20),
+            vmem_limit_bytes=(
+                5 * br * n * A.dtype.itemsize // 2
+                + (
+                    n * 128 * jnp.dtype(state_dt).itemsize
+                    if formulation == "vpu"
+                    else 0
+                )
+                + (4 << 20)
+            ),
         ),
         interpret=interpret,
     )(ev[None, :], v[None, :], lam_arr, budget_arr, A)
@@ -789,7 +823,7 @@ def _multiround_sym_kernel(
                     a_hbm.at[tii * bt:(tii + 1) * bt,
                              tjj * bt:(tjj + 1) * bt],
                     cache_s.at[s * bt:(s + 1) * bt, :],
-                    dma_sem.at[s % depth] if depth else dma_sem.at[0],
+                    dma_sem.at[s % depth],  # depth = min(8, C) >= 1 here
                 )
 
             for s in range(len(cached)):
@@ -813,49 +847,37 @@ def _multiround_sym_kernel(
         def _():
             _issue_step(t + 1)
 
-    # Round prologue (once per round): finish the previous round's
-    # division, run the stop check / λ snapshot / max / eigenvector
-    # update (expressions match _multiround_kernel bit-for-bit), then
-    # zero this round's triangle accumulators.
+    def _merged_raw():
+        raw = (
+            rawrow_s[...]
+            if formulation == "dot"
+            else rawrow_s[...] + jnp.transpose(rawcol_s[...])
+        )
+        if formulation == "mixed":
+            raw = raw + rawmxu_s[...]
+        return raw
+
+    # Round prologue (once per round): the shared division/stop/λ/max/
+    # ev-update (:func:`_round_prologue` — one definition with the dense
+    # kernel), then zero this round's triangle accumulators.
     @pl.when(t == 0)
     def _():
-        active = done_s[0] == 0
-
-        @pl.when((r != 0) & active)
-        def _():
-            raw = (
-                rawrow_s[...]
-                if formulation == "dot"
-                else rawrow_s[...] + jnp.transpose(rawcol_s[...])
-            )
-            if formulation == "mixed":
-                raw = raw + rawmxu_s[...]
-            vrow_s[...] = raw / ev_s[...]
-
-        check = (active & (r != 0)) if init else active
-        v = vrow_s[...]
-        e = jnp.asarray(eps, v.dtype)
-        if eps_mode == "relative":
-            e = e * jnp.max(jnp.abs(v))
-        nbr = pltpu.roll(v, shift=n - 1, axis=1)
-        fired = jnp.all(jnp.abs(v - nbr) < e)
-        halt = fired | (adv_s[0] >= budget_in[0, 0])
-
-        @pl.when(check & halt)
-        def _():
-            done_s[0] = 1
-
-        @pl.when(check & jnp.logical_not(halt))
-        def _():
-            lam_s[0] = v[0, 0]
-            m = jnp.max(v)
-            ev_s[...] = ev_s[...] * (v / m)
-            adv_s[0] = adv_s[0] + 1
+        _round_prologue(
+            r, n, _merged_raw, budget_in,
+            ev_s, vrow_s, done_s, adv_s, lam_s,
+            eps=eps, init=init, eps_mode=eps_mode,
+        )
 
         rawrow_s[...] = jnp.zeros_like(rawrow_s)
         if formulation in ("vpu", "mixed"):
             rawcol_s[...] = jnp.zeros_like(rawcol_s)
-            evcol_s[...] = jnp.transpose(ev_s[...])
+            if sym:
+                # evcol feeds only the transpose terms — dense tiled
+                # mode (sym=False) has none, and this O(n) XLU
+                # transpose sits in the pipeline-stalling t==0 prologue
+                # (review r5c: the dense cached rung paid it for
+                # nothing every round)
+                evcol_s[...] = jnp.transpose(ev_s[...])
         if formulation == "mixed":
             rawmxu_s[...] = jnp.zeros_like(rawmxu_s)
 
@@ -997,14 +1019,7 @@ def _multiround_sym_kernel(
     def _():
         d = done_s[0] == 1
         ev_out[...] = ev_s[...]
-        raw = (
-            rawrow_s[...]
-            if formulation == "dot"
-            else rawrow_s[...] + jnp.transpose(rawcol_s[...])
-        )
-        if formulation == "mixed":
-            raw = raw + rawmxu_s[...]
-        v_out[...] = jnp.where(d, vrow_s[...], raw / ev_s[...])
+        v_out[...] = jnp.where(d, vrow_s[...], _merged_raw() / ev_s[...])
         adv_out[0, 0] = adv_s[0]
         lam_out[0, 0] = lam_s[0]
 
@@ -1062,7 +1077,10 @@ def sym_cache_split(n: int, bt: int, cache_tiles: int):
         ((i, j) for i in range(g) for j in range(i + 1, g)),
         key=lambda ij: ij[0] - ij[1],  # j - i descending
     )
-    c = min(cache_tiles, len(offdiag))
+    # clamp like the dense branch: a negative count must mean "no cache",
+    # not Python negative slicing (offdiag[:-1] would silently cache
+    # nearly the whole triangle and OOM the VMEM budget)
+    c = max(0, min(cache_tiles, len(offdiag)))
     cached = tuple(offdiag[:c])
     streamed = tuple(sorted([(i, i) for i in range(g)] + offdiag[c:]))
     return streamed, cached
@@ -1164,6 +1182,8 @@ def multiround_sym(
     n, ncols = A.shape
     assert n == ncols, (n, ncols)
     assert formulation in ("dot", "vpu", "mixed"), formulation
+    if eps_mode not in ("absolute", "relative"):
+        raise ValueError(f"unknown eps_mode {eps_mode!r}")
     bt = sym_tile(n, tile)
     if bt is None:
         raise ValueError(

@@ -557,3 +557,24 @@ def test_pipelined_fill_depth_cap():
             A, EPS, MAX_ITR, chunk=5, interpret=True,
             formulation="mixed",
         )
+
+
+def test_kernel_level_knob_validation():
+    """Direct kernel use (bypassing SolverConfig) still rejects typo'd
+    eps_mode and clamps a negative cache_tiles to no-cache instead of
+    Python-negative-slicing most of the triangle into VMEM (review
+    r5c)."""
+    from eigen_value_tpu.ops.pallas.kernels import sym_cache_split
+
+    H = fixtures.hilbert_matrix(256)
+    with pytest.raises(ValueError, match="eps_mode"):
+        solve_multiround(
+            H, EPS, MAX_ITR, chunk=4, interpret=True, symmetric=True,
+            tile=128, eps_mode="rel",
+        )
+    with pytest.raises(ValueError, match="eps_mode"):
+        solve_multiround(H, EPS, MAX_ITR, chunk=4, interpret=True,
+                         eps_mode="rel")
+    streamed, cached = sym_cache_split(8192, 512, -1)
+    assert cached == ()
+    assert len(streamed) == 136
