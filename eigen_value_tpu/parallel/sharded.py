@@ -40,7 +40,16 @@ from ..ops.solver_matvec import _finish, _init_carry, _make_cond_body, dot_f32
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _exp_shard_map
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
+        # the experimental API spells the kwarg ``check_rep`` — without
+        # this translation the fallback could never be called (every
+        # call site passes check_vma; review r5c)
+        return _exp_shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check_vma,
+        )
 
 
 def require_axis(mesh: Mesh, axis_name: str) -> int:
@@ -55,6 +64,63 @@ def require_axis(mesh: Mesh, axis_name: str) -> int:
             "axis_name your mesh actually uses"
         )
     return mesh.shape[axis_name]
+
+
+def _validate_and_place(A: jax.Array, mesh: Mesh, axis_name: str):
+    """Shared entry prologue of the 1D row-sharded solvers: shape
+    validation (square 2-D — review r5c: the checks lived in only one of
+    the four entries, so a non-square A died with cryptic trace errors,
+    or in the 2D path returned silently wrong results via clamped
+    dynamic slices), axis lookup, divisibility, and row-sharded
+    placement.  Returns ``(A_placed, n, n_shards)``."""
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise ValueError(f"must be a square matrix, got shape {A.shape}")
+    n = A.shape[0]
+    n_shards = require_axis(mesh, axis_name)
+    if n % n_shards != 0:
+        raise ValueError(f"dim {n} not divisible by {n_shards} shards")
+    A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
+    return A, n, n_shards
+
+
+def _reject_sharded_unsupported(
+    config: SolverConfig, entry: str, *, storage_ok: bool = True
+) -> None:
+    """Honor-or-reject for DIRECT calls into the sharded entries.
+    ``api.py``'s mesh path enforces the full config contract, but
+    ``parallel/`` is public API and api.py explicitly sends users here
+    for the ring/batched variants — these entries used to silently drop
+    the single-chip-only knobs (review r5c).  The matvec-family bodies
+    honor ``storage_dtype``; the iterated body (``storage_ok=False``)
+    cannot."""
+    checks = [
+        ("symmetric", not config.symmetric,
+         "the upper-triangle kernel is single-chip (its round state "
+         "lives in one chip's VMEM scratch)"),
+        ("chunk", config.chunk is None,
+         "the multiround kernel is single-chip only"),
+        ("cache_tiles", config.cache_tiles is None,
+         "the VMEM-resident tile cache is a single-chip multiround "
+         "feature"),
+        ("block_rows", config.block_rows is None,
+         "the sharded Pallas path sizes its own tiles per shard"),
+        ("block_cols", config.block_cols is None,
+         "the sharded Pallas path sizes its own tiles per shard"),
+        ("interpret", config.interpret is None,
+         "interpret auto-resolves from the mesh's platform"),
+    ]
+    if not storage_ok:
+        checks.append(
+            ("storage_dtype", config.storage_dtype is None,
+             "the iterated body mutates A and cannot honor the storage "
+             "contract"),
+        )
+    for knob, is_default, why in checks:
+        if not is_default:
+            raise ValueError(
+                f"{knob}={getattr(config, knob)!r} is not supported by "
+                f"{entry} — {why}; it would be silently dropped"
+            )
 
 
 def _shard_round_body(
@@ -142,11 +208,8 @@ def solve_sharded(
     :class:`SolveResult` as the single-chip path, with the eigenvector
     sharded across rows.
     """
-    n = A.shape[0]
-    n_shards = require_axis(mesh, axis_name)
-    if n % n_shards != 0:
-        raise ValueError(f"dim {n} not divisible by {n_shards} shards")
-    A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
+    _reject_sharded_unsupported(config, "solve_sharded", storage_ok=False)
+    A, n, n_shards = _validate_and_place(A, mesh, axis_name)
     return _solve_sharded_jit(
         A, mesh, axis_name, config.eps, config.max_itr, config.eps_mode
     )
@@ -200,8 +263,9 @@ def _shard_matvec_body(
                 # (contiguous DMAs, device.matvec_blocks), rows clamped to
                 # divide the shard's row count
                 mb = matvec_blocks(n)
-                if mb is not None and (pick_block(n_loc, mb[0]) or 0) > 0:
-                    br, bc = pick_block(n_loc, mb[0]), mb[1]
+                br = pick_block(n_loc, mb[0]) if mb is not None else None
+                if br:
+                    bc = mb[1]
                 else:
                     br = pick_block(n_loc, 512) or n_loc
                     bc = pick_block(n, 512) or n
@@ -297,15 +361,12 @@ def solve_sharded_matvec(
     no extra collective) — the sound stop for operator-scale λ matrices
     that need multi-chip memory (VERDICT r3 item 6).
     """
-    n = A.shape[0]
-    n_shards = require_axis(mesh, axis_name)
-    if n % n_shards != 0:
-        raise ValueError(f"dim {n} not divisible by {n_shards} shards")
+    _reject_sharded_unsupported(config, "solve_sharded_matvec")
+    A, n, n_shards = _validate_and_place(A, mesh, axis_name)
     mesh_on_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
     if use_pallas is None:
         use_pallas = mesh_on_tpu and (n // n_shards) % 128 == 0 and n % 128 == 0
     interpret = bool(use_pallas) and not mesh_on_tpu
-    A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
     return _solve_sharded_matvec_jit(
         A,
         mesh,
@@ -365,8 +426,7 @@ def _shard_matvec_ring_body(
             with f32 accumulation; the rotating chunks stay f32 on the wire
             (an O(n) exchange — precision is free, bandwidth negligible)."""
 
-            def step(s, carry):
-                chunk, parts = carry
+            def gemv_into(s, chunk, parts):
                 src = (p - s) % n_shards  # owner of the chunk now held
                 blk = lax.dynamic_slice(
                     Aq_blk, (jnp.int32(0), src * n_loc), (n_loc, n_loc)
@@ -379,15 +439,29 @@ def _shard_matvec_ring_body(
                         chunk.astype(storage_dtype),
                         preferred_element_type=jnp.float32,
                     )
-                parts = lax.dynamic_update_slice(
+                return lax.dynamic_update_slice(
                     parts, y[None, :], (src, jnp.int32(0))
                 )
+
+            def step(s, carry):
+                chunk, parts = carry
+                parts = gemv_into(s, chunk, parts)
                 chunk = lax.ppermute(chunk, axis_name, perm)
                 return chunk, parts
 
             parts0 = jnp.zeros((n_shards, n_loc), dtype)
-            _, parts = lax.fori_loop(0, n_shards, step, (ev_loc, parts0))
-            return jnp.sum(parts, axis=0)  # fixed source order: P-invariant
+            chunk, parts = lax.fori_loop(
+                0, n_shards - 1, step, (ev_loc, parts0)
+            )
+            # the LAST chunk's GEMV consumes the carried chunk in place:
+            # rotating it home afterwards was one discarded O(n/P) wire
+            # hop per matvec (review r5c) — n_shards-1 ppermutes suffice.
+            # parts is written by source index and reduced once below, so
+            # dropping the rotation changes no value.
+            parts = gemv_into(n_shards - 1, chunk, parts)
+            # fixed source order: deterministic for THIS P (cross-P round
+            # equality stays the empirical ±1-ulp story in the docstring)
+            return jnp.sum(parts, axis=0)
 
         def next_v(ev_loc):
             return ring_matvec(ev_loc) / ev_loc
@@ -493,11 +567,8 @@ def solve_sharded_matvec_ring(
     in reduced precision with f32 accumulation, O(n) state stays f32.
     ``config.eps_mode`` is honored (relative mode costs one extra scalar
     pmax per round — see the body's ``stop_only``)."""
-    n = A.shape[0]
-    n_shards = require_axis(mesh, axis_name)
-    if n % n_shards != 0:
-        raise ValueError(f"dim {n} not divisible by {n_shards} shards")
-    A = jax.device_put(A, NamedSharding(mesh, P(axis_name, None)))
+    _reject_sharded_unsupported(config, "solve_sharded_matvec_ring")
+    A, n, n_shards = _validate_and_place(A, mesh, axis_name)
     return _solve_sharded_ring_jit(
         A,
         mesh,
@@ -562,6 +633,7 @@ def solve_batched_rowsharded(
     single-chip semantics (f32 accumulation, f32 O(n) state);
     ``config.eps_mode`` applies per matrix too (replicated-v stop).
     """
+    _reject_sharded_unsupported(config, "solve_batched_rowsharded")
     B, n, n2 = As.shape
     if n != n2:
         raise ValueError(f"expected (B, n, n), got {As.shape}")
@@ -730,6 +802,12 @@ def solve_sharded_2d(
     within the usual ±1 float32 slack of the single-chip path (Hilbert
     parity on the shipped mesh shapes is pinned by tests).
     """
+    _reject_sharded_unsupported(config, "solve_sharded_2d")
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        # without this, a non-square A passes the divisibility checks and
+        # dynamic_slice CLAMPS the out-of-range ev column offsets — a
+        # silently wrong eigenvalue, not an error (review r5c)
+        raise ValueError(f"must be a square matrix, got shape {A.shape}")
     n = A.shape[0]
     for ax in (row_axis, col_axis):
         if ax not in mesh.shape:

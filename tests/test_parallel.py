@@ -122,8 +122,13 @@ class TestShardedRing:
         )
 
     def test_round_parity_across_mesh_sizes(self):
-        """The source-order partial accumulation makes the reduction order
-        P-invariant: round counts must be identical at every mesh size."""
+        """Source-order accumulation makes the reduction DETERMINISTIC
+        per mesh size; across DIFFERENT P the grouping into P partials
+        changes f32 rounding, so cross-P equality is EMPIRICAL (the ring
+        body's docstring: ±1-round slack is the structural guarantee).
+        This test pins the empirical equality on the shipped sizes — if
+        a new dim/size legitimately splits by one round, loosen to ±1
+        rather than suspecting a regression."""
         H = fixtures.hilbert_matrix(512)
         rounds = {
             n_dev: int(solve_sharded_matvec_ring(H, cpu_mesh(n_dev)).rounds)
@@ -577,3 +582,41 @@ class TestMeshAxisValidation:
             solve_sharded(H, cpu_mesh(4), axis_name="w")
         with pytest.raises(ValueError, match="no 'w' axis"):
             solve_sharded_matvec_ring(H, cpu_mesh(4), axis_name="w")
+
+
+class TestDirectCallContract:
+    """review r5c: the parallel/ entries are public API (api.py's
+    docstring sends users here for the ring/batched variants) and used
+    to silently drop single-chip-only knobs and accept non-square
+    input."""
+
+    def test_non_square_rejected_everywhere(self):
+        from eigen_value_tpu.parallel import solve_sharded_2d
+
+        bad = jnp.ones((8, 16), jnp.float32)
+        mesh = cpu_mesh(2)
+        for entry in (solve_sharded, solve_sharded_matvec,
+                      solve_sharded_matvec_ring):
+            with pytest.raises(ValueError, match="square matrix"):
+                entry(bad, mesh)
+        from eigen_value_tpu.parallel.sharded import make_mesh2d
+
+        with pytest.raises(ValueError, match="square matrix"):
+            solve_sharded_2d(bad, make_mesh2d(2, 4))
+
+    def test_single_chip_knobs_rejected(self):
+        from eigen_value_tpu import SolverConfig
+
+        H = fixtures.hilbert_matrix(128)
+        mesh = cpu_mesh(2)
+        with pytest.raises(ValueError, match="symmetric"):
+            solve_sharded_matvec(H, mesh,
+                                 config=SolverConfig(symmetric=True))
+        with pytest.raises(ValueError, match="chunk"):
+            solve_sharded_matvec_ring(H, mesh,
+                                      config=SolverConfig(chunk=4))
+        # the iterated body additionally cannot honor the storage contract
+        with pytest.raises(ValueError, match="storage_dtype"):
+            solve_sharded(
+                H, mesh, config=SolverConfig(storage_dtype="bfloat16")
+            )
