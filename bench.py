@@ -465,9 +465,14 @@ def main() -> None:
 
     def solve(H, ev0):
         if use_pallas:
+            kw = (
+                dict(symmetric=True, tile=SYM_TILE, cache_tiles=cache_tiles)
+                if use_sym
+                else {}
+            )
             return solve_multiround(
                 H, EPS, MAX_ITR, chunk=chunk, interpret=interpret, ev0=ev0,
-                symmetric=use_sym, tile=SYM_TILE, cache_tiles=cache_tiles,
+                **kw,
             )
         return solve_matvec_loop(H, lambda ev: (H @ ev) / ev, EPS, MAX_ITR, ev0=ev0)
 
@@ -552,11 +557,15 @@ def main() -> None:
         # probe the round count with the REAL backend: reduction order
         # differs per kernel and a mis-fit chunk either restarts the
         # pipeline (undershoot) or re-streams a whole chunk (overshoot)
+        bkw = (
+            dict(symmetric=True, tile=SYM_TILE_BF16, cache_tiles=bf16_cache)
+            if use_sym_bf16
+            else {}
+        )
         if use_pallas:
             probe = solve_multiround(
                 Hb, EPS, MAX_ITR, chunk=expected + 2, interpret=interpret,
-                storage_dtype=jnp.bfloat16, symmetric=use_sym_bf16,
-                tile=SYM_TILE_BF16, cache_tiles=bf16_cache,
+                storage_dtype=jnp.bfloat16, **bkw,
             )
         else:
             probe = solve_matvec_storage(
@@ -574,9 +583,7 @@ def main() -> None:
                     interpret=interpret,
                     ev0=ev0,
                     storage_dtype=jnp.bfloat16,
-                    symmetric=use_sym_bf16,
-                    tile=SYM_TILE_BF16,
-                    cache_tiles=bf16_cache,
+                    **bkw,
                 )
             return solve_matvec_storage(
                 Hb, EPS, MAX_ITR, storage_dtype=jnp.bfloat16, ev0=ev0

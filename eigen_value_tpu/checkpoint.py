@@ -36,6 +36,7 @@ from jax import lax
 
 from .config import EPS, MAX_ITR
 from .ops.solver import SolveResult, stop_check
+from .ops.solver_matvec import dot_f32
 
 
 class SolverState(NamedTuple):
@@ -69,9 +70,18 @@ def _state_matvec(A: jax.Array, ev: jax.Array) -> jax.Array:
     plain product.  Matches solve_matvec / solve_matvec_storage exactly so
     chunked stepping stays bit-identical to the one-shot solvers."""
     if A.dtype.itemsize < 4:
-        y = jnp.dot(A, ev.astype(A.dtype), preferred_element_type=jnp.float32)
-        return y / ev
-    return (A @ ev) / ev
+        q = ev.astype(A.dtype)
+        y = jnp.dot(A, q, preferred_element_type=jnp.float32)
+        # divide by the SAME quantized vector (cast back to f32): the
+        # power-form identity needs one consistent D per round, and a
+        # mixed q/ev ratio injects a ~λ·2⁻⁹/√n noise floor the absolute
+        # stop may never pass (review r5c; matches solve_matvec_storage)
+        return y / q.astype(ev.dtype)
+    # Precision.HIGHEST, not a plain `A @ ev`: f32 matmuls default to
+    # bf16 MXU multiplies on TPU, which breaks both the bit-identity
+    # with solve_matvec and the absolute stop for large-λ matrices
+    # (review r5c; the round-2 silicon failure dot_f32 exists to fix)
+    return dot_f32(A, ev) / ev
 
 
 def _init_state_impl(A: jax.Array) -> SolverState:

@@ -94,6 +94,12 @@ def _make_cond_body(matvec, eps: float, max_itr: int, eps_mode: str = "absolute"
 def _init_carry(n: int, matvec, dtype, ev0=None) -> _Carry:
     if ev0 is None:
         ev0 = jnp.ones((n,), dtype)
+    else:
+        # a caller-supplied start vector joins the O(n) state: cast it to
+        # the state dtype (review r5c: a mismatched ev0 either crashed
+        # the while_loop carry at trace time or silently dropped the
+        # stop check to reduced precision)
+        ev0 = jnp.asarray(ev0, dtype)
     v0 = matvec(ev0)  # == row sums of A_0
     return _Carry(ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
 
@@ -139,7 +145,16 @@ def solve_matvec_loop(
     bench harness to thread inter-solve data dependence through one O(n)
     op per SOLVE instead of one per round."""
     cond, body = _make_cond_body(matvec, eps, max_itr, eps_mode)
-    init = _init_carry(A.shape[0], matvec, state_dtype or A.dtype, ev0)
+    if state_dtype is None:
+        # reduced-precision A without an explicit state dtype still gets
+        # f32 O(n) state (checkpoint._state_dtype's rule): bf16 cannot
+        # even represent the 1e-3 stop tolerance at λ-scale values, so a
+        # bf16 state would silently mis-count rounds or exhaust the cap
+        # (review r5c)
+        state_dtype = (
+            jnp.float32 if jnp.dtype(A.dtype).itemsize < 4 else A.dtype
+        )
+    init = _init_carry(A.shape[0], matvec, state_dtype, ev0)
     out = lax.while_loop(cond, body, init)
     return _finish(out, max_itr)
 
@@ -310,8 +325,16 @@ def solve_matvec_storage(
     Aq = A.astype(storage_dtype)
 
     def matvec(ev):
-        y = jnp.dot(Aq, ev.astype(storage_dtype), preferred_element_type=jnp.float32)
-        return y / ev
+        q = ev.astype(storage_dtype)
+        y = jnp.dot(Aq, q, preferred_element_type=jnp.float32)
+        # divide by the SAME quantized vector (cast back to f32), not the
+        # unquantized ev: each round is then an EXACT similarity
+        # transform with D = diag(q) — a valid iteration — whereas the
+        # mixed q/ev ratio injects a systematic ~λ·2⁻⁹/√n per-component
+        # noise floor into v that corresponds to no valid D and that the
+        # absolute stop may never cross (review r5c; checkpoint's
+        # _state_matvec mirrors this expression bit-for-bit)
+        return y / q.astype(jnp.float32)
 
     return solve_matvec_loop(
         Aq, matvec, eps, max_itr, state_dtype=jnp.float32, ev0=ev0,
@@ -332,14 +355,14 @@ def solve_multiround(
     eps: float,
     max_itr: int,
     chunk: int = 18,
-    block_rows: int = 256,
+    block_rows: int | None = None,
     interpret: bool = False,
     ev0: jax.Array | None = None,
     eps_mode: str = "absolute",
     formulation: str = "vpu",
     storage_dtype=None,
     symmetric: bool = False,
-    tile: int = 512,
+    tile: int | None = None,
     cache_tiles: int = 0,
     mxu_tiles: int | None = None,
     fill_mode: str = "prologue",
@@ -406,10 +429,19 @@ def solve_multiround(
         # solve_matvec_storage (±1 round, ~1e-3 relative λ).
         A = A.astype(storage_dtype)
         dtype = jnp.float32
+    elif jnp.dtype(A.dtype).itemsize < 4:
+        # a matrix ALREADY in reduced precision gets f32 O(n) state too
+        # (the kernels' state_dt = ev.dtype): bf16 cannot represent the
+        # 1e-3 stop tolerance at λ-scale values, so a bf16 in-kernel
+        # stop would silently mis-count rounds (review r5c) — this makes
+        # a pre-cast A behave exactly like the storage_dtype path
+        dtype = jnp.float32
     else:
         dtype = A.dtype
     if ev0 is None:
         ev0 = jnp.ones((n,), dtype)
+    else:
+        ev0 = jnp.asarray(ev0, dtype)  # ev0 joins the O(n) state
     kw = dict(
         chunk=chunk,
         eps=eps,
@@ -417,26 +449,29 @@ def solve_multiround(
         interpret=interpret,
         formulation=formulation,
     )
-    if symmetric:
+    if symmetric or cache_tiles > 0:
+        # the TILED kernel (symmetric triangle, or dense direct-terms
+        # when ``symmetric`` is not declared): ``tile`` is its square
+        # edge; ``block_rows`` is a STRIPES knob and would be silently
+        # dropped here (review r5c: the validation used to be
+        # asymmetric — explicit tile was likewise ignored by the
+        # stripes branch below)
+        if block_rows is not None:
+            raise ValueError(
+                f"block_rows={block_rows} is a stripes-kernel knob; the "
+                f"tiled kernel (symmetric=True or cache_tiles > 0) uses "
+                f"square tiles — set `tile`, or drop block_rows"
+            )
         kernel = kernels.multiround_sym
-        kw["tile"] = tile
-        # VMEM-resident off-diagonal tiles (round 5): the cached area
-        # crosses HBM once per SOLVE instead of once per round — see
+        kw["tile"] = 512 if tile is None else tile
+        # VMEM-resident tiles (round 5): the cached area crosses HBM
+        # once per SOLVE instead of once per round — see
         # kernels.multiround_sym's cache_tiles notes
         kw["cache_tiles"] = cache_tiles
         kw["mxu_tiles"] = mxu_tiles
         kw["fill_mode"] = fill_mode
-    elif cache_tiles > 0:
-        # DENSE + cache: the tiled kernel in direct-terms-only mode —
-        # all g² tiles, the cached subset VMEM-resident (the general-
-        # matrix share of the round-5 residency win; the stripes kernel
-        # below has no cache and keeps the cache_tiles=0 case)
-        kernel = kernels.multiround_sym
-        kw["tile"] = tile
-        kw["cache_tiles"] = cache_tiles
-        kw["sym"] = False
-        kw["mxu_tiles"] = mxu_tiles
-        kw["fill_mode"] = fill_mode
+        if not symmetric:
+            kw["sym"] = False
     else:
         if mxu_tiles is not None:
             raise ValueError(
@@ -452,8 +487,14 @@ def solve_multiround(
                 "formulation='mixed' needs cache_tiles > 0 (the MXU "
                 "share is carved out of the VMEM-resident tiles)"
             )
+        if tile is not None:
+            raise ValueError(
+                f"tile={tile} is a tiled-kernel knob (symmetric=True or "
+                f"cache_tiles > 0); the stripes kernel streams full-width "
+                f"row stripes — set `block_rows`, or drop tile"
+            )
         kernel = kernels.multiround
-        kw["block_rows"] = block_rows
+        kw["block_rows"] = 256 if block_rows is None else block_rows
     ev, v, adv, lam = kernel(
         A, ev0, ev0, jnp.asarray(0.0, dtype), max_itr, init=True, **kw
     )
@@ -567,24 +608,22 @@ def solve_matvec_pallas_fused(
     ev0 = jnp.ones((n,), dtype)
     v0 = kernels.matvec(A, ev0, **kw) / ev0
 
-    def cond(c):
-        ev, v, lam, i = c
-        return (i < max_itr) & jnp.logical_not(stop_check(v, eps))
+    def cond(c: _Carry):
+        return (c.i < max_itr) & jnp.logical_not(stop_check(c.v, eps))
 
-    def body(c):
-        ev, v, lam, i = c
-        m = jnp.max(v)
-        lam = v[0]  # λ snapshot of the round being advanced past
-        v_next, ev_new = kernels.round_matvec(A, ev, v, m, **kw)
-        return (ev_new, v_next, lam, i + 1)
+    def body(c: _Carry):
+        m = jnp.max(c.v)
+        lam = c.v[0]  # λ snapshot of the round being advanced past
+        v_next, ev_new = kernels.round_matvec(A, c.ev, c.v, m, **kw)
+        return _Carry(ev_new, v_next, lam, c.i + 1)
 
-    init = (ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
-    ev, v, lam_prev, i = lax.while_loop(cond, body, init)
-    converged = i < max_itr  # loop exits early ⇔ stop fired on this v
-    m = jnp.max(v)
-    ev = jnp.where(converged, ev * (v / m), ev)
-    lam = jnp.where(converged, v[0], lam_prev)
-    return SolveResult(lam, ev, i, converged)
+    init = _Carry(ev0, v0, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32))
+    out = lax.while_loop(cond, body, init)
+    # the shared epilogue (review r5c: this rung hand-copied _finish's
+    # cap/convergence semantics; the body stays local because the fused
+    # kernel returns (v, ev) together and cannot use _make_cond_body's
+    # separable matvec)
+    return _finish(out, max_itr)
 
 
 @partial(
